@@ -1,0 +1,95 @@
+"""Rotary position embeddings (RoPE).
+
+Capability parity with the reference's RoPE subsystem
+(/root/reference/src/flash_attn.cu:161-257 device transforms;
+:512-538 cos/sin table precompute; examples/python/testFlashDecoder.py:7-58
+half-split golden variant), re-expressed as vectorized jnp on the VPU.
+
+Two rotation conventions exist in the reference:
+  * ``interleaved`` — adjacent element pairs (x[2i], x[2i+1]) are rotated
+    (the CUDA kernel's convention, flash_attn.cu:167-189).
+  * ``half``        — the vector is split in halves and (x[i], x[i+D/2]) pairs
+    are rotated (the PyTorch golden model's ``rotate_half`` convention,
+    testFlashDecoder.py:28-35; this is the HF-Llama convention).
+Both are supported; ``half`` is the default because the golden model defines
+the numerics contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_table(
+    max_seq_len: int,
+    rotary_dim: int,
+    base: float = 10000.0,
+    dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Precompute cos/sin tables shaped ``(max_seq_len, rotary_dim // 2)``.
+
+    freq(i) = pos / base**(2i / rotary_dim) — matches the reference's
+    rotary_table_kernel (flash_attn.cu:512-529).
+    """
+    if rotary_dim % 2:
+        raise ValueError(f"rotary_dim must be even, got {rotary_dim}")
+    inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    pos = jnp.arange(max_seq_len, dtype=jnp.float32)
+    angles = pos[:, None] * inv_freq[None, :]  # (S, rot/2)
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("style",))
+def apply_rope(
+    x: jax.Array,
+    positions: jax.Array,
+    cos_table: jax.Array,
+    sin_table: jax.Array,
+    style: str = "half",
+) -> jax.Array:
+    """Rotate the leading ``rotary_dim`` features of ``x`` by position.
+
+    Args:
+      x: ``(..., D)``; only the first ``2 * cos_table.shape[-1]`` features
+        rotate, the rest pass through (reference rotates only
+        ``rotary_embedding_dim`` features, flash_attn.cu:668-689).
+      positions: integer array broadcastable to ``x.shape[:-1]``.
+      cos_table / sin_table: from :func:`rope_table`.
+      style: ``"half"`` or ``"interleaved"``.
+    """
+    half = cos_table.shape[-1]
+    rot = 2 * half
+    d = x.shape[-1]
+    if rot > d:
+        raise ValueError(f"rotary_dim {rot} exceeds head_dim {d}")
+    positions = jnp.asarray(positions)
+    # Right-pad positions with singleton dims so a leading-batch positions
+    # array, e.g. (B,) against x of (B, H, D), broadcasts over the head dims.
+    if positions.ndim < x.ndim - 1:
+        positions = positions.reshape(
+            positions.shape + (1,) * (x.ndim - 1 - positions.ndim)
+        )
+    cos = cos_table[positions].astype(jnp.float32)  # (..., half)
+    sin = sin_table[positions].astype(jnp.float32)
+
+    xr = x[..., :rot].astype(jnp.float32)
+    if style == "half":
+        x1, x2 = xr[..., :half], xr[..., half:]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rotated = jnp.concatenate([r1, r2], axis=-1)
+    elif style == "interleaved":
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rotated = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+    else:
+        raise ValueError(f"unknown rope style: {style!r}")
+
+    rotated = rotated.astype(x.dtype)
+    if rot == d:
+        return rotated
+    return jnp.concatenate([rotated, x[..., rot:]], axis=-1)

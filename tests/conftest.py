@@ -1,0 +1,33 @@
+"""Test harness: force an 8-device CPU platform BEFORE jax initializes.
+
+Pallas kernels run in interpret mode on CPU (selected automatically by
+starflashattention_tpu.ops); sharding tests use a virtual 8-device mesh, per
+SURVEY.md §4's test plan.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def mesh8():
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, axis_names=("data", "model"))
