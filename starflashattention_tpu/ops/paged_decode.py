@@ -1,0 +1,273 @@
+"""Paged flash-decode Pallas kernel: non-contiguous KV pages, double-buffered DMA.
+
+The serving-path analog of ops/flash_decode.py for a paged pool
+(cache/paged.py). Where the contiguous kernel lets the Pallas grid pipeline
+stream the cache, pages are scattered in HBM, so this kernel drives its own
+DMA: per (batch, kv_head, kv_block) grid cell it looks up the block's physical
+page ids from the scalar-prefetched page table, issues one async copy per page
+into a VMEM double buffer, and prefetches the NEXT block's pages (possibly of
+the next batch/head) while computing the current block's online softmax.
+
+This is the same pipelining idea as the reference's cp.async commit/wait-group
+staging (/root/reference/src/flash_attn.cu:4-27, 287-292) — but across whole
+KV pages and driven by a page table, with INT8/FP8 payloads upcast in VMEM and
+per-head scales folded into scalar multiplies (BASELINE.json roofline target:
+quantized pages halve the HBM bytes per token, which is the decode bottleneck).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class _PageCopies:
+    """One async copy per physical page of a KV block → VMEM buffer slot.
+
+    Pages are non-contiguous, so one strided DMA cannot fetch a block; issuing
+    all page copies concurrently makes latency ≈ the slowest page, not the
+    sum (cf. the reference staging one tile per cp.async group).
+    """
+
+    def __init__(self, pages_hbm, buf, sem, page_tbl_ref, head, base, ppcb):
+        # `base` is a flat scalar offset into the (B * pages_per_seq,) table;
+        # scalar SMEM loads at dynamic indices are fine where ref slices
+        # would need 128-alignment.
+        self._copies = []
+        for j in range(ppcb):
+            phys = page_tbl_ref[base + j]
+            self._copies.append(
+                pltpu.make_async_copy(
+                    pages_hbm.at[head, phys],  # (page_size, D)
+                    buf.at[j],
+                    sem,
+                )
+            )
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    lengths_ref,  # (B,) int32
+    page_tbl_ref,  # (B * pages_per_seq,) int32 flattened
+    kscale_ref,  # (Hkv,) f32
+    vscale_ref,  # (Hkv,) f32
+    # inputs
+    q_ref,  # (1, 1, G, D) VMEM
+    k_pages_hbm,  # (Hkv, P, page_size, D) ANY
+    v_pages_hbm,
+    # outputs
+    o_ref,  # (1, 1, G, D)
+    # scratch
+    buf_i_ref,  # (1,) int32 SMEM — slot of the in-flight current block
+    k_buf,  # (2, ppcb, page_size, D) VMEM
+    v_buf,
+    k_sems,  # DMA (2,)
+    v_sems,
+    m_s,  # (G, LANES) f32
+    l_s,
+    acc_s,  # (G, D) f32
+    *,
+    batch_size: int,
+    num_kv_heads: int,
+    pages_per_seq: int,
+    ppcb: int,
+    page_size: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bk = ppcb * page_size
+    length = lengths_ref[b]
+    num_blocks = pl.cdiv(length, bk)
+
+    def copies(bb, hh, blk, slot):
+        base = bb * pages_per_seq + blk * ppcb
+        return (
+            _PageCopies(k_pages_hbm, k_buf.at[slot], k_sems.at[slot], page_tbl_ref, hh, base, ppcb),
+            _PageCopies(v_pages_hbm, v_buf.at[slot], v_sems.at[slot], page_tbl_ref, hh, base, ppcb),
+        )
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, h == 0), i == 0))
+    def _first():
+        buf_i_ref[0] = 0
+        ck, cv = copies(0, 0, 0, 0)
+        ck.start()
+        cv.start()
+
+    @pl.when(i < num_blocks)
+    def _run():
+        slot = buf_i_ref[0]
+
+        # Next block to prefetch: the following valid (b, h, i) cell.
+        next_in_seq = i + 1 < num_blocks
+        nb = jnp.where(next_in_seq, b, jnp.where(h + 1 < num_kv_heads, b, b + 1))
+        nh = jnp.where(next_in_seq, h, jnp.where(h + 1 < num_kv_heads, h + 1, 0))
+        ni = jnp.where(next_in_seq, i + 1, 0)
+        has_next = nb < batch_size
+
+        @pl.when(has_next)
+        def _prefetch():
+            ck, cv = copies(nb, nh, ni, 1 - slot)
+            ck.start()
+            cv.start()
+            buf_i_ref[0] = 1 - slot
+
+        ck, cv = copies(b, h, i, slot)  # reconstruct to wait on the semaphores
+        ck.wait()
+
+        @pl.when(i == 0)
+        def _init():
+            m_s[...] = jnp.full_like(m_s, NEG_INF)
+            l_s[...] = jnp.zeros_like(l_s)
+            acc_s[...] = jnp.zeros_like(acc_s)
+
+        q = q_ref[0, 0]  # (G, D)
+        k = k_buf[slot].reshape(bk, -1)  # (bk, D)
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, bk)
+        scale = sm_scale * (kscale_ref[h] if quantized else 1.0)
+        s = s * scale
+        kv_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_pos < length, s, NEG_INF)
+
+        m_prev = m_s[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=1, keepdims=True)
+        m_s[...] = m_next
+
+        cv.wait()
+        v = v_buf[slot].reshape(bk, -1)
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_s[...] = acc_s[...] * alpha[:, :1] + pv
+
+        # Normalized output each valid block; the last valid write wins and the
+        # block stays resident in VMEM until (b, h) changes.
+        l = l_s[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = acc_s[...] / l_safe
+        if quantized:
+            out = out * vscale_ref[h]
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def paged_flash_decode(
+    q: jax.Array,  # (B, Hq, D)
+    k_pages: jax.Array,  # (Hkv, P, page_size, D) — one layer's pages
+    v_pages: jax.Array,
+    page_table: jax.Array,  # (B, pages_per_seq) int32
+    lengths: jax.Array,  # (B,) int32
+    *,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int = 4,
+    k_scales: jax.Array | None = None,  # (Hkv,) f32
+    v_scales: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged decode attention → (B, Hq, D)."""
+    b, hq, d = q.shape
+    hkv, num_pages, page_size, _ = k_pages.shape
+    assert hq % hkv == 0
+    g = hq // hkv
+    _, pages_per_seq = page_table.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    if interpret is None:
+        interpret = _use_interpret()
+    quantized = k_pages.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    if quantized:
+        assert k_scales is not None and v_scales is not None
+    else:
+        k_scales = jnp.ones((hkv,), jnp.float32)
+        v_scales = jnp.ones((hkv,), jnp.float32)
+
+    ppcb = min(pages_per_compute_block, pages_per_seq)
+    while pages_per_seq % ppcb != 0:
+        ppcb -= 1
+    max_blocks = pages_per_seq // ppcb
+
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        batch_size=b,
+        num_kv_heads=hkv,
+        pages_per_seq=pages_per_seq,
+        ppcb=ppcb,
+        page_size=page_size,
+        sm_scale=float(sm_scale),
+        quantized=quantized,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, max_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g, d), lambda bi, hi, ii, *_: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g, d), lambda bi, hi, ii, *_: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((g, LANES), jnp.float32),
+            pltpu.VMEM((g, LANES), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32),
+        page_table.astype(jnp.int32).reshape(-1),
+        k_scales.astype(jnp.float32),
+        v_scales.astype(jnp.float32),
+        q.reshape(b, hkv, g, d),
+        k_pages,
+        v_pages,
+    )
+    return out.reshape(b, hq, d)

@@ -1,0 +1,81 @@
+"""Paged flash-decode kernel vs dense reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starflashattention_tpu.cache import paged
+from starflashattention_tpu.core import quant
+from starflashattention_tpu.core.reference import decode_reference
+from starflashattention_tpu.ops.paged_decode import paged_flash_decode
+
+
+def build_paged(rng, b=2, hkv=2, d=32, page_size=16, pages_per_seq=8, lengths=None):
+    """Random paged cache with a shuffled page table + its dense equivalent."""
+    num_pages = b * pages_per_seq + 1
+    perm = rng.permutation(num_pages - 1) + 1  # exclude null page 0
+    pt = perm[: b * pages_per_seq].reshape(b, pages_per_seq).astype(np.int32)
+    k_pages = rng.standard_normal((hkv, num_pages, page_size, d)).astype(np.float32)
+    v_pages = rng.standard_normal((hkv, num_pages, page_size, d)).astype(np.float32)
+    if lengths is None:
+        lengths = rng.integers(1, pages_per_seq * page_size + 1, size=(b,))
+    lengths = np.asarray(lengths, np.int32)
+    # dense view
+    dense_k = k_pages[:, pt].transpose(1, 0, 2, 3, 4).reshape(b, hkv, -1, d)
+    dense_v = v_pages[:, pt].transpose(1, 0, 2, 3, 4).reshape(b, hkv, -1, d)
+    return (
+        jnp.asarray(k_pages),
+        jnp.asarray(v_pages),
+        jnp.asarray(pt),
+        jnp.asarray(lengths),
+        jnp.asarray(dense_k),
+        jnp.asarray(dense_v),
+    )
+
+
+@pytest.mark.parametrize("ppcb", [1, 2, 4])
+def test_vs_dense_reference(rng, ppcb):
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(rng)
+    hq = 4
+    q = jnp.asarray(rng.standard_normal((2, hq, 32)), jnp.float32)
+    o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=ppcb)
+    ref = decode_reference(q, dense_k, dense_v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_ragged_extremes(rng):
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(
+        rng, b=3, lengths=[1, 17, 128]
+    )
+    q = jnp.asarray(rng.standard_normal((3, 2, 32)), jnp.float32)
+    o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=2)
+    ref = decode_reference(q, dense_k, dense_v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_gqa(rng):
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(rng, hkv=2)
+    q = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)  # G=4
+    o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=2)
+    ref = decode_reference(q, dense_k, dense_v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_quantized_pages(rng, mode):
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(rng)
+    qk = quant.quantize(k_pages, mode, head_axis=0)
+    qv = quant.quantize(v_pages, mode, head_axis=0)
+    q = jnp.asarray(rng.standard_normal((2, 4, 32)), jnp.float32)
+    o = paged_flash_decode(
+        q, qk.values, qv.values, pt, lengths,
+        pages_per_compute_block=2, k_scales=qk.scales, v_scales=qv.scales,
+    )
+    # Oracle: densify the DEQUANTIZED pages through the same page table.
+    dk = np.asarray(quant.dequantize(qk, head_axis=0))
+    dv = np.asarray(quant.dequantize(qv, head_axis=0))
+    pt_np = np.asarray(pt)
+    dense_dk = dk[:, pt_np].transpose(1, 0, 2, 3, 4).reshape(2, 2, -1, 32)
+    dense_dv = dv[:, pt_np].transpose(1, 0, 2, 3, 4).reshape(2, 2, -1, 32)
+    ref = decode_reference(q, jnp.asarray(dense_dk), jnp.asarray(dense_dv), lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=3e-4, rtol=3e-4)
