@@ -157,10 +157,12 @@ def append_prefill(
     layer: int,
     k_new: jax.Array,  # (B, Hkv, Sq, D) — prompt chunk
     v_new: jax.Array,
-    start: jax.Array,  # (B,) int32 — write offset per sequence
 ) -> KVCache:
-    """Write a whole prompt chunk starting at ``start[b]`` (chunked prefill /
-    prompt ingestion — capability the decode-only reference lacks)."""
+    """Write a whole prompt chunk starting at each sequence's ``lengths[b]``
+    (chunked prefill / prompt ingestion — capability the decode-only
+    reference lacks). The offset is read from the donated cache itself so no
+    aliased buffer crosses the jit boundary."""
+    start = cache.lengths
     ks, vs = cache.layer_scales(layer)
     k_new = _quantize_new(k_new, ks, cache.k.dtype)
     v_new = _quantize_new(v_new, vs, cache.v.dtype)

@@ -31,6 +31,7 @@ def _use_interpret() -> bool:
 
 def _prefill_kernel(
     lengths_ref,  # (B,) int32 SMEM — full array, indexed by program_id
+    q_off_ref,  # (B,) int32 SMEM — absolute position of q row 0 per sequence
     q_ref,  # (1, 1, Bq, D)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
@@ -56,12 +57,14 @@ def _prefill_kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
 
     length = lengths_ref[batch]
+    offset = q_off_ref[batch]
     kv_start = ki * block_k
 
     if causal:
         # Skip KV tiles entirely above the diagonal: the last q row of this
-        # tile is (qi+1)*block_q - 1; run only if some kv column <= it.
-        in_band = kv_start <= (qi + 1) * block_q - 1
+        # tile sits at absolute position offset + (qi+1)*block_q - 1; run
+        # only if some kv column <= it.
+        in_band = kv_start <= offset + (qi + 1) * block_q - 1
     else:
         in_band = True
     should_run = jnp.logical_and(in_band, kv_start < length)
@@ -82,7 +85,7 @@ def _prefill_kernel(
         col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = col < length
         if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            row = offset + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             mask = jnp.logical_and(mask, col <= row)
         s = jnp.where(mask, s, NEG_INF)
 
@@ -116,12 +119,18 @@ def flash_prefill(
     lengths: jax.Array | None = None,  # (B,) valid KV length
     *,
     causal: bool = True,
+    q_offsets: jax.Array | None = None,  # (B,) absolute position of q[:, :, 0]
     sm_scale: float | None = None,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Blockwise causal prefill attention → (B, Hq, Sq, D)."""
+    """Blockwise causal prefill attention → (B, Hq, Sq, D).
+
+    ``q_offsets`` shifts each sequence's causal diagonal: queries are a chunk
+    starting at that absolute position in the KV timeline (chunked prefill /
+    multi-token decode against a cache).
+    """
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     assert hq % hkv == 0, (hq, hkv)
@@ -133,6 +142,9 @@ def flash_prefill(
     if lengths is None:
         lengths = jnp.full((b,), skv, jnp.int32)
     lengths = jnp.minimum(lengths.astype(jnp.int32), skv)
+    if q_offsets is None:
+        q_offsets = jnp.zeros((b,), jnp.int32)
+    q_offsets = q_offsets.astype(jnp.int32)
 
     # Pad sequence dims up to tile multiples; padded KV is masked by
     # `lengths`, padded Q rows are sliced off the output.
@@ -163,6 +175,7 @@ def flash_prefill(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, block_q, d),
@@ -195,6 +208,6 @@ def flash_prefill(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k, v)
+    )(lengths, q_offsets, q, k, v)
 
     return out[:, :, :sq, :]

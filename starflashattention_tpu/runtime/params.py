@@ -1,0 +1,119 @@
+"""Configuration dataclasses — the analog of the reference's param structs.
+
+``Flash_decoder_params{kBlockN, num_splits, kNThreads}``
+(/root/reference/src/params.h:53-58) and the compile-time ``Traits``
+(traits.h:7-26) become frozen dataclasses whose fields are static arguments to
+jit: XLA specializes per configuration the way nvcc specialized per Traits
+instantiation. The reference hardcodes {32, 4, 32} for Python users
+(flash_api.cpp:35-40) and admits the tuning is 3090-specific
+(flash_attn.cu:1024); here the knobs carry documented TPU-oriented defaults
+and runtime/autotune.py measures the rest.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from starflashattention_tpu.core.quant import QuantMode
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    """Static attention-op configuration (hashable → jit static arg)."""
+
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    # RoPE (reference: rotary tables + in-kernel transform, flash_attn.cu:161-257)
+    rotary_dim: int | None = None  # None → full head_dim
+    rope_base: float = 10000.0
+    rope_style: str = "half"  # golden-model convention (testFlashDecoder.py:28-58)
+    # kernel knobs (reference: kBlockN / num_splits, params.h:53-58)
+    num_splits: int = 4
+    block_k: int = 256
+    pages_per_compute_block: int = 4
+    sm_scale: float | None = None
+    quant_mode: QuantMode = "none"
+
+    def __post_init__(self):
+        if self.num_q_heads % self.num_kv_heads:
+            raise ValueError(
+                f"num_q_heads {self.num_q_heads} not divisible by "
+                f"num_kv_heads {self.num_kv_heads}"
+            )
+        if self.head_dim % 2:
+            raise ValueError(f"head_dim must be even, got {self.head_dim}")
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def rot_dim(self) -> int:
+        return self.head_dim if self.rotary_dim is None else self.rotary_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-class GQA transformer configuration (models/llama.py)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_q_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_style: str = "half"
+    max_seq_len: int = 4096
+    dtype: str = "bfloat16"
+    quant_mode: QuantMode = "none"
+    num_splits: int = 4
+    block_k: int = 256
+    tie_embeddings: bool = False
+
+    def attention(self) -> AttentionConfig:
+        return AttentionConfig(
+            num_q_heads=self.num_q_heads,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            rope_base=self.rope_base,
+            rope_style=self.rope_style,
+            num_splits=self.num_splits,
+            block_k=self.block_k,
+            quant_mode=self.quant_mode,
+        )
+
+    @classmethod
+    def llama_7b_gqa(cls, **overrides) -> "ModelConfig":
+        """The 7B-GQA benchmark workload from BASELINE.json (Llama-7B dims
+        with 8 KV heads)."""
+        base = dict(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=11008,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "ModelConfig":
+        """Small config for tests / CPU interpret mode."""
+        base = dict(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_q_heads=4,
+            num_kv_heads=2,
+            head_dim=16,
+            max_seq_len=128,
+        )
+        base.update(overrides)
+        return cls(**base)

@@ -24,8 +24,9 @@ def test_contiguous_append_decode(rng):
 
 def test_contiguous_append_prefill(rng):
     cache = contiguous.init_cache(1, 2, 2, 64, 16, dtype=jnp.float32)
+    cache = contiguous.advance(cache, jnp.asarray([0, 10], jnp.int32))
     chunk = jnp.asarray(rng.standard_normal((2, 2, 8, 16)), jnp.float32)
-    cache = contiguous.append_prefill(cache, 0, chunk, chunk, jnp.asarray([0, 10]))
+    cache = contiguous.append_prefill(cache, 0, chunk, chunk)
     k0 = np.asarray(cache.k[0])
     np.testing.assert_allclose(k0[0, :, 0:8], np.asarray(chunk)[0])
     np.testing.assert_allclose(k0[1, :, 10:18], np.asarray(chunk)[1])
