@@ -15,7 +15,6 @@ against existing scales without a rescan (core/quant.py:quantize_value).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -119,20 +118,20 @@ def _quantize_new(x: jax.Array, scales: jax.Array | None, dtype) -> jax.Array:
     return quant.quantize_value(x, scales, mode, head_axis=1)
 
 
-@partial(jax.jit, static_argnames=("layer",), donate_argnums=(0,))
 def append_decode(
     cache: KVCache,
-    layer: int,
+    layer,
     k_new: jax.Array,  # (B, Hkv, D) — one token per sequence
     v_new: jax.Array,
 ) -> KVCache:
     """Write the current token's K/V at each sequence's ``lengths[b]`` slot.
 
     Functional analog of the reference's fused in-kernel append
-    (flash_attn.cu:691-701); with the cache donated, XLA updates in place.
-    ``lengths`` is NOT advanced — call :func:`advance` once per step after
-    all layers have appended (the reference likewise appends per layer while
-    the caller owns seq_len).
+    (flash_attn.cu:691-701); donate the cache at the enclosing jitted step and
+    XLA updates it in place. ``layer`` may be a traced index (lax.scan over
+    layers in models/llama.py). ``lengths`` is NOT advanced — call
+    :func:`advance` once per step after all layers have appended (the
+    reference likewise appends per layer while the caller owns seq_len).
     """
     ks, vs = cache.layer_scales(layer)
     k_new = _quantize_new(k_new, ks, cache.k.dtype)
@@ -151,10 +150,9 @@ def append_decode(
     )
 
 
-@partial(jax.jit, static_argnames=("layer",), donate_argnums=(0,))
 def append_prefill(
     cache: KVCache,
-    layer: int,
+    layer,
     k_new: jax.Array,  # (B, Hkv, Sq, D) — prompt chunk
     v_new: jax.Array,
 ) -> KVCache:
@@ -179,7 +177,6 @@ def append_prefill(
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
 def advance(cache: KVCache, steps: jax.Array | int = 1) -> KVCache:
     """Advance ``lengths`` after a full model step (all layers appended)."""
     return dataclasses.replace(cache, lengths=cache.lengths + steps)

@@ -1,0 +1,315 @@
+"""Llama-family GQA transformer — functional JAX, scan-over-layers.
+
+End-to-end model for the BASELINE.json 7B-GQA workload. Architecture matches
+the reference golden model's Llama attention semantics
+(/root/reference/examples/python/testFlashDecoder.py:61-94: fused QKV → RoPE →
+cache concat → softmax·V) extended to the full decoder block (RMSNorm,
+SwiGLU, residuals) and GQA.
+
+Design notes (TPU-first):
+- Layer parameters are STACKED on a leading (L, ...) axis and the decoder
+  runs under ``jax.lax.scan`` — one traced layer body instead of L unrolled
+  copies, so compile time and program size are O(1) in depth.
+- The KV cache rides the scan carry; appends are dynamic_update_slice at the
+  traced layer index (in-place under donation).
+- Projections are fused: one (H, (Hq+2Hkv)·D) QKV matmul, one (H, 2I)
+  gate+up matmul — big MXU matmuls instead of many small ones.
+- decode_step / prefill are whole-model single XLA programs: embedding →
+  L × (attention + MLP) → final norm → logits, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.core.rope import apply_rope, rope_table
+from starflashattention_tpu.ops.flash_decode import flash_decode
+from starflashattention_tpu.ops.flash_prefill import flash_prefill
+from starflashattention_tpu.runtime.params import ModelConfig
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
+    """Random-init parameters (benchmark / smoke use; checkpoint loaders fill
+    the same pytree). Layer params are stacked on a leading L axis."""
+    if dtype is None:
+        dtype = jnp.dtype(cfg.dtype)
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv, inter, L = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size, cfg.num_layers
+    qkv_out = (hq + 2 * hkv) * d
+
+    keys = jax.random.split(key, 8)
+
+    def norm01(k, shape, fan_in):
+        # Generate directly in the target dtype: an fp32 intermediate for a
+        # 7B model would transiently need ~2x HBM and OOM a 16 GB chip.
+        return jax.random.normal(k, shape, dtype) / jnp.asarray(fan_in**0.5, dtype)
+
+    params: Params = {
+        "embed": norm01(keys[0], (cfg.vocab_size, h), 1.0),
+        "layers": {
+            "attn_norm": jnp.ones((L, h), dtype),
+            "wqkv": norm01(keys[1], (L, h, qkv_out), h),
+            "wo": norm01(keys[2], (L, hq * d, h), hq * d),
+            "mlp_norm": jnp.ones((L, h), dtype),
+            "w_gate_up": norm01(keys[3], (L, h, 2 * inter), h),
+            "w_down": norm01(keys[4], (L, inter, h), inter),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = norm01(keys[5], (h, cfg.vocab_size), h)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _swiglu(x: jax.Array, w_gate_up: jax.Array, w_down: jax.Array) -> jax.Array:
+    gu = jnp.dot(x, w_gate_up, preferred_element_type=jnp.float32)
+    inter = w_down.shape[0]
+    gate, up = gu[..., :inter], gu[..., inter:]
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.dot(act, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
+    """(B, (Hq+2Hkv)*D) → q (B,Hq,D), k/v (B,Hkv,D)."""
+    b = qkv.shape[0]
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    qkv = qkv.reshape(b, hq + 2 * hkv, d)
+    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
+
+
+def _split_heads_prefill(qkv: jax.Array, cfg: ModelConfig):
+    """(B, S, (Hq+2Hkv)*D) → q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
+    b, s, _ = qkv.shape
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    qkv = qkv.reshape(b, s, hq + 2 * hkv, d).transpose(0, 2, 1, 3)
+    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
+
+
+def _logits(x: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+
+
+def rope_tables(cfg: ModelConfig, dtype=jnp.float32):
+    return rope_table(cfg.max_seq_len, cfg.head_dim, base=cfg.rope_base, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decode step (one token per sequence, whole model)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def decode_step(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,  # (B,) int32
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """One decode step: (B,) token ids → (B, V) fp32 logits + updated cache.
+
+    The whole-model analog of the reference's per-layer ``mha_fwd_cuda`` loop,
+    as ONE jitted program with the cache donated (reference: one binding call
+    + 2 kernel launches + a device sync per layer, flash_attn.cu:978-1005).
+    """
+    x = params["embed"][tokens]  # (B, H)
+    pos = cache.lengths  # (B,)
+    lengths_now = cache.lengths + 1
+
+    def layer_body(carry, layer_in):
+        x, k_all, v_all = carry
+        lp, lidx = layer_in
+
+        # Attention
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k_new, v_new = _split_heads_decode(qkv, cfg)
+        q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
+
+        if cache.k_scales is not None:
+            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
+            k_q = contiguous._quantize_new(k_new, ks, k_all.dtype)
+            v_q = contiguous._quantize_new(v_new, vs, v_all.dtype)
+        else:
+            ks = vs = None
+            k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
+
+        def upd(table_b, new_b, p):
+            return jax.lax.dynamic_update_slice(table_b, new_b[:, None, :], (0, p, 0))
+
+        k_l = jax.vmap(upd)(k_all[lidx], k_q, pos)
+        v_l = jax.vmap(upd)(v_all[lidx], v_q, pos)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, lidx, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, lidx, 0)
+
+        o = flash_decode(
+            q, k_l, v_l, lengths_now,
+            num_splits=cfg.num_splits, block_k=cfg.block_k,
+            k_scales=ks, v_scales=vs,
+        )  # (B, Hq, D)
+        o = o.reshape(o.shape[0], -1)
+        x = x + jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+        # MLP
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        return (x, k_all, v_all), None
+
+    layer_idx = jnp.arange(cfg.num_layers)
+    (x, k_all, v_all), _ = jax.lax.scan(
+        layer_body, (x, cache.k, cache.v), (params["layers"], layer_idx)
+    )
+    cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
+    return _logits(x, params, cfg), cache
+
+
+# ---------------------------------------------------------------------------
+# Prefill (prompt chunk, whole model)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def prefill(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,  # (B, Sq) int32, right-padded
+    new_lengths: jax.Array,  # (B,) valid tokens per row
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Prompt ingestion: returns (B, V) fp32 logits at each row's LAST valid
+    token + the filled cache. One jitted program (TTFT path)."""
+    b, sq = tokens.shape
+    x = params["embed"][tokens]  # (B, Sq, H)
+    start = cache.lengths
+    pos = start[:, None] + jnp.arange(sq)[None, :]  # (B, Sq)
+    kv_lengths = start + new_lengths
+
+    def layer_body(carry, layer_in):
+        x, k_all, v_all = carry
+        lp, lidx = layer_in
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+        q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
+
+        if cache.k_scales is not None:
+            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
+            k_q = contiguous._quantize_new(k_new, ks, k_all.dtype)
+            v_q = contiguous._quantize_new(v_new, vs, v_all.dtype)
+        else:
+            ks = vs = None
+            k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
+
+        def upd(table_b, new_b, p):
+            return jax.lax.dynamic_update_slice(table_b, new_b, (0, p, 0))
+
+        k_l = jax.vmap(upd)(k_all[lidx], k_q, start)
+        v_l = jax.vmap(upd)(v_all[lidx], v_q, start)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, lidx, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, lidx, 0)
+
+        if ks is not None:
+            k_att = (k_l.astype(jnp.float32) * ks[None, :, None, None]).astype(q.dtype)
+            v_att = (v_l.astype(jnp.float32) * vs[None, :, None, None]).astype(q.dtype)
+        else:
+            k_att, v_att = k_l, v_l
+        o = flash_prefill(
+            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
+        )  # (B, Hq, Sq, D)
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
+        x = x + jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        return (x, k_all, v_all), None
+
+    layer_idx = jnp.arange(cfg.num_layers)
+    (x, k_all, v_all), _ = jax.lax.scan(
+        layer_body, (x, cache.k, cache.v), (params["layers"], layer_idx)
+    )
+    cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=kv_lengths)
+    # Logits at the last valid token of each row.
+    last = jnp.maximum(new_lengths - 1, 0)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    return _logits(x_last, params, cfg), cache
+
+
+# ---------------------------------------------------------------------------
+# Generation helpers
+# ---------------------------------------------------------------------------
+
+
+def sample(logits: jax.Array, key: jax.Array | None = None, temperature: float = 0.0) -> jax.Array:
+    """Greedy (temperature 0) or categorical sampling → (B,) int32."""
+    if temperature <= 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+def generate(
+    params: Params,
+    cfg: ModelConfig,
+    prompts: jax.Array,  # (B, Sp) int32, right-padded
+    prompt_lengths: jax.Array,  # (B,)
+    max_new_tokens: int,
+    *,
+    cache: contiguous.KVCache | None = None,
+    temperature: float = 0.0,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Prefill + autoregressive decode loop → (B, max_new_tokens) token ids."""
+    b = prompts.shape[0]
+    if cache is None:
+        cache = contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.dtype(cfg.dtype), quant_mode=cfg.quant_mode,
+        )
+    cos, sin = rope_tables(cfg)
+    logits, cache = prefill(params, cache, prompts, prompt_lengths, cos, sin, cfg)
+    out = []
+    tok = sample(logits, key, temperature)
+    for i in range(max_new_tokens):
+        out.append(tok)
+        if i == max_new_tokens - 1:
+            break
+        if key is not None:
+            key = jax.random.fold_in(key, i)
+        logits, cache = decode_step(params, cache, tok, cos, sin, cfg)
+        tok = sample(logits, key, temperature)
+    return jnp.stack(out, axis=1)
