@@ -137,8 +137,9 @@ def append_decode(
     k_new = _quantize_new(k_new, ks, cache.k.dtype)
     v_new = _quantize_new(v_new, vs, cache.v.dtype)
 
+    # Batched dynamic_update_slice (NOT a scatter — XLA copies the whole
+    # table for batched scatters on TPU; dus aliases the donated buffer).
     def upd(table_b, new_b, pos):
-        # table_b: (Hkv, S, D); new_b: (Hkv, D)
         return jax.lax.dynamic_update_slice(table_b, new_b[:, None, :], (0, pos, 0))
 
     k_l = jax.vmap(upd)(cache.k[layer], k_new, cache.lengths)
@@ -155,21 +156,35 @@ def append_prefill(
     layer,
     k_new: jax.Array,  # (B, Hkv, Sq, D) — prompt chunk
     v_new: jax.Array,
+    active: jax.Array | None = None,  # (B,) bool — rows to actually write
 ) -> KVCache:
     """Write a whole prompt chunk starting at each sequence's ``lengths[b]``
     (chunked prefill / prompt ingestion — capability the decode-only
     reference lacks). The offset is read from the donated cache itself so no
-    aliased buffer crosses the jit boundary."""
+    aliased buffer crosses the jit boundary.
+
+    ``active=False`` rows self-write their existing window (a no-op), so the
+    serving engine can prefill newly-admitted slots while other slots' cache
+    state stays untouched — all under one static-shape program.
+    """
     start = cache.lengths
     ks, vs = cache.layer_scales(layer)
     k_new = _quantize_new(k_new, ks, cache.k.dtype)
     v_new = _quantize_new(v_new, vs, cache.v.dtype)
+    sq = k_new.shape[2]
+    if active is None:
+        active = jnp.ones((k_new.shape[0],), bool)
 
-    def upd(table_b, new_b, pos):
-        return jax.lax.dynamic_update_slice(table_b, new_b, (0, pos, 0))
+    def upd(table_b, new_b, pos, act):
+        window = jax.lax.dynamic_slice(
+            table_b, (0, pos, 0), (table_b.shape[0], sq, table_b.shape[2])
+        )
+        return jax.lax.dynamic_update_slice(
+            table_b, jnp.where(act, new_b, window), (0, pos, 0)
+        )
 
-    k_l = jax.vmap(upd)(cache.k[layer], k_new, start)
-    v_l = jax.vmap(upd)(cache.v[layer], v_new, start)
+    k_l = jax.vmap(upd)(cache.k[layer], k_new, start, active)
+    v_l = jax.vmap(upd)(cache.v[layer], v_new, start, active)
     return dataclasses.replace(
         cache,
         k=cache.k.at[layer].set(k_l),

@@ -48,7 +48,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         dtype = jnp.dtype(cfg.dtype)
     h, d = cfg.hidden_size, cfg.head_dim
     hq, hkv, inter, L = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size, cfg.num_layers
-    qkv_out = (hq + 2 * hkv) * d
+    g = hq // hkv
 
     keys = jax.random.split(key, 8)
 
@@ -61,10 +61,18 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         "embed": norm01(keys[0], (cfg.vocab_size, h), 1.0),
         "layers": {
             "attn_norm": jnp.ones((L, h), dtype),
-            "wqkv": norm01(keys[1], (L, h, qkv_out), h),
+            # Fused QKV GROUPED BY KV HEAD: columns ordered
+            # [q_0..q_{G-1}, k, v] per KV-head group, so a tensor-parallel
+            # shard of the Hkv axis keeps each KV head on the same chip as
+            # its G query heads (parallel/tp.py). Query-head order is
+            # therefore kv-grouped everywhere, matching repeat_kv semantics.
+            "wqkv": norm01(keys[1], (L, h, hkv, (g + 2) * d), h),
             "wo": norm01(keys[2], (L, hq * d, h), hq * d),
             "mlp_norm": jnp.ones((L, h), dtype),
-            "w_gate_up": norm01(keys[3], (L, h, 2 * inter), h),
+            # gate/up fused with an explicit (2, I) trailing structure so a
+            # tensor-parallel shard of the LAST axis keeps gate and up columns
+            # aligned per chip (parallel/tp.py).
+            "w_gate_up": norm01(keys[3], (L, h, 2, inter), h),
             "w_down": norm01(keys[4], (L, inter, h), inter),
         },
         "final_norm": jnp.ones((h,), dtype),
@@ -90,27 +98,34 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def _swiglu(x: jax.Array, w_gate_up: jax.Array, w_down: jax.Array) -> jax.Array:
-    gu = jnp.dot(x, w_gate_up, preferred_element_type=jnp.float32)
-    inter = w_down.shape[0]
-    gate, up = gu[..., :inter], gu[..., inter:]
+    h = w_gate_up.shape[0]
+    inter = w_gate_up.shape[-1]
+    gu = jnp.dot(
+        x, w_gate_up.reshape(h, 2 * inter), preferred_element_type=jnp.float32
+    ).reshape(*x.shape[:-1], 2, inter)
+    gate, up = gu[..., 0, :], gu[..., 1, :]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return jnp.dot(act, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
-    """(B, (Hq+2Hkv)*D) → q (B,Hq,D), k/v (B,Hkv,D)."""
+    """(B, Hkv*(G+2)*D) kv-grouped → q (B,Hq,D), k/v (B,Hkv,D)."""
     b = qkv.shape[0]
-    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-    qkv = qkv.reshape(b, hq + 2 * hkv, d)
-    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
+    hkv, d = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_q_heads // hkv
+    qkv = qkv.reshape(b, hkv, g + 2, d)
+    q = qkv[:, :, :g].reshape(b, cfg.num_q_heads, d)
+    return q, qkv[:, :, g], qkv[:, :, g + 1]
 
 
 def _split_heads_prefill(qkv: jax.Array, cfg: ModelConfig):
-    """(B, S, (Hq+2Hkv)*D) → q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
+    """(B, S, Hkv*(G+2)*D) kv-grouped → q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
     b, s, _ = qkv.shape
-    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-    qkv = qkv.reshape(b, s, hq + 2 * hkv, d).transpose(0, 2, 1, 3)
-    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
+    hkv, d = cfg.num_kv_heads, cfg.head_dim
+    g = cfg.num_q_heads // hkv
+    qkv = qkv.reshape(b, s, hkv, g + 2, d)
+    q = qkv[:, :, :, :g].reshape(b, s, cfg.num_q_heads, d).transpose(0, 2, 1, 3)
+    return q, qkv[:, :, :, g].transpose(0, 2, 1, 3), qkv[:, :, :, g + 1].transpose(0, 2, 1, 3)
 
 
 def _logits(x: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
@@ -128,24 +143,30 @@ def rope_tables(cfg: ModelConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def decode_step(
+def _decode_core(
     params: Params,
     cache: contiguous.KVCache,
     tokens: jax.Array,  # (B,) int32
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
+    axis_name: str | None = None,
+    active: jax.Array | None = None,  # (B,) bool — slots that really decode
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """One decode step: (B,) token ids → (B, V) fp32 logits + updated cache.
 
-    The whole-model analog of the reference's per-layer ``mha_fwd_cuda`` loop,
-    as ONE jitted program with the cache donated (reference: one binding call
-    + 2 kernel launches + a device sync per layer, flash_attn.cu:978-1005).
+    With ``axis_name`` set (under shard_map, parallel/tp.py) the heads and
+    MLP intermediate are tensor-sharded and the two row-parallel projections
+    (wo, w_down) psum over the axis — Megatron-style 2 all-reduces/layer,
+    carried by ICI. ``active=False`` rows neither advance nor (logically)
+    extend their sequence (serving engine's free slots).
     """
     x = params["embed"][tokens]  # (B, H)
     pos = cache.lengths  # (B,)
-    lengths_now = cache.lengths + 1
+    if active is None:
+        lengths_now = cache.lengths + 1
+    else:
+        lengths_now = cache.lengths + active.astype(jnp.int32)
 
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
@@ -153,7 +174,9 @@ def decode_step(
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = jnp.dot(
+            h, lp["wqkv"].reshape(h.shape[-1], -1), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -166,6 +189,8 @@ def decode_step(
             ks = vs = None
             k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
 
+        # Append the new token. dynamic_update_slice keeps the donated table
+        # in place (a batched scatter would copy the whole table on TPU).
         def upd(table_b, new_b, p):
             return jax.lax.dynamic_update_slice(table_b, new_b[:, None, :], (0, p, 0))
 
@@ -175,16 +200,22 @@ def decode_step(
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, lidx, 0)
 
         o = flash_decode(
-            q, k_l, v_l, lengths_now,
+            q, k_all, v_all, lengths_now, layer=lidx,
             num_splits=cfg.num_splits, block_k=cfg.block_k,
             k_scales=ks, v_scales=vs,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
-        x = x + jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        attn_out = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        x = x + attn_out.astype(x.dtype)
 
         # MLP
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        mlp_out = _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out.astype(jnp.float32), axis_name).astype(x.dtype)
+        x = x + mlp_out
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
@@ -195,13 +226,27 @@ def decode_step(
     return _logits(x, params, cfg), cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def decode_step(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Single-chip jitted decode step — ONE XLA program with the cache
+    donated (the reference needs a binding call + 2 launches + a device sync
+    PER LAYER, flash_attn.cu:978-1005)."""
+    return _decode_core(params, cache, tokens, cos, sin, cfg)
+
+
 # ---------------------------------------------------------------------------
 # Prefill (prompt chunk, whole model)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def prefill(
+def _prefill_core(
     params: Params,
     cache: contiguous.KVCache,
     tokens: jax.Array,  # (B, Sq) int32, right-padded
@@ -209,13 +254,21 @@ def prefill(
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
+    axis_name: str | None = None,
+    active: jax.Array | None = None,  # (B,) bool — rows being prefilled
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Prompt ingestion: returns (B, V) fp32 logits at each row's LAST valid
-    token + the filled cache. One jitted program (TTFT path)."""
+    token + the filled cache. One jitted program (TTFT path).
+
+    ``active=False`` rows are untouched: their cache windows self-write and
+    their lengths don't advance (serving engine admits into a shared batch).
+    """
     b, sq = tokens.shape
     x = params["embed"][tokens]  # (B, Sq, H)
     start = cache.lengths
     pos = start[:, None] + jnp.arange(sq)[None, :]  # (B, Sq)
+    if active is not None:
+        new_lengths = jnp.where(active, new_lengths, 0)
     kv_lengths = start + new_lengths
 
     def layer_body(carry, layer_in):
@@ -223,7 +276,9 @@ def prefill(
         lp, lidx = layer_in
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = jnp.dot(
+            h, lp["wqkv"].reshape(h.shape[-1], -1), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -236,11 +291,20 @@ def prefill(
             ks = vs = None
             k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
 
-        def upd(table_b, new_b, p):
-            return jax.lax.dynamic_update_slice(table_b, new_b, (0, p, 0))
+        # Masked window write: inactive rows re-write their own cache window
+        # (no-op), so admitting new slots never corrupts busy ones.
+        act = jnp.ones((b,), bool) if active is None else active
 
-        k_l = jax.vmap(upd)(k_all[lidx], k_q, start)
-        v_l = jax.vmap(upd)(v_all[lidx], v_q, start)
+        def upd(table_b, new_b, p, a):
+            window = jax.lax.dynamic_slice(
+                table_b, (0, p, 0), (table_b.shape[0], sq, table_b.shape[2])
+            )
+            return jax.lax.dynamic_update_slice(
+                table_b, jnp.where(a, new_b, window), (0, p, 0)
+            )
+
+        k_l = jax.vmap(upd)(k_all[lidx], k_q, start, act)
+        v_l = jax.vmap(upd)(v_all[lidx], v_q, start, act)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, lidx, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, lidx, 0)
 
@@ -253,10 +317,16 @@ def prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
-        x = x + jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
+        attn_out = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        mlp_out = _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out.astype(jnp.float32), axis_name).astype(x.dtype)
+        x = x + mlp_out
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
@@ -268,6 +338,68 @@ def prefill(
     last = jnp.maximum(new_lengths - 1, 0)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     return _logits(x_last, params, cfg), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def prefill(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,
+    new_lengths: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Single-chip jitted prefill."""
+    return _prefill_core(params, cache, tokens, new_lengths, cos, sin, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+def decode_multi(
+    params: Params,
+    cache: contiguous.KVCache,
+    tok: jax.Array,  # (B,) the pending token per slot
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    n_steps: int,
+) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
+    """``n_steps`` greedy decode steps in ONE program → (tokens (B, n),
+    next pending token, cache).
+
+    Serving uses this to amortize host↔device round-trips (the tunnel costs
+    ~25 ms per readback): one dispatch + one readback per n tokens.
+    """
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = _decode_core(params, cache, tok, cos, sin, cfg, active=active)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    return toks.T, tok, cache  # (B, n), (B,), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def prefill_serving(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,  # (B, Sq)
+    new_lengths: jax.Array,  # (B,)
+    active: jax.Array,  # (B,) bool — slots being (re)filled
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Masked prefill for admission: resets active slots' lengths to 0, fills
+    their prompts, leaves every other slot untouched, and returns each active
+    row's first sampled-from logits."""
+    cache = dataclasses.replace(
+        cache, lengths=jnp.where(active, 0, cache.lengths)
+    )
+    return _prefill_core(params, cache, tokens, new_lengths, cos, sin, cfg, active=active)
 
 
 # ---------------------------------------------------------------------------

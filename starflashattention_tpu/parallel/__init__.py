@@ -1,0 +1,23 @@
+"""Multi-chip parallelism: mesh construction, sharded model steps, and the
+cross-chip split-KV decode reduction.
+
+The reference has ZERO distributed code (SURVEY.md §2: no NCCL/MPI, single
+GPU); this package is the new capability mandated by BASELINE.json: heads and
+KV tensor-sharded over ICI (``tp``), batch data-parallel (``dp``), and the
+flash-decode split-K reduction generalized ACROSS chips — each chip attends
+its KV sequence shard and the per-chip (o, m, l) partials merge with
+pmax/psum collectives, the distributed form of the reference's
+flash_combine_kernel (flash_attn.cu:877-935).
+"""
+
+from starflashattention_tpu.parallel.mesh import make_mesh  # noqa: F401
+from starflashattention_tpu.parallel.tp import (  # noqa: F401
+    make_tp_decode_step,
+    make_tp_prefill,
+    shard_cache,
+    shard_params,
+)
+from starflashattention_tpu.parallel.distributed_decode import (  # noqa: F401
+    make_seq_sharded_decode,
+    merge_partials_across_chips,
+)

@@ -1,0 +1,156 @@
+"""Tensor + data parallel model steps via shard_map.
+
+Megatron-style TP re-expressed for JAX/TPU: the whole decode/prefill step runs
+under ``shard_map`` over a ``(data, model)`` mesh so the Pallas kernels see
+per-shard shapes directly. Column-parallel projections (wqkv, w_gate_up) shard
+their output dim; row-parallel ones (wo, w_down) shard their input dim and
+psum their partial outputs over ``"model"`` (2 all-reduces/layer on ICI —
+models/llama.py:_decode_core applies them when ``axis_name`` is set).
+
+GQA co-location: sharding heads by ``model`` puts each KV head on the same
+chip as its G query heads, so attention itself needs NO communication
+(BASELINE.json: "heads and KV-cache pages tensor-sharded over ICI").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from starflashattention_tpu.cache.contiguous import KVCache
+from starflashattention_tpu.models import llama
+from starflashattention_tpu.runtime.params import ModelConfig
+
+DATA, MODEL = "data", "model"
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpec pytree matching llama.init_params' structure."""
+    specs = {
+        "embed": P(),  # replicated (gather per token is tiny)
+        "layers": {
+            "attn_norm": P(),
+            "wqkv": P(None, None, MODEL, None),  # kv-head groups sharded
+            "wo": P(None, MODEL, None),  # row-parallel: head dim sharded
+            "mlp_norm": P(),
+            "w_gate_up": P(None, None, None, MODEL),  # (L,H,2,I): I sharded
+            "w_down": P(None, MODEL, None),  # row-parallel
+        },
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+    if cfg.tie_embeddings:
+        specs.pop("lm_head")
+    return specs
+
+
+def cache_specs() -> KVCache:
+    """Specs for the (L, B, Hkv, S, D) cache: batch on data, KV heads on
+    model — each chip holds exactly its co-located heads' cache shard."""
+    return KVCache(
+        k=P(None, DATA, MODEL, None, None),
+        v=P(None, DATA, MODEL, None, None),
+        lengths=P(DATA),
+        k_scales=P(None, MODEL),
+        v_scales=P(None, MODEL),
+    )
+
+
+def _strip_none_scales(specs: KVCache, cache: KVCache) -> KVCache:
+    if cache.k_scales is None:
+        return dataclasses.replace(specs, k_scales=None, v_scales=None)
+    return specs
+
+
+def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = _strip_none_scales(cache_specs(), cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def _check(cfg: ModelConfig, mesh: Mesh) -> None:
+    tp = mesh.shape[MODEL]
+    if cfg.num_kv_heads % tp:
+        raise ValueError(
+            f"num_kv_heads {cfg.num_kv_heads} not divisible by model-axis size {tp}"
+        )
+    if cfg.intermediate_size % tp:
+        raise ValueError(
+            f"intermediate_size {cfg.intermediate_size} not divisible by {tp}"
+        )
+
+
+def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
+    """Build the sharded decode step:
+    ``step(params, cache, tokens, cos, sin) -> (logits, cache)``.
+
+    Per-shard, each chip runs the SAME single-chip program (its heads, its KV
+    shard, its batch rows) + 2 psums/layer; logits come out replicated over
+    ``model`` and sharded over ``data``.
+    """
+    _check(cfg, mesh)
+    shard_cfg = dataclasses.replace(
+        cfg,
+        num_q_heads=cfg.num_q_heads // mesh.shape[MODEL],
+        num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
+        intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
+    )
+    p_specs = param_specs(cfg)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, tokens, cos, sin):
+        return llama._decode_core(
+            params, cache, tokens, cos, sin, shard_cfg, axis_name=MODEL
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(), P()),
+        out_specs=(P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def make_tp_prefill(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
+    """Sharded prefill: ``fn(params, cache, tokens, new_lengths, cos, sin)``."""
+    _check(cfg, mesh)
+    shard_cfg = dataclasses.replace(
+        cfg,
+        num_q_heads=cfg.num_q_heads // mesh.shape[MODEL],
+        num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
+        intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
+    )
+    p_specs = param_specs(cfg)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, tokens, new_lengths, cos, sin):
+        return llama._prefill_core(
+            params, cache, tokens, new_lengths, cos, sin, shard_cfg, axis_name=MODEL
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(), P()),
+        out_specs=(P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))

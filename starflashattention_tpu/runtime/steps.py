@@ -62,13 +62,13 @@ def attention_decode_step(
     q = apply_rope(q, pos, cos_table, sin_table, style=cfg.rope_style)
     k_new = apply_rope(k_new, pos, cos_table, sin_table, style=cfg.rope_style)
     cache = contiguous.append_decode(cache, layer, k_new, v_new)
-    k_l, v_l = cache.layer(layer)
     ks, vs = cache.layer_scales(layer)
     o = flash_decode(
         q,
-        k_l,
-        v_l,
+        cache.k,
+        cache.v,
         cache.lengths + 1,
+        layer=layer,  # in-kernel layer-table indexing — no per-layer gather
         sm_scale=cfg.sm_scale,
         num_splits=cfg.num_splits,
         block_k=cfg.block_k,

@@ -1,0 +1,92 @@
+"""Continuous-batching scheduler: slots, admission, retirement (host side).
+
+Pure-Python bookkeeping — the device never sees this. Policy: FCFS admission
+into free slots whenever the prompt fits the slot's cache capacity. The
+free-slot/queue logic is intentionally isolated so the C++ native runtime
+(native/) can back it without touching the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request."""
+
+    uid: int
+    prompt: list[int]
+    max_new_tokens: int
+    eos_token: Optional[int] = None
+
+    # filled by the engine
+    output: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    budget: int = 0  # new tokens still allowed
+
+    @property
+    def free(self) -> bool:
+        return self.request is None
+
+
+class Scheduler:
+    def __init__(self, num_slots: int, max_seq_len: int):
+        self.num_slots = num_slots
+        self.max_seq_len = max_seq_len
+        self.queue: deque[Request] = deque()
+        self.slots = [_Slot() for _ in range(num_slots)]
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt {len(req.prompt)} + "
+                f"max_new {req.max_new_tokens} exceeds capacity {self.max_seq_len}"
+            )
+        self.queue.append(req)
+
+    def admit(self) -> list[tuple[int, Request]]:
+        """Fill free slots from the queue → [(slot_idx, request)]."""
+        admitted = []
+        for i, slot in enumerate(self.slots):
+            if not self.queue:
+                break
+            if slot.free:
+                req = self.queue.popleft()
+                slot.request = req
+                slot.budget = req.max_new_tokens
+                admitted.append((i, req))
+        return admitted
+
+    def active_mask(self) -> list[bool]:
+        return [not s.free for s in self.slots]
+
+    def record_tokens(self, slot_idx: int, tokens: list[int]) -> bool:
+        """Append generated tokens to the slot's request; retire when the
+        budget is spent or EOS appears. Returns True if the slot finished."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        assert req is not None
+        for t in tokens:
+            if slot.budget <= 0:
+                break
+            req.output.append(t)
+            slot.budget -= 1
+            if req.eos_token is not None and t == req.eos_token:
+                slot.budget = 0
+        if slot.budget <= 0:
+            req.done = True
+            slot.request = None
+            return True
+        return False
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(not s.free for s in self.slots)

@@ -1,0 +1,119 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+TP decode/prefill must match the single-chip model bit-for-bit (same math,
+different layout); the sequence-sharded cross-chip split-KV decode must match
+the dense reference.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.core.reference import decode_reference
+from starflashattention_tpu.models import llama
+from starflashattention_tpu.parallel import (
+    make_mesh,
+    make_seq_sharded_decode,
+    make_tp_decode_step,
+    make_tp_prefill,
+    shard_cache,
+    shard_params,
+)
+from starflashattention_tpu.runtime.params import ModelConfig
+
+CFG = ModelConfig.tiny(num_q_heads=8, num_kv_heads=4, dtype="float32")
+
+
+@pytest.fixture
+def mesh24():
+    return make_mesh({"data": 2, "model": 4})
+
+
+def test_make_mesh_shapes():
+    m = make_mesh({"data": 2, "model": -1})
+    assert m.shape["data"] == 2 and m.shape["model"] == 4
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "model": 4})
+
+
+def test_tp_decode_matches_single_chip(mesh24, rng):
+    b = 4
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    cos, sin = llama.rope_tables(CFG)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (b,)), jnp.int32)
+
+    cache_1 = contiguous.init_cache(CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim, dtype=jnp.float32)
+    logits_1, cache_1 = llama.decode_step(params, cache_1, toks, cos, sin, CFG)
+
+    step = make_tp_decode_step(mesh24, CFG)
+    cache_n = contiguous.init_cache(CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim, dtype=jnp.float32)
+    cache_n = shard_cache(cache_n, mesh24)
+    params_n = shard_params(params, mesh24, CFG)
+    logits_n, cache_n = step(params_n, cache_n, toks, cos, sin)
+
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_n.k), np.asarray(cache_1.k), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cache_n.lengths), np.asarray(cache_1.lengths))
+
+
+def test_tp_prefill_then_decode(mesh24, rng):
+    b, sp = 2, 6
+    params = llama.init_params(CFG, jax.random.PRNGKey(1))
+    cos, sin = llama.rope_tables(CFG)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.asarray([sp, 3], jnp.int32)
+
+    cache_1 = contiguous.init_cache(CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim, dtype=jnp.float32)
+    logits_1, cache_1 = llama.prefill(params, cache_1, toks, plens, cos, sin, CFG)
+
+    pre = make_tp_prefill(mesh24, CFG)
+    step = make_tp_decode_step(mesh24, CFG)
+    cache_n = shard_cache(
+        contiguous.init_cache(CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim, dtype=jnp.float32),
+        mesh24,
+    )
+    params_n = shard_params(params, mesh24, CFG)
+    logits_n, cache_n = pre(params_n, cache_n, toks, plens, cos, sin)
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+
+    tok1 = jnp.argmax(logits_1, -1).astype(jnp.int32)
+    logits_1b, _ = llama.decode_step(params, cache_1, tok1, cos, sin, CFG)
+    logits_nb, _ = step(params_n, cache_n, tok1, cos, sin)
+    np.testing.assert_allclose(np.asarray(logits_nb), np.asarray(logits_1b), atol=2e-4, rtol=2e-4)
+
+
+def test_seq_sharded_decode_matches_reference(rng):
+    mesh = make_mesh({"model": 8})
+    b, hq, hkv, s, d = 2, 8, 4, 512, 32
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    lengths = jnp.asarray([100, 512], jnp.int32)  # seq 0: most shards empty
+
+    fn = make_seq_sharded_decode(mesh, num_splits=2, block_k=32)
+    o = fn(q, k, v, lengths)
+    ref = decode_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_tp_decode_quantized(mesh24, rng):
+    cfg = dataclasses.replace(CFG, quant_mode="int8")
+    b = 2
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    cos, sin = llama.rope_tables(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            quant_mode="int8", calibration_scale=8.0,
+        )
+
+    logits_1, _ = llama.decode_step(params, fresh(), toks, cos, sin, cfg)
+    step = make_tp_decode_step(mesh24, cfg, quantized=True)
+    logits_n, _ = step(shard_params(params, mesh24, cfg), shard_cache(fresh(), mesh24), toks, cos, sin)
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)

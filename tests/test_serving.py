@@ -1,0 +1,72 @@
+"""Continuous-batching engine: outputs must match unbatched generate()."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starflashattention_tpu.models import llama
+from starflashattention_tpu.runtime.params import ModelConfig
+from starflashattention_tpu.serving import Engine, Request, Scheduler
+
+CFG = ModelConfig.tiny(dtype="float32")
+
+
+def reference_generate(params, prompt, n):
+    """Single-request greedy generation via the plain model API."""
+    toks = jnp.asarray([prompt], jnp.int32)
+    lengths = jnp.asarray([len(prompt)], jnp.int32)
+    out = llama.generate(params, CFG, toks, lengths, max_new_tokens=n)
+    return [int(t) for t in np.asarray(out)[0]]
+
+
+def test_scheduler_slots():
+    s = Scheduler(2, 64)
+    for i in range(3):
+        s.submit(Request(uid=i, prompt=[1, 2], max_new_tokens=4))
+    admitted = s.admit()
+    assert [i for i, _ in admitted] == [0, 1]
+    assert s.active_mask() == [True, True]
+    done = s.record_tokens(0, [5, 6, 7, 8])
+    assert done and s.slots[0].free
+    admitted = s.admit()
+    assert [i for i, _ in admitted] == [0]
+    with pytest.raises(ValueError):
+        s.submit(Request(uid=9, prompt=[0] * 60, max_new_tokens=10))
+
+
+def test_engine_matches_unbatched():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [
+        [int(t) for t in rng.integers(0, CFG.vocab_size, n)] for n in (3, 7, 5)
+    ]
+    n_new = 6
+
+    expected = [reference_generate(params, p, n_new) for p in prompts]
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=3)
+    outputs = eng.generate(prompts, max_new_tokens=n_new)
+    assert outputs == expected
+
+
+def test_engine_more_requests_than_slots_interleaved():
+    """5 requests through 2 slots with small rounds — continuous batching."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    prompts = [[int(t) for t in rng.integers(0, CFG.vocab_size, 2 + i)] for i in range(5)]
+    expected = [reference_generate(params, p, 4) for p in prompts]
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2)
+    outputs = eng.generate(prompts, max_new_tokens=4)
+    assert outputs == expected
+
+
+def test_engine_eos_stops_early():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    prompt = [1, 2, 3]
+    full = reference_generate(params, prompt, 8)
+    eos = full[2]  # pretend this token is EOS
+    stop = full.index(eos)  # first occurrence decides where generation ends
+    eng = Engine(params, CFG, num_slots=1, steps_per_round=4)
+    out = eng.generate([prompt], max_new_tokens=8, eos_token=eos)[0]
+    assert out == full[: stop + 1]
