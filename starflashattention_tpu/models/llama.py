@@ -61,18 +61,19 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         "embed": norm01(keys[0], (cfg.vocab_size, h), 1.0),
         "layers": {
             "attn_norm": jnp.ones((L, h), dtype),
-            # Fused QKV GROUPED BY KV HEAD: columns ordered
-            # [q_0..q_{G-1}, k, v] per KV-head group, so a tensor-parallel
-            # shard of the Hkv axis keeps each KV head on the same chip as
-            # its G query heads (parallel/tp.py). Query-head order is
-            # therefore kv-grouped everywhere, matching repeat_kv semantics.
-            "wqkv": norm01(keys[1], (L, h, hkv, (g + 2) * d), h),
+            # Fused projections stay FLAT 2D-per-layer: any extra trailing
+            # structure forces XLA to physically re-copy the weight at every
+            # scan iteration (measured +41 ms/step for a (H, 2, I) gate/up on
+            # a 7B at B=2). Tensor-parallel alignment is instead a one-time
+            # COLUMN PERMUTATION applied at shard time (parallel/tp.py:
+            # permute_params_for_tp), so the hot path never reshapes weights.
+            # wqkv columns: [q (Hq*D) | k (Hkv*D) | v (Hkv*D)], head-major;
+            # q head i attends kv head i // G (contiguous grouping).
+            "wqkv": norm01(keys[1], (L, h, (hq + 2 * hkv) * d), h),
             "wo": norm01(keys[2], (L, hq * d, h), hq * d),
             "mlp_norm": jnp.ones((L, h), dtype),
-            # gate/up fused with an explicit (2, I) trailing structure so a
-            # tensor-parallel shard of the LAST axis keeps gate and up columns
-            # aligned per chip (parallel/tp.py).
-            "w_gate_up": norm01(keys[3], (L, h, 2, inter), h),
+            # w_gate_up columns: [gate (I) | up (I)].
+            "w_gate_up": norm01(keys[3], (L, h, 2 * inter), h),
             "w_down": norm01(keys[4], (L, inter, h), inter),
         },
         "final_norm": jnp.ones((h,), dtype),
@@ -98,34 +99,27 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def _swiglu(x: jax.Array, w_gate_up: jax.Array, w_down: jax.Array) -> jax.Array:
-    h = w_gate_up.shape[0]
-    inter = w_gate_up.shape[-1]
-    gu = jnp.dot(
-        x, w_gate_up.reshape(h, 2 * inter), preferred_element_type=jnp.float32
-    ).reshape(*x.shape[:-1], 2, inter)
-    gate, up = gu[..., 0, :], gu[..., 1, :]
+    inter = w_down.shape[0]
+    gu = jnp.dot(x, w_gate_up, preferred_element_type=jnp.float32)
+    gate, up = gu[..., :inter], gu[..., inter:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return jnp.dot(act, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
-    """(B, Hkv*(G+2)*D) kv-grouped → q (B,Hq,D), k/v (B,Hkv,D)."""
+    """(B, (Hq+2Hkv)*D) flat [q|k|v] → q (B,Hq,D), k/v (B,Hkv,D)."""
     b = qkv.shape[0]
-    hkv, d = cfg.num_kv_heads, cfg.head_dim
-    g = cfg.num_q_heads // hkv
-    qkv = qkv.reshape(b, hkv, g + 2, d)
-    q = qkv[:, :, :g].reshape(b, cfg.num_q_heads, d)
-    return q, qkv[:, :, g], qkv[:, :, g + 1]
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    qkv = qkv.reshape(b, hq + 2 * hkv, d)
+    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
 
 
 def _split_heads_prefill(qkv: jax.Array, cfg: ModelConfig):
-    """(B, S, Hkv*(G+2)*D) kv-grouped → q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
+    """(B, S, (Hq+2Hkv)*D) flat [q|k|v] → q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
     b, s, _ = qkv.shape
-    hkv, d = cfg.num_kv_heads, cfg.head_dim
-    g = cfg.num_q_heads // hkv
-    qkv = qkv.reshape(b, s, hkv, g + 2, d)
-    q = qkv[:, :, :, :g].reshape(b, s, cfg.num_q_heads, d).transpose(0, 2, 1, 3)
-    return q, qkv[:, :, :, g].transpose(0, 2, 1, 3), qkv[:, :, :, g + 1].transpose(0, 2, 1, 3)
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    qkv = qkv.reshape(b, s, hq + 2 * hkv, d).transpose(0, 2, 1, 3)
+    return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
 
 
 def _logits(x: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
@@ -174,9 +168,7 @@ def _decode_core(
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(
-            h, lp["wqkv"].reshape(h.shape[-1], -1), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -276,9 +268,7 @@ def _prefill_core(
         lp, lidx = layer_in
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(
-            h, lp["wqkv"].reshape(h.shape[-1], -1), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)

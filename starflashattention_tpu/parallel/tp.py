@@ -7,9 +7,19 @@ their output dim; row-parallel ones (wo, w_down) shard their input dim and
 psum their partial outputs over ``"model"`` (2 all-reduces/layer on ICI —
 models/llama.py:_decode_core applies them when ``axis_name`` is set).
 
-GQA co-location: sharding heads by ``model`` puts each KV head on the same
-chip as its G query heads, so attention itself needs NO communication
-(BASELINE.json: "heads and KV-cache pages tensor-sharded over ICI").
+Fused-projection sharding: the single-chip layouts are flat
+(``[q|k|v]`` and ``[gate|up]`` column blocks — anything else measurably
+re-copies weights every scan step), and a CONTIGUOUS shard of those columns
+would mix unrelated pieces. So :func:`permute_params_for_tp` permutes the
+fused columns ONCE at shard time into per-shard-contiguous order
+(``[q_t|k_t|v_t]`` / ``[gate_t|up_t]`` for shard t); each chip then sees a
+well-formed local flat layout and the per-shard model code is IDENTICAL to
+the single-chip code at 1/T width.
+
+GQA co-location: q head i uses kv head i // G, so contiguous head ranges per
+shard co-locate each KV head with its G query heads — attention needs NO
+communication (BASELINE.json: "heads and KV-cache pages tensor-sharded over
+ICI").
 """
 
 from __future__ import annotations
@@ -18,6 +28,8 @@ import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from starflashattention_tpu.cache.contiguous import KVCache
@@ -27,16 +39,54 @@ from starflashattention_tpu.runtime.params import ModelConfig
 DATA, MODEL = "data", "model"
 
 
+def _wqkv_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Column permutation: flat [q|k|v] → [q_0|k_0|v_0 | q_1|k_1|v_1 | …]."""
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    q_off, k_off, v_off = 0, hq * d, (hq + hkv) * d
+    parts = []
+    for t in range(tp):
+        parts.append(np.arange(t * (hq // tp) * d, (t + 1) * (hq // tp) * d) + q_off)
+        parts.append(np.arange(t * (hkv // tp) * d, (t + 1) * (hkv // tp) * d) + k_off)
+        parts.append(np.arange(t * (hkv // tp) * d, (t + 1) * (hkv // tp) * d) + v_off)
+    return np.concatenate(parts)
+
+
+def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Column permutation: flat [gate|up] → [gate_0|up_0 | gate_1|up_1 | …]."""
+    inter = cfg.intermediate_size
+    parts = []
+    for t in range(tp):
+        parts.append(np.arange(t * (inter // tp), (t + 1) * (inter // tp)))
+        parts.append(np.arange(t * (inter // tp), (t + 1) * (inter // tp)) + inter)
+    return np.concatenate(parts)
+
+
+def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
+    """One-time fused-column permutation so contiguous model-axis shards are
+    self-consistent local layouts (see module docstring). Idempotent only on
+    fresh single-chip params — apply exactly once, inside shard_params."""
+    if tp == 1:
+        return params
+    layers = dict(params["layers"])
+    layers["wqkv"] = jnp.take(layers["wqkv"], jnp.asarray(_wqkv_perm(cfg, tp)), axis=-1)
+    layers["w_gate_up"] = jnp.take(
+        layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp)), axis=-1
+    )
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def param_specs(cfg: ModelConfig) -> dict:
     """PartitionSpec pytree matching llama.init_params' structure."""
     specs = {
         "embed": P(),  # replicated (gather per token is tiny)
         "layers": {
             "attn_norm": P(),
-            "wqkv": P(None, None, MODEL, None),  # kv-head groups sharded
+            "wqkv": P(None, None, MODEL),  # permuted per-shard [q_t|k_t|v_t]
             "wo": P(None, MODEL, None),  # row-parallel: head dim sharded
             "mlp_norm": P(),
-            "w_gate_up": P(None, None, None, MODEL),  # (L,H,2,I): I sharded
+            "w_gate_up": P(None, None, MODEL),  # permuted per-shard [gate_t|up_t]
             "w_down": P(None, MODEL, None),  # row-parallel
         },
         "final_norm": P(),
@@ -66,6 +116,7 @@ def _strip_none_scales(specs: KVCache, cache: KVCache) -> KVCache:
 
 
 def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
+    params = permute_params_for_tp(params, cfg, mesh.shape[MODEL])
     specs = param_specs(cfg)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,

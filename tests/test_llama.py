@@ -20,12 +20,10 @@ def make_model():
 def test_param_shapes():
     params = make_model()
     assert params["embed"].shape == (CFG.vocab_size, CFG.hidden_size)
-    g = CFG.num_q_heads // CFG.num_kv_heads
     assert params["layers"]["wqkv"].shape == (
         CFG.num_layers,
         CFG.hidden_size,
-        CFG.num_kv_heads,
-        (g + 2) * CFG.head_dim,
+        (CFG.num_q_heads + 2 * CFG.num_kv_heads) * CFG.head_dim,
     )
     assert llama.param_count(params) > 0
 
