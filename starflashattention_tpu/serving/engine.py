@@ -34,7 +34,12 @@ class Engine:
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
-        self.sched = Scheduler(num_slots, cfg.max_seq_len)
+        # Rounds are FIXED-SIZE so exactly two program shapes exist per
+        # prompt-pad bucket (one prefill, one decode_multi) — a variable
+        # round length would recompile per distinct value, which dominates
+        # wall-clock through the remote compiler. The slack reserves cache
+        # room for the final round's discarded overshoot tokens.
+        self.sched = Scheduler(num_slots, cfg.max_seq_len, capacity_slack=steps_per_round - 1)
         self.cache = contiguous.init_cache(
             cfg.num_layers,
             num_slots,
@@ -88,25 +93,7 @@ class Engine:
         active = np.asarray(self.sched.active_mask())
         if not active.any():
             return
-        # Steps bounded by the smallest remaining budget / cache headroom of
-        # live slots (never decode past either).
-        budgets = [
-            self.sched.slots[i].budget for i in range(self.num_slots) if active[i]
-        ]
-        headroom = [
-            self.cfg.max_seq_len - 1 - self._host_lengths[i]
-            for i in range(self.num_slots)
-            if active[i]
-        ]
-        n = int(min(self.steps_per_round, min(budgets), min(headroom)))
-        if n <= 0:
-            # a slot ran out of cache: force-retire it
-            for i in range(self.num_slots):
-                if active[i] and self.cfg.max_seq_len - 1 - self._host_lengths[i] <= 0:
-                    self.sched.slots[i].budget = 0
-                    self.sched.record_tokens(i, [])
-            return
-
+        n = self.steps_per_round  # FIXED — one compiled program, ever
         toks, self.pending_tok, self.cache = llama.decode_multi(
             self.params,
             self.cache,
@@ -121,6 +108,9 @@ class Engine:
         for i in range(self.num_slots):
             if active[i]:
                 self._host_lengths[i] += n
+                # record_tokens caps at the slot's remaining budget; any
+                # overshoot tokens of the final round are discarded (their
+                # cache appends sit inside the reserved slack).
                 self.sched.record_tokens(i, [int(t) for t in toks_host[i]])
 
     # -- public API -----------------------------------------------------------

@@ -38,17 +38,21 @@ class _Slot:
 
 
 class Scheduler:
-    def __init__(self, num_slots: int, max_seq_len: int):
+    def __init__(self, num_slots: int, max_seq_len: int, capacity_slack: int = 0):
+        """``capacity_slack`` reserves cache positions for the engine's
+        fixed-size decode rounds (up to round_size - 1 overshoot appends)."""
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
+        self.capacity_slack = capacity_slack
         self.queue: deque[Request] = deque()
         self.slots = [_Slot() for _ in range(num_slots)]
 
     def submit(self, req: Request) -> None:
-        if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
+        if len(req.prompt) + req.max_new_tokens + self.capacity_slack > self.max_seq_len:
             raise ValueError(
                 f"request {req.uid}: prompt {len(req.prompt)} + "
-                f"max_new {req.max_new_tokens} exceeds capacity {self.max_seq_len}"
+                f"max_new {req.max_new_tokens} (+ slack {self.capacity_slack}) "
+                f"exceeds capacity {self.max_seq_len}"
             )
         self.queue.append(req)
 
