@@ -88,6 +88,33 @@ def dequantize(qt: QuantizedTensor, head_axis: int = 1, dtype=jnp.float32) -> ja
     return (qt.values.astype(jnp.float32) * scale).astype(dtype)
 
 
+def quantize_weight(w: jax.Array, mode: QuantMode = "int8") -> dict:
+    """Weight-only quantization with PER-OUTPUT-CHANNEL scales.
+
+    ``w``: (..., H, O) — scales reduce over the contraction axis (-2), shape
+    (..., O), so ``dequant = w_q * scale[..., None, :]`` and the scale folds
+    into the matmul output (ops/quant_matmul.py). Returns
+    ``{"w": quantized, "scale": fp32}`` — the pytree form model weights take
+    when quantized (models/llama.quantize_model_weights).
+    """
+    if mode == "none":
+        raise ValueError("quantize_weight requires int8 or fp8")
+    qmax = INT8_MAX if mode == "int8" else FP8_MAX
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    scaled = w.astype(jnp.float32) / scale[..., None, :]
+    if mode == "int8":
+        q = jnp.clip(jnp.round(scaled), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    else:
+        q = scaled.astype(jnp.float8_e4m3fn)
+    return {"w": q, "scale": scale}
+
+
+def dequantize_weight(wq: dict, dtype=jnp.float32) -> jax.Array:
+    """Reference dequant (the kernel folds this into its output write)."""
+    return (wq["w"].astype(jnp.float32) * wq["scale"][..., None, :]).astype(dtype)
+
+
 def quantize_value(x: jax.Array, scales: jax.Array, mode: QuantMode, head_axis: int = 1) -> jax.Array:
     """Quantize new K/V rows with EXISTING per-head scales (cache append path:
     the cache's scales are fixed at allocation/calibration time so appended

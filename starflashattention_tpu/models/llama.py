@@ -28,12 +28,70 @@ import jax
 import jax.numpy as jnp
 
 from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.core import quant
 from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
+from starflashattention_tpu.ops.quant_matmul import quant_matmul
 from starflashattention_tpu.runtime.params import ModelConfig
 
 Params = dict[str, Any]
+
+_QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
+
+
+def _make_proj(layers: Params, lp: Params, lidx):
+    """Projection closure for one scan iteration → fp32 outputs.
+
+    Dense weights arrive pre-sliced via the scan xs (``lp``); QUANTIZED
+    weights stay stacked in ``layers`` and the kernel selects the layer via
+    ``lidx`` — an XLA dynamic-slice feeding a Pallas operand would
+    materialize a full per-layer copy (measured 2.8x slower)."""
+
+    def proj(x: jax.Array, name: str) -> jax.Array:
+        w = layers[name]
+        if isinstance(w, dict):
+            flat = x.reshape(-1, x.shape[-1])
+            out = quant_matmul(flat, w["w"], w["scale"], layer=lidx)
+            return out.reshape(*x.shape[:-1], out.shape[-1])
+        return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
+
+    return proj
+
+
+def _scan_xs_layers(layers: Params) -> Params:
+    """The scan-sliced part of the layer params: everything except stacked
+    quantized weight dicts (those are closed over, see _make_proj)."""
+    return {k: v for k, v in layers.items() if not isinstance(v, dict)}
+
+
+@functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
+def _quantize_stacked(w: jax.Array, mode: str):
+    # lax.map streams layer by layer: the fp32 intermediate is one layer's
+    # worth, not the whole stacked weight (which would OOM a 7B on 16 GB).
+    return jax.lax.map(lambda wl: quant.quantize_weight(wl, mode), w)
+
+
+def quantize_model_weights(
+    params: Params, mode: quant.QuantMode = "int8", consume: bool = False
+) -> Params:
+    """Quantize the big projection weights (weight-only, per-output-channel
+    scales). The embedding (gather path) and lm_head stay dense. Returns a
+    new params pytree; jit specializes on the changed structure.
+
+    ``consume=True`` frees each dense weight as it is quantized (required to
+    fit original + quantized on one chip for 7B-class models); the input
+    pytree is emptied of those entries.
+    """
+    layers = dict(params["layers"])
+    src_layers = params["layers"]
+    for name in _QUANT_WEIGHTS:
+        w = src_layers.pop(name) if consume else src_layers[name]
+        layers[name] = _quantize_stacked(w, mode)
+        del w
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +156,12 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def _swiglu(x: jax.Array, w_gate_up: jax.Array, w_down: jax.Array) -> jax.Array:
-    inter = w_down.shape[0]
-    gu = jnp.dot(x, w_gate_up, preferred_element_type=jnp.float32)
+def _swiglu(x: jax.Array, proj) -> jax.Array:
+    gu = proj(x, "w_gate_up")
+    inter = gu.shape[-1] // 2
     gate, up = gu[..., :inter], gu[..., inter:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return jnp.dot(act, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+    return proj(act, "w_down")  # fp32 (psum'd before cast under TP)
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
@@ -162,13 +220,16 @@ def _decode_core(
     else:
         lengths_now = cache.lengths + active.astype(jnp.int32)
 
+    layers = params["layers"]
+
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
+        proj = _make_proj(layers, lp, lidx)
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = proj(h, "wqkv").astype(x.dtype)
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -197,22 +258,22 @@ def _decode_core(
             k_scales=ks, v_scales=vs,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
-        attn_out = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        attn_out = proj(o, "wo")
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
         x = x + attn_out.astype(x.dtype)
 
         # MLP
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        mlp_out = _swiglu(h, proj)
         if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out.astype(jnp.float32), axis_name).astype(x.dtype)
-        x = x + mlp_out
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out.astype(x.dtype)
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
     (x, k_all, v_all), _ = jax.lax.scan(
-        layer_body, (x, cache.k, cache.v), (params["layers"], layer_idx)
+        layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
     return _logits(x, params, cfg), cache
@@ -263,12 +324,15 @@ def _prefill_core(
         new_lengths = jnp.where(active, new_lengths, 0)
     kv_lengths = start + new_lengths
 
+    layers = params["layers"]
+
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
+        proj = _make_proj(layers, lp, lidx)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(h, lp["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = proj(h, "wqkv").astype(x.dtype)
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -307,21 +371,21 @@ def _prefill_core(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
-        attn_out = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        attn_out = proj(o, "wo")
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, lp["w_gate_up"], lp["w_down"])
+        mlp_out = _swiglu(h, proj)
         if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out.astype(jnp.float32), axis_name).astype(x.dtype)
-        x = x + mlp_out
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out.astype(x.dtype)
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
     (x, k_all, v_all), _ = jax.lax.scan(
-        layer_body, (x, cache.k, cache.v), (params["layers"], layer_idx)
+        layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=kv_lengths)
     # Logits at the last valid token of each row.

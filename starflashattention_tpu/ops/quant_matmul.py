@@ -1,0 +1,123 @@
+"""Weight-only quantized matmul Pallas kernel (INT8 / FP8 weights).
+
+The decode phase is weight-read bound: at small batch each token streams every
+parameter byte through HBM. Storing weights INT8/FP8 halves those bytes —
+but ONLY if the upcast happens in VMEM registers: XLA lowers
+``dot(x, w8.astype(bf16))`` to a materialized conversion pass (measured: no
+speedup). This kernel tiles the matmul, loads int8/fp8 weight blocks, upcasts
+in-register, accumulates fp32 on the MXU, and applies the per-output-channel
+scale on the final write — the weight-only counterpart of the KV-cache
+dequant fusion (BASELINE.json: "weight-only INT8/FP8 attention … fused
+dequant, speed-of-light per chip").
+
+Stacked-layer mode: pass the whole (L, H, O) weight plus a (traced) ``layer``
+index and the scalar-prefetched index maps select the layer inside the kernel
+— REQUIRED under the model's scan-over-layers, because an XLA dynamic-slice
+feeding a Pallas operand materializes a full per-layer copy (measured 2.8x:
+182 → 516 GB/s int8 stream). Same design as ops/flash_decode's in-kernel
+cache-table indexing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _qmm_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_h_blocks: int):
+    hi = pl.program_id(1)
+
+    @pl.when(hi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (B, block_h)
+    w = w_ref[0].astype(x.dtype)  # (block_h, block_o) upcast in VMEM
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(hi == n_h_blocks - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...] * s_ref[0]  # per-output-channel dequant
+
+
+def quant_matmul(
+    x: jax.Array,  # (B, H) activations (bf16/f32)
+    w: jax.Array,  # (H, O) or (L, H, O) int8 / float8_e4m3fn weights
+    scale: jax.Array,  # (O,) or (L, O) f32 per-output-channel scales
+    *,
+    layer: jax.Array | int | None = None,
+    block_h: int = 512,
+    block_o: int = 2048,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``x @ dequant(w[layer])`` → (B, O) fp32. B may be tiny (decode)."""
+    b, h = x.shape
+    if w.ndim == 2:
+        w = w[None]
+        scale = scale[None]
+        layer = 0
+    assert layer is not None, "layer index required for stacked (L, H, O) weights"
+    L, _, o = w.shape
+    if interpret is None:
+        interpret = _use_interpret()
+
+    def best_block(dim: int, cap: int) -> int:
+        """Largest 128-multiple divisor of ``dim`` <= cap (big blocks
+        amortize per-cell overhead; the kernel is DMA-bound)."""
+        for d in range(min(cap, dim) - min(cap, dim) % 128, 127, -128):
+            if dim % d == 0:
+                return d
+        return dim  # dim < 128: single block
+
+    block_h = best_block(h, block_h)
+    block_o = best_block(o, block_o)
+    n_h = h // block_h
+    grid = (o // block_o, n_h)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (b, block_h), lambda oi, hi, lr: (0, hi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_h, block_o),
+                lambda oi, hi, lr: (lr[0], hi, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_o), lambda oi, hi, lr: (lr[0], 0, oi), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, block_o), lambda oi, hi, lr: (0, oi), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((b, block_o), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_h_blocks=n_h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # double-buffered weight blocks can exceed the default 16 MB
+            # scoped-VMEM budget; v5e has 128 MB physical VMEM
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(layer_arr, x, w, scale.reshape(L, 1, o).astype(jnp.float32))
+    return out

@@ -1,0 +1,59 @@
+"""Weight-only quantized matmul kernel + quantized-weights model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starflashattention_tpu.core import quant
+from starflashattention_tpu.models import llama
+from starflashattention_tpu.ops.quant_matmul import quant_matmul
+from starflashattention_tpu.runtime.params import ModelConfig
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_quant_matmul_vs_dequant(rng, mode):
+    h, o, b = 256, 512, 4
+    w = jnp.asarray(rng.standard_normal((h, o)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, h)), jnp.float32)
+    wq = quant.quantize_weight(w, mode)
+    y = quant_matmul(x, wq["w"], wq["scale"], block_h=128, block_o=256)
+    ref = x @ quant.dequantize_weight(wq)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-3, rtol=1e-3)
+    # quantization error vs the dense matmul is bounded by the scheme
+    dense = np.asarray(x @ w)
+    rel = np.abs(np.asarray(y) - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert rel < (0.02 if mode == "int8" else 0.1), rel
+
+
+def test_quantize_weight_shapes(rng):
+    w = jnp.asarray(rng.standard_normal((3, 8, 16)), jnp.float32)  # stacked layers
+    wq = quant.quantize_weight(w, "int8")
+    assert wq["w"].shape == (3, 8, 16) and wq["scale"].shape == (3, 16)
+    deq = quant.dequantize_weight(wq)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), atol=np.abs(np.asarray(w)).max() / 100)
+
+
+def test_model_with_quantized_weights(rng):
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = llama.quantize_model_weights(params, "int8")
+
+    from starflashattention_tpu.cache import contiguous
+    cos, sin = llama.rope_tables(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+    lens = jnp.full((2,), 5, jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(cfg.num_layers, 2, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim, dtype=jnp.float32)
+
+    logits_fp, cache_fp = llama.prefill(params, fresh(), toks, lens, cos, sin, cfg)
+    logits_q, cache_q = llama.prefill(qparams, fresh(), toks, lens, cos, sin, cfg)
+    # weight-only INT8 logit deviation stays small at tiny depth
+    err = np.abs(np.asarray(logits_fp) - np.asarray(logits_q)).max()
+    scale = np.abs(np.asarray(logits_fp)).max()
+    assert err / scale < 0.05, (err, scale)
+
+    tok = jnp.argmax(logits_q, -1).astype(jnp.int32)
+    logits_q2, _ = llama.decode_step(qparams, cache_q, tok, cos, sin, cfg)
+    assert np.all(np.isfinite(np.asarray(logits_q2)))
