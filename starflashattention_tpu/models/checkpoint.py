@@ -1,0 +1,131 @@
+"""Checkpoint loading: HuggingFace Llama weights → this framework's pytree.
+
+The reference has no checkpoint story (SURVEY.md §5: checkpoint/resume
+ABSENT); a production engine must load real weights. This converts a HF
+``LlamaForCausalLM`` state dict (torch tensors or numpy arrays, from
+safetensors / torch.load / transformers) into ``models/llama.init_params``'
+layout: per-layer q/k/v projections fuse into the flat ``wqkv`` column block
+[q|k|v], gate/up fuse into ``w_gate_up`` [gate|up], and layers stack on the
+leading L axis.
+
+Note on RoPE convention: HF checkpoints use the "half" (rotate_half)
+convention — ModelConfig.rope_style="half" (the default, matching the
+reference's golden model testFlashDecoder.py:28-58).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from starflashattention_tpu.runtime.params import ModelConfig
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16) without importing torch at module scope
+    try:
+        import torch  # noqa: F811
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().to(torch.float32).cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def config_from_hf(hf_config) -> ModelConfig:
+    """ModelConfig from a transformers LlamaConfig(-like) object."""
+    return ModelConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_q_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+        or hf_config.num_attention_heads,
+        head_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+        rms_norm_eps=hf_config.rms_norm_eps,
+        rope_base=getattr(hf_config, "rope_theta", 10000.0),
+        max_seq_len=min(getattr(hf_config, "max_position_embeddings", 4096), 8192),
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+    )
+
+
+def load_hf_state_dict(
+    state: Mapping[str, Any], cfg: ModelConfig, dtype=None
+) -> dict:
+    """Convert a HF Llama state dict to this framework's params pytree."""
+    if dtype is None:
+        dtype = jnp.dtype(cfg.dtype)
+    L = cfg.num_layers
+    d = cfg.head_dim
+    hq, hkv, h = cfg.num_q_heads, cfg.num_kv_heads, cfg.hidden_size
+
+    def get(name: str) -> np.ndarray:
+        return _to_np(state[name])
+
+    wqkv, wo, w_gate_up, w_down = [], [], [], []
+    attn_norm, mlp_norm = [], []
+    for i in range(L):
+        p = f"model.layers.{i}."
+        # HF stores projections as (out, in); our matmuls are x @ W = (in, out).
+        q = get(p + "self_attn.q_proj.weight").T  # (h, hq*d)
+        k = get(p + "self_attn.k_proj.weight").T  # (h, hkv*d)
+        v = get(p + "self_attn.v_proj.weight").T
+        wqkv.append(np.concatenate([q, k, v], axis=1))
+        wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
+        gate = get(p + "mlp.gate_proj.weight").T  # (h, I)
+        up = get(p + "mlp.up_proj.weight").T
+        w_gate_up.append(np.concatenate([gate, up], axis=1))
+        w_down.append(get(p + "mlp.down_proj.weight").T)  # (I, h)
+        attn_norm.append(get(p + "input_layernorm.weight"))
+        mlp_norm.append(get(p + "post_attention_layernorm.weight"))
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": {
+            "attn_norm": jnp.asarray(np.stack(attn_norm), dtype),
+            "wqkv": jnp.asarray(np.stack(wqkv), dtype),
+            "wo": jnp.asarray(np.stack(wo), dtype),
+            "mlp_norm": jnp.asarray(np.stack(mlp_norm), dtype),
+            "w_gate_up": jnp.asarray(np.stack(w_gate_up), dtype),
+            "w_down": jnp.asarray(np.stack(w_down), dtype),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    _check_shapes(params, cfg)
+    return params
+
+
+def _check_shapes(params: dict, cfg: ModelConfig) -> None:
+    d, hq, hkv, h = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads, cfg.hidden_size
+    expect = {
+        ("layers", "wqkv"): (cfg.num_layers, h, (hq + 2 * hkv) * d),
+        ("layers", "wo"): (cfg.num_layers, hq * d, h),
+        ("layers", "w_gate_up"): (cfg.num_layers, h, 2 * cfg.intermediate_size),
+        ("layers", "w_down"): (cfg.num_layers, cfg.intermediate_size, h),
+        ("embed",): (cfg.vocab_size, h),
+    }
+    for path, shape in expect.items():
+        node = params
+        for k in path:
+            node = node[k]
+        if tuple(node.shape) != shape:
+            raise ValueError(f"{'.'.join(path)}: got {tuple(node.shape)}, want {shape}")
+
+
+def load_hf_model(model_name_or_path: str, dtype=None):
+    """Load via transformers (local path or cached model) → (cfg, params)."""
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_name_or_path)
+    cfg = config_from_hf(hf_cfg)
+    model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
+    params = load_hf_state_dict(model.state_dict(), cfg, dtype=dtype)
+    return cfg, params
