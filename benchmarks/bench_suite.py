@@ -13,6 +13,9 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
 import jax
 import jax.numpy as jnp
@@ -47,14 +50,16 @@ def decode_kernel_sweep(quick: bool = False):
             lengths = jnp.full((b,), seq, jnp.int32)
 
             @jax.jit
-            def step(q, k=k, v=v, lengths=lengths):
+            def step(q, k, v, lengths):
                 o = flash_decode(q, k, v, lengths, num_splits=4, block_k=256)
                 # tiny feedback keeps the chain data-dependent without
                 # letting the compiler drop the kernel
                 return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
             q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
-            per, _ = time_marginal(lambda q: step(q), q0)
+            # NB: big arrays must be ARGS — jit closure constants are shipped
+            # to the remote compiler wholesale (HTTP 413 past ~100 MB).
+            per, _ = time_marginal(lambda q: step(q, k, v, lengths), q0)
             bytes_touched = 2 * b * hkv * seq * d * 2
             _emit(
                 f"decode_kernel_hkv{hkv}_seq{seq}",
@@ -66,11 +71,111 @@ def decode_kernel_sweep(quick: bool = False):
             )
 
 
+def paged_decode_bench(quick: bool = False):
+    """BASELINE config 3: GQA paged-KV decode, batch=32, seq=4k (split-KV)."""
+    from starflashattention_tpu.ops.paged_decode import paged_flash_decode
+
+    b, hq, hkv, d, ps = (8, 32, 8, 128, 64) if quick else (32, 32, 8, 128, 64)
+    pages_per_seq = 64  # 4096 tokens
+    num_pages = b * pages_per_seq + 1
+    rng = np.random.default_rng(0)
+    k_pages = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.bfloat16)
+    v_pages = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.bfloat16)
+    perm = rng.permutation(num_pages - 1) + 1
+    pt = jnp.asarray(perm[: b * pages_per_seq].reshape(b, pages_per_seq).astype(np.int32))
+    lengths = jnp.full((b,), pages_per_seq * ps, jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+
+    @jax.jit
+    def step(q, k_pages, v_pages, pt, lengths):
+        o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=8)
+        return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+    per, _ = time_marginal(lambda q: step(q, k_pages, v_pages, pt, lengths), q0)
+    bytes_touched = 2 * b * hkv * pages_per_seq * ps * d * 2
+    _emit(
+        f"paged_decode_b{b}_seq4k",
+        per,
+        {
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+        },
+    )
+
+
+def int8_kv_decode_bench(quick: bool = False):
+    """BASELINE config 4: INT8 KV-cache decode, per-head scales, fused
+    dequant, batch=64, seq=8k."""
+    b, hq, hkv, d, s = (8, 32, 8, 128, 2048) if quick else (64, 32, 8, 128, 8192)
+    rng = np.random.default_rng(0)
+    k8 = jnp.asarray(rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8)
+    scales = jnp.asarray(rng.uniform(0.01, 0.02, (hkv,)), jnp.float32)
+    lengths = jnp.full((b,), s, jnp.int32)
+    q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+
+    @jax.jit
+    def step(q, k8, v8, lengths, scales):
+        o = flash_decode(
+            q, k8, v8, lengths, num_splits=4, block_k=512,
+            k_scales=scales, v_scales=scales,
+        )
+        return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+    per, _ = time_marginal(lambda q: step(q, k8, v8, lengths, scales), q0)
+    bytes_touched = 2 * b * hkv * s * d * 1  # int8: half the bf16 bytes
+    _emit(
+        f"int8kv_decode_b{b}_seq{s}",
+        per,
+        {
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+        },
+    )
+
+
+def prefill_ttft_bench(quick: bool = False):
+    """BASELINE config 2 / TTFT: whole-model causal prefill at 7B shapes."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    cfg = ModelConfig.llama_7b_gqa(max_seq_len=2048)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    cos, sin = llama.rope_tables(cfg)
+    b, sp = 1, 2048
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.full((b,), sp, jnp.int32)
+
+    import time as _t
+
+    def run_once():
+        cache = contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.bfloat16,
+        )
+        t0 = _t.time()
+        logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
+        _ = np.asarray(logits[:1, :1])
+        return _t.time() - t0
+
+    run_once()  # compile
+    times = [run_once() for _ in range(3)]
+    # wall time includes one ~25 ms tunnel readback; report p50
+    _emit("prefill_ttft_7b_seq2048", float(np.median(times)), {"note": "p50 incl ~25ms tunnel RTT"})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     decode_kernel_sweep(quick=args.quick)
+    paged_decode_bench(quick=args.quick)
+    int8_kv_decode_bench(quick=args.quick)
+    prefill_ttft_bench(quick=args.quick)
 
 
 if __name__ == "__main__":
