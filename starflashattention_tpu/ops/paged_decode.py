@@ -3,16 +3,20 @@
 The serving-path analog of ops/flash_decode.py for a paged pool
 (cache/paged.py). Where the contiguous kernel lets the Pallas grid pipeline
 stream the cache, pages are scattered in HBM, so this kernel drives its own
-DMA: per (batch, kv_head, kv_block) grid cell it looks up the block's physical
-page ids from the scalar-prefetched page table, issues one async copy per page
-into a VMEM double buffer, and prefetches the NEXT block's pages (possibly of
-the next batch/head) while computing the current block's online softmax.
+DMA: per (batch, kv_block) grid cell it looks up the block's physical page
+ids from the scalar-prefetched page table, issues one async copy per
+(head, page) into a VMEM double buffer, and prefetches the NEXT block's pages
+(possibly of the next batch) while computing the current block's online
+softmax. ONE cell covers ALL KV heads — the same collapsed-batch MXU dot as
+the contiguous kernel (per-cell overhead, not DMA, dominates small-cell
+designs on TPU).
 
 This is the same pipelining idea as the reference's cp.async commit/wait-group
 staging (/root/reference/src/flash_attn.cu:4-27, 287-292) — but across whole
 KV pages and driven by a page table, with INT8/FP8 payloads upcast in VMEM and
-per-head scales folded into scalar multiplies (BASELINE.json roofline target:
-quantized pages halve the HBM bytes per token, which is the decode bottleneck).
+per-head scales folded into the query / output scaling outside the kernel
+(BASELINE.json roofline target: quantized pages halve the HBM bytes per
+token, which is the decode bottleneck).
 """
 
 from __future__ import annotations
@@ -33,27 +37,28 @@ def _use_interpret() -> bool:
 
 
 class _PageCopies:
-    """One async copy per physical page of a KV block → VMEM buffer slot.
+    """One async copy per (head, page) of a KV block → VMEM buffer slot.
 
-    Pages are non-contiguous, so one strided DMA cannot fetch a block; issuing
-    all page copies concurrently makes latency ≈ the slowest page, not the
-    sum (cf. the reference staging one tile per cp.async group).
+    Pages are non-contiguous, so one strided DMA cannot fetch a block;
+    issuing all copies concurrently makes latency ≈ the slowest page, not
+    the sum (cf. the reference staging one tile per cp.async group).
     """
 
-    def __init__(self, pages_hbm, buf, sem, page_tbl_ref, head, base, ppcb):
+    def __init__(self, pages_hbm, buf, sem, page_tbl_ref, base, hkv, ppcb):
         # `base` is a flat scalar offset into the (B * pages_per_seq,) table;
         # scalar SMEM loads at dynamic indices are fine where ref slices
         # would need 128-alignment.
         self._copies = []
         for j in range(ppcb):
             phys = page_tbl_ref[base + j]
-            self._copies.append(
-                pltpu.make_async_copy(
-                    pages_hbm.at[head, phys],  # (page_size, D)
-                    buf.at[j],
-                    sem,
+            for h in range(hkv):
+                self._copies.append(
+                    pltpu.make_async_copy(
+                        pages_hbm.at[h, phys],  # (page_size, D)
+                        buf.at[h, j],
+                        sem,
+                    )
                 )
-            )
 
     def start(self):
         for c in self._copies:
@@ -68,48 +73,44 @@ def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,  # (B,) int32
     page_tbl_ref,  # (B * pages_per_seq,) int32 flattened
-    kscale_ref,  # (Hkv,) f32
-    vscale_ref,  # (Hkv,) f32
     # inputs
-    q_ref,  # (1, 1, G, D) VMEM
+    q_ref,  # (1, Hkv, G, D) VMEM — pre-scaled by sm_scale (and K scale)
     k_pages_hbm,  # (Hkv, P, page_size, D) ANY
     v_pages_hbm,
     # outputs
-    o_ref,  # (1, 1, G, D)
+    o_ref,  # (1, Hkv, G, D) f32 — normalized
     # scratch
     buf_i_ref,  # (1,) int32 SMEM — slot of the in-flight current block
-    k_buf,  # (2, ppcb, page_size, D) VMEM
+    k_buf,  # (2, Hkv, ppcb, page_size, D) VMEM
     v_buf,
     k_sems,  # DMA (2,)
     v_sems,
-    m_s,  # (G, LANES) f32
+    m_s,  # (Hkv, G, LANES) f32
     l_s,
-    acc_s,  # (G, D) f32
+    acc_s,  # (Hkv, G, D) f32
     *,
     batch_size: int,
-    num_kv_heads: int,
     pages_per_seq: int,
     ppcb: int,
     page_size: int,
-    sm_scale: float,
-    quantized: bool,
+    hkv: int,
 ):
-    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, i = pl.program_id(0), pl.program_id(1)
     bk = ppcb * page_size
     length = lengths_ref[b]
     num_blocks = pl.cdiv(length, bk)
 
-    def copies(bb, hh, blk, slot):
+    def copies(bb, blk, slot):
         base = bb * pages_per_seq + blk * ppcb
         return (
-            _PageCopies(k_pages_hbm, k_buf.at[slot], k_sems.at[slot], page_tbl_ref, hh, base, ppcb),
-            _PageCopies(v_pages_hbm, v_buf.at[slot], v_sems.at[slot], page_tbl_ref, hh, base, ppcb),
+            _PageCopies(k_pages_hbm, k_buf.at[slot], k_sems.at[slot], page_tbl_ref, base, hkv, ppcb),
+            _PageCopies(v_pages_hbm, v_buf.at[slot], v_sems.at[slot], page_tbl_ref, base, hkv, ppcb),
         )
 
-    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, h == 0), i == 0))
+    @pl.when(jnp.logical_and(b == 0, i == 0))
     def _first():
         buf_i_ref[0] = 0
-        ck, cv = copies(0, 0, 0, 0)
+        ck, cv = copies(0, 0, 0)
         ck.start()
         cv.start()
 
@@ -117,21 +118,20 @@ def _paged_decode_kernel(
     def _run():
         slot = buf_i_ref[0]
 
-        # Next block to prefetch: the following valid (b, h, i) cell.
+        # Prefetch the next valid (b, i) cell's pages into the other slot.
         next_in_seq = i + 1 < num_blocks
-        nb = jnp.where(next_in_seq, b, jnp.where(h + 1 < num_kv_heads, b, b + 1))
-        nh = jnp.where(next_in_seq, h, jnp.where(h + 1 < num_kv_heads, h + 1, 0))
+        nb = jnp.where(next_in_seq, b, b + 1)
         ni = jnp.where(next_in_seq, i + 1, 0)
         has_next = nb < batch_size
 
         @pl.when(has_next)
         def _prefetch():
-            ck, cv = copies(nb, nh, ni, 1 - slot)
+            ck, cv = copies(nb, ni, 1 - slot)
             ck.start()
             cv.start()
             buf_i_ref[0] = 1 - slot
 
-        ck, cv = copies(b, h, i, slot)  # reconstruct to wait on the semaphores
+        ck, cv = copies(b, i, slot)  # reconstruct to wait on the semaphores
         ck.wait()
 
         @pl.when(i == 0)
@@ -140,46 +140,41 @@ def _paged_decode_kernel(
             l_s[...] = jnp.zeros_like(l_s)
             acc_s[...] = jnp.zeros_like(acc_s)
 
-        q = q_ref[0, 0]  # (G, D)
-        k = k_buf[slot].reshape(bk, -1)  # (bk, D)
+        q = q_ref[0]  # (Hkv, G, D)
+        k = k_buf[slot].reshape(hkv, bk, -1)  # (Hkv, bk, D)
         if k.dtype != q.dtype:
             k = k.astype(q.dtype)
 
         s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (G, bk)
-        scale = sm_scale * (kscale_ref[h] if quantized else 1.0)
-        s = s * scale
-        kv_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        )  # (Hkv, G, bk)
+        kv_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(kv_pos < length, s, NEG_INF)
 
         m_prev = m_s[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_next[..., :1])
+        l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=2, keepdims=True)
         m_s[...] = m_next
 
         cv.wait()
-        v = v_buf[slot].reshape(bk, -1)
+        v = v_buf[slot].reshape(hkv, bk, -1)
         if v.dtype != q.dtype:
             v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        acc_s[...] = acc_s[...] * alpha[:, :1] + pv
+        acc_s[...] = acc_s[...] * alpha[..., :1] + pv
 
-        # Normalized output each valid block; the last valid write wins and the
-        # block stays resident in VMEM until (b, h) changes.
-        l = l_s[:, :1]
+        # Normalized output each valid block; the last valid write wins and
+        # the block stays resident in VMEM until b changes.
+        l = l_s[..., :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out = acc_s[...] / l_safe
-        if quantized:
-            out = out * vscale_ref[h]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        o_ref[0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
 
 
 def paged_flash_decode(
@@ -208,66 +203,69 @@ def paged_flash_decode(
     quantized = k_pages.dtype in (jnp.int8, jnp.float8_e4m3fn)
     if quantized:
         assert k_scales is not None and v_scales is not None
-    else:
-        k_scales = jnp.ones((hkv,), jnp.float32)
-        v_scales = jnp.ones((hkv,), jnp.float32)
 
     ppcb = min(pages_per_compute_block, pages_per_seq)
     while pages_per_seq % ppcb != 0:
         ppcb -= 1
     max_blocks = pages_per_seq // ppcb
 
+    # Fold sm_scale (and K dequant scale) into q; V scale into the output.
+    q4 = q.reshape(b, hkv, g, d)
+    scale = jnp.asarray(sm_scale, jnp.float32)
+    if quantized:
+        scale = scale * k_scales.astype(jnp.float32)[None, :, None, None]
+    q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+
     kernel = functools.partial(
         _paged_decode_kernel,
         batch_size=b,
-        num_kv_heads=hkv,
         pages_per_seq=pages_per_seq,
         ppcb=ppcb,
         page_size=page_size,
-        sm_scale=float(sm_scale),
-        quantized=quantized,
+        hkv=hkv,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, hkv, max_blocks),
+        num_scalar_prefetch=2,
+        grid=(b, max_blocks),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, g, d), lambda bi, hi, ii, *_: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+                (1, hkv, g, d), lambda bi, ii, *_: (bi, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, g, d), lambda bi, hi, ii, *_: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            (1, hkv, g, d), lambda bi, ii, *_: (bi, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, hkv, ppcb, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, hkv, ppcb, page_size, d), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.VMEM((g, LANES), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((hkv, g, d), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
         page_table.astype(jnp.int32).reshape(-1),
-        k_scales.astype(jnp.float32),
-        v_scales.astype(jnp.float32),
-        q.reshape(b, hkv, g, d),
+        q4,
         k_pages,
         v_pages,
     )
-    return out.reshape(b, hq, d)
+    if quantized:
+        out = out * v_scales.astype(jnp.float32)[None, :, None, None]
+    return out.reshape(b, hq, d).astype(q.dtype)
