@@ -59,7 +59,7 @@ def decode_kernel_sweep(quick: bool = False):
             q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
             # NB: big arrays must be ARGS — jit closure constants are shipped
             # to the remote compiler wholesale (HTTP 413 past ~100 MB).
-            per, _ = time_marginal(lambda q: step(q, k, v, lengths), q0)
+            per, _ = time_marginal(lambda q: step(q, k, v, lengths), q0, n_short=8, n_long=72)
             bytes_touched = 2 * b * hkv * seq * d * 2
             _emit(
                 f"decode_kernel_hkv{hkv}_seq{seq}",
@@ -91,7 +91,7 @@ def paged_decode_bench(quick: bool = False):
         o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=8)
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-    per, _ = time_marginal(lambda q: step(q, k_pages, v_pages, pt, lengths), q0)
+    per, _ = time_marginal(lambda q: step(q, k_pages, v_pages, pt, lengths), q0, n_short=8, n_long=72)
     bytes_touched = 2 * b * hkv * pages_per_seq * ps * d * 2
     _emit(
         f"paged_decode_b{b}_seq4k",
@@ -122,7 +122,7 @@ def int8_kv_decode_bench(quick: bool = False):
         )
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-    per, _ = time_marginal(lambda q: step(q, k8, v8, lengths, scales), q0)
+    per, _ = time_marginal(lambda q: step(q, k8, v8, lengths, scales), q0, n_short=8, n_long=72)
     bytes_touched = 2 * b * hkv * s * d * 1  # int8: half the bf16 bytes
     _emit(
         f"int8kv_decode_b{b}_seq{s}",

@@ -140,6 +140,16 @@ def _split_geometry(s: int, num_splits: int, block_k: int) -> tuple[int, int, in
                 block_k //= 2
             continue
         block_k //= 2
+    if block_k < 32 and s > 256:
+        # A cache length with no usable tiling (e.g. prime) would silently
+        # degrade to a per-row grid — orders of magnitude slow. The CACHE
+        # length (not the ragged per-seq `lengths`) is caller-chosen, so
+        # insist it be tileable; masking handles everything shorter.
+        raise ValueError(
+            f"KV cache length {s} has no block tiling >= 32 "
+            f"(requested num_splits={num_splits}, block_k={block_k}); "
+            "allocate the cache with max_seq_len a multiple of 512"
+        )
     return num_splits, block_k, s // (num_splits * block_k)
 
 

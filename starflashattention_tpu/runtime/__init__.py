@@ -8,6 +8,12 @@ jitted XLA program with donated cache buffers — no host round-trip, no manual
 scratch lifetime.
 """
 
+from starflashattention_tpu.runtime.autotune import (  # noqa: F401
+    DecodeAutotuner,
+    DecodeConfig,
+    candidate_decode_configs,
+    default_decode_config,
+)
 from starflashattention_tpu.runtime.params import AttentionConfig, ModelConfig  # noqa: F401
 from starflashattention_tpu.runtime.steps import (  # noqa: F401
     attention_decode_step,

@@ -1,0 +1,147 @@
+"""Measured autotuning of the decode-kernel knobs.
+
+The reference hardcodes its tile/split knobs per GPU — ``set_default_params``
+pins {kBlockN=32, num_splits=4, kNThreads=32} (/root/reference/src/
+flash_api.cpp:35-40) and a TODO admits num_splits is tuned only for a
+"3090 + Llama-7B" (/root/reference/src/flash_attn.cu:1024). Here the knobs
+are *searched on the device actually in use*: enumerate the valid
+(num_splits, block_k) geometries for a shape, time each with the marginal
+protocol (utils/profiling.py — single-call wall time measures the tunnel,
+not the chip), and memoize the winner keyed by (backend, shape signature).
+
+The search space is small (≤ ~12 geometries) because valid configs must tile
+the cache length exactly and fit the double-buffered KV tile in VMEM, so an
+exhaustive sweep costs a few hundred milliseconds once per shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+
+from starflashattention_tpu.utils.profiling import time_marginal
+
+# Per-slot KV tile budget: 2 tiles (K+V) double-buffered by the pipeline must
+# leave headroom in ~128 MiB VMEM for q/outputs/scratch/other stages.
+_VMEM_TILE_BUDGET = 24 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    num_splits: int
+    block_k: int
+
+
+def candidate_decode_configs(
+    seq_len: int,
+    num_kv_heads: int,
+    head_dim: int,
+    itemsize: int = 2,
+    *,
+    max_splits: int = 16,
+) -> list[DecodeConfig]:
+    """Valid (num_splits, block_k) geometries for a contiguous cache.
+
+    A geometry is valid when ``num_splits * block_k`` tiles ``seq_len``
+    exactly (ops/flash_decode.py requires exact tiling) and the KV tile
+    (``num_kv_heads * block_k * head_dim`` ×2 for K+V, ×2 double-buffered)
+    fits the VMEM budget.
+    """
+    out = []
+    for block_k in (1024, 512, 256, 128):
+        if seq_len % block_k:
+            continue
+        tile = 4 * num_kv_heads * block_k * head_dim * itemsize
+        if tile > _VMEM_TILE_BUDGET:
+            continue
+        max_ns = seq_len // block_k
+        ns = 1
+        while ns <= min(max_splits, max_ns):
+            if max_ns % ns == 0:
+                out.append(DecodeConfig(ns, block_k))
+            ns *= 2
+    return out or [DecodeConfig(1, min(seq_len, 128))]
+
+
+def default_decode_config(batch_size: int, seq_len: int) -> DecodeConfig:
+    """Heuristic when measuring is not an option: enough (batch × split)
+    cells to cover the chip's memory parallelism, biggest block that tiles."""
+    splits = 1
+    while batch_size * splits < 8 and splits < 8:
+        splits *= 2
+    for block_k in (512, 256, 128):
+        if seq_len % (splits * block_k) == 0:
+            return DecodeConfig(splits, block_k)
+    return DecodeConfig(1, 256 if seq_len % 256 == 0 else 128)
+
+
+class DecodeAutotuner:
+    """Memoizing measured tuner for ops/flash_decode.py.
+
+    >>> tuner = DecodeAutotuner()
+    >>> cfg = tuner.best(q, k_cache, v_cache, lengths)   # measures once
+    >>> flash_decode(q, k, v, lengths, num_splits=cfg.num_splits,
+    ...              block_k=cfg.block_k)
+
+    ``cache_path`` persists results as JSON so serving restarts skip the
+    sweep (the analog of the reference shipping pre-tuned constants, but
+    derived from the actual device).
+    """
+
+    def __init__(self, cache_path: str | pathlib.Path | None = None):
+        self._cache: dict[str, DecodeConfig] = {}
+        self._path = pathlib.Path(cache_path) if cache_path else None
+        if self._path and self._path.exists():
+            for key, val in json.loads(self._path.read_text()).items():
+                self._cache[key] = DecodeConfig(**val)
+
+    @staticmethod
+    def _key(q, k_cache) -> str:
+        b, hq, d = q.shape
+        hkv, s = k_cache.shape[-3], k_cache.shape[-2]
+        return (
+            f"{jax.default_backend()}:b{b}hq{hq}hkv{hkv}s{s}d{d}"
+            f":{jnp.dtype(k_cache.dtype).name}"
+        )
+
+    def best(self, q, k_cache, v_cache, lengths, **kw) -> DecodeConfig:
+        key = self._key(q, k_cache)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        cfg = self._measure(q, k_cache, v_cache, lengths, **kw)
+        self._cache[key] = cfg
+        if self._path:
+            self._path.parent.mkdir(parents=True, exist_ok=True)
+            self._path.write_text(
+                json.dumps({k: dataclasses.asdict(v) for k, v in self._cache.items()})
+            )
+        return cfg
+
+    def _measure(self, q, k_cache, v_cache, lengths, **kw) -> DecodeConfig:
+        from starflashattention_tpu.ops.flash_decode import flash_decode
+
+        hkv, s, d = k_cache.shape[-3], k_cache.shape[-2], k_cache.shape[-1]
+        cands = candidate_decode_configs(s, hkv, d, k_cache.dtype.itemsize)
+        if len(cands) == 1:
+            return cands[0]
+        n_short, n_long = (2, 6) if jax.default_backend() != "tpu" else (8, 40)
+        best, best_t = None, float("inf")
+        for cand in cands:
+            @jax.jit
+            def step(qq, k_cache=k_cache, v_cache=v_cache, lengths=lengths, cand=cand):
+                o = flash_decode(
+                    qq, k_cache, v_cache, lengths,
+                    num_splits=cand.num_splits, block_k=cand.block_k, **kw,
+                )
+                # data-dependent feedback keeps the timing chain serialized
+                return qq + o.astype(qq.dtype) * jnp.asarray(1e-3, qq.dtype)
+
+            per, _ = time_marginal(step, q, n_short=n_short, n_long=n_long)
+            if per < best_t:
+                best, best_t = cand, per
+        return best
