@@ -23,7 +23,7 @@ import numpy as np
 
 from starflashattention_tpu.core import quant
 from starflashattention_tpu.ops.flash_decode import flash_decode
-from starflashattention_tpu.utils.profiling import roofline_fraction, time_marginal
+from starflashattention_tpu.utils.profiling import roofline_fraction, time_scanned
 
 V5E_BW = 819e9
 
@@ -49,7 +49,6 @@ def decode_kernel_sweep(quick: bool = False):
             v = jnp.asarray(rng.standard_normal((b, hkv, max_seq, d)), jnp.bfloat16)
             lengths = jnp.full((b,), seq, jnp.int32)
 
-            @jax.jit
             def step(q, k, v, lengths):
                 o = flash_decode(q, k, v, lengths, num_splits=4, block_k=256)
                 # tiny feedback keeps the chain data-dependent without
@@ -57,9 +56,9 @@ def decode_kernel_sweep(quick: bool = False):
                 return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
             q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
-            # NB: big arrays must be ARGS — jit closure constants are shipped
-            # to the remote compiler wholesale (HTTP 413 past ~100 MB).
-            per, _ = time_marginal(lambda q: step(q, k, v, lengths), q0, n_short=8, n_long=72)
+            # NB: big arrays must be scan ARGS — jit closure constants are
+            # shipped to the remote compiler wholesale (HTTP 413 past ~100 MB).
+            per, _ = time_scanned(step, q0, k, v, lengths)
             bytes_touched = 2 * b * hkv * seq * d * 2
             _emit(
                 f"decode_kernel_hkv{hkv}_seq{seq}",
@@ -86,12 +85,11 @@ def paged_decode_bench(quick: bool = False):
     lengths = jnp.full((b,), pages_per_seq * ps, jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
 
-    @jax.jit
     def step(q, k_pages, v_pages, pt, lengths):
         o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=8)
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-    per, _ = time_marginal(lambda q: step(q, k_pages, v_pages, pt, lengths), q0, n_short=8, n_long=72)
+    per, _ = time_scanned(step, q0, k_pages, v_pages, pt, lengths, iters=128)
     bytes_touched = 2 * b * hkv * pages_per_seq * ps * d * 2
     _emit(
         f"paged_decode_b{b}_seq4k",
@@ -114,7 +112,6 @@ def int8_kv_decode_bench(quick: bool = False):
     lengths = jnp.full((b,), s, jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
 
-    @jax.jit
     def step(q, k8, v8, lengths, scales):
         o = flash_decode(
             q, k8, v8, lengths, num_splits=4, block_k=512,
@@ -122,7 +119,7 @@ def int8_kv_decode_bench(quick: bool = False):
         )
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-    per, _ = time_marginal(lambda q: step(q, k8, v8, lengths, scales), q0, n_short=8, n_long=72)
+    per, _ = time_scanned(step, q0, k8, v8, lengths, scales, iters=64)
     bytes_touched = 2 * b * hkv * s * d * 1  # int8: half the bf16 bytes
     _emit(
         f"int8kv_decode_b{b}_seq{s}",

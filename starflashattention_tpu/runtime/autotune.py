@@ -23,7 +23,7 @@ import pathlib
 import jax
 import jax.numpy as jnp
 
-from starflashattention_tpu.utils.profiling import time_marginal
+from starflashattention_tpu.utils.profiling import time_scanned
 
 # Per-slot KV tile budget: 2 tiles (K+V) double-buffered by the pipeline must
 # leave headroom in ~128 MiB VMEM for q/outputs/scratch/other stages.
@@ -129,11 +129,11 @@ class DecodeAutotuner:
         cands = candidate_decode_configs(s, hkv, d, k_cache.dtype.itemsize)
         if len(cands) == 1:
             return cands[0]
-        n_short, n_long = (2, 6) if jax.default_backend() != "tpu" else (8, 40)
+        on_tpu = jax.default_backend() == "tpu"
+        iters, window = (64, 0.05) if on_tpu else (4, 0.0)
         best, best_t = None, float("inf")
         for cand in cands:
-            @jax.jit
-            def step(qq, k_cache=k_cache, v_cache=v_cache, lengths=lengths, cand=cand):
+            def step(qq, k_cache, v_cache, lengths, cand=cand):
                 o = flash_decode(
                     qq, k_cache, v_cache, lengths,
                     num_splits=cand.num_splits, block_k=cand.block_k, **kw,
@@ -141,7 +141,10 @@ class DecodeAutotuner:
                 # data-dependent feedback keeps the timing chain serialized
                 return qq + o.astype(qq.dtype) * jnp.asarray(1e-3, qq.dtype)
 
-            per, _ = time_marginal(step, q, n_short=n_short, n_long=n_long)
+            per, _ = time_scanned(
+                step, q, k_cache, v_cache, lengths,
+                iters=iters, repeats=3, min_window_s=window,
+            )
             if per < best_t:
                 best, best_t = cand, per
         return best

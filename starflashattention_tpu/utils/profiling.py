@@ -18,6 +18,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -65,6 +66,75 @@ def time_marginal(
     t_long = time.time() - t0
 
     return (t_long - t_short) / (n_long - n_short), state
+
+
+_rtt_cache: dict[str, float] = {}
+
+
+def _tunnel_rtt() -> float:
+    """Min round-trip of a trivial dispatch+readback (amortization baseline)."""
+    key = jax.default_backend()
+    if key not in _rtt_cache:
+        one = jnp.zeros((8,), jnp.float32)
+        f = jax.jit(lambda x: x + 1.0)
+        _force(f(one))
+        _rtt_cache[key] = min(
+            _timed(lambda: _force(f(one))) for _ in range(8)
+        )
+    return _rtt_cache[key]
+
+
+def _timed(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
+def time_scanned(
+    fn: Callable,
+    carry,
+    *consts,
+    iters: int = 256,
+    repeats: int = 5,
+    min_window_s: float = 0.08,
+) -> tuple[float, object]:
+    """Per-iteration seconds of ``carry = fn(carry, *consts)`` — the honest
+    protocol for sub-dispatch-floor kernels.
+
+    ``time_marginal`` chains jitted calls from Python, so anything faster
+    than the per-call dispatch floor (~0.1 ms through the tunnel) measures
+    the host, not the chip. Here the whole chain is ONE program — a
+    ``lax.scan`` of ``fn`` — so dispatch and readback RTT amortize over
+    ``iters``; the residual RTT is subtracted using a measured no-op
+    round-trip, and min-of-``repeats`` rejects tunnel jitter. Large arrays
+    must be passed via ``*consts`` (program operands), never closed over
+    (jit constants ship to the remote compiler wholesale).
+
+    If the measured window is shorter than ``min_window_s``, the chain is
+    recompiled longer once (scan compile time is O(1) in ``iters``).
+    """
+
+    def build(n):
+        @jax.jit
+        def run(carry, *consts):
+            def body(c, _):
+                return fn(c, *consts), None
+            c, _ = jax.lax.scan(body, carry, None, length=n)
+            return c
+        return run
+
+    rtt = _tunnel_rtt()
+    run = build(iters)
+    out = run(carry, *consts)
+    _force(out)  # compile + warm
+    t = min(_timed(lambda: _force(run(carry, *consts))) for _ in range(repeats))
+    if t - rtt < min_window_s and iters < 4096:
+        iters = min(4096, max(iters * 2, int(iters * min_window_s / max(t - rtt, 1e-4))))
+        run = build(iters)
+        out = run(carry, *consts)
+        _force(out)
+        t = min(_timed(lambda: _force(run(carry, *consts))) for _ in range(repeats))
+    return max(t - rtt, 1e-9) / iters, out
 
 
 def roofline_fraction(bytes_touched: float, seconds: float, peak_bw: float = 819e9) -> float:
