@@ -1,7 +1,7 @@
 """Decode benchmark example — the analog of the reference's C++ harness
 (/root/reference/examples/cpp/testFlashDecoder.cc): sweep sequence lengths at
 B=2, H=32, D=128, warm up, time, and print a sample of the output for
-eyeballing. Here the timing uses the marginal-chain protocol and the
+eyeballing. Here the timing uses the scan-chain protocol and the
 correctness check is an assertion against the executable spec, not a printout
 diff (SURVEY.md §4).
 
@@ -19,7 +19,7 @@ import numpy as np
 
 from starflashattention_tpu.core.reference import decode_reference
 from starflashattention_tpu.ops import flash_decode
-from starflashattention_tpu.utils.profiling import time_marginal
+from starflashattention_tpu.utils.profiling import time_scanned
 
 
 def main():
@@ -32,12 +32,11 @@ def main():
         v = jnp.asarray(rng.standard_normal((b, hkv, max_seq, d)), dtype)
         lengths = jnp.full((b,), seq, jnp.int32)
 
-        @jax.jit
-        def step(q, k=k, v=v, lengths=lengths):
+        def step(q, k, v, lengths):
             o = flash_decode(q, k, v, lengths, num_splits=4, block_k=256)
             return q + o.astype(q.dtype) * jnp.asarray(1e-3, dtype)
 
-        per, _ = time_marginal(step, q, n_short=2, n_long=10)
+        per, _ = time_scanned(step, q, k, v, lengths, iters=32, repeats=2)
         o = flash_decode(q, k, v, lengths, num_splits=4, block_k=256)
         ref = decode_reference(q, k, v, lengths)
         err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref.astype(jnp.float32))))
