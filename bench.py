@@ -42,7 +42,9 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        cfg = ModelConfig.llama_7b_gqa(max_seq_len=1024)
+        # num_splits from the measured on-device sweep (runtime/autotune.py;
+        # winner memoized in benchmarks/artifacts/autotune_cache.json).
+        cfg = ModelConfig.llama_7b_gqa(max_seq_len=1024, num_splits=2, block_k=256)
         batch, ctx, dtype = 16, 1024, jnp.bfloat16
         warm_chain, n_chain = 4, 24
     else:  # CPU smoke fallback so the line always prints

@@ -80,10 +80,16 @@ def quant_matmul(
                 return d
         return dim  # dim < 128: single block
 
+    # The H (contraction) axis must tile exactly — a padded tail block would
+    # feed garbage into the accumulator. The O axis is pure output: Pallas
+    # masks out-of-bounds writes, so a ragged final block only wastes the pad
+    # fraction. Taking the full cap beats an exact-but-tiny divisor (e.g.
+    # O=22016 → divisor 512 runs at 0.55 of roofline, ragged 2048 at ~0.85).
     block_h = best_block(h, block_h)
-    block_o = best_block(o, block_o)
+    exact_o = best_block(o, block_o)
+    block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
     n_h = h // block_h
-    grid = (o // block_o, n_h)
+    grid = (pl.cdiv(o, block_o), n_h)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -130,7 +130,15 @@ class DecodeAutotuner:
         if len(cands) == 1:
             return cands[0]
         on_tpu = jax.default_backend() == "tpu"
-        iters, window = (64, 0.05) if on_tpu else (4, 0.0)
+        if on_tpu:
+            # Right-size the chain so ONE compile per candidate yields a
+            # >=80 ms window: decode is HBM-bound, so per-step time is
+            # roughly the KV bytes at ~60% of roofline.
+            b = q.shape[0]
+            est_per = 2 * b * hkv * s * d * k_cache.dtype.itemsize / (0.6 * 819e9)
+            iters, window = max(32, min(2048, int(0.08 / est_per))), 0.04
+        else:
+            iters, window = 4, 0.0
         best, best_t = None, float("inf")
         for cand in cands:
             def step(qq, k_cache, v_cache, lengths, cand=cand):
