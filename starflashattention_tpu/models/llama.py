@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from starflashattention_tpu.cache import contiguous
 from starflashattention_tpu.core import quant
+from starflashattention_tpu.ops import cache_append
 from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
@@ -242,22 +243,15 @@ def _decode_core(
             ks = vs = None
             k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
 
-        # Append the new token. dynamic_update_slice keeps the donated table
-        # in place (a batched scatter would copy the whole table on TPU) —
-        # but slicing the layer out/in still moves ~134 MB of HBM traffic
-        # per layer at 7B shapes (measured ~40% of the decode step).
-        # ops/cache_append.append_rows is the aliased-table in-place Pallas
-        # DMA that eliminates it (numerically exact, CPU-validated); it is
-        # not wired in yet because its 32-layer Mosaic compile is
-        # pathologically slow on the current toolchain — switch over once
-        # that is resolved.
-        def upd(table_b, new_b, p):
-            return jax.lax.dynamic_update_slice(table_b, new_b[:, None, :], (0, p, 0))
-
-        k_l = jax.vmap(upd)(k_all[lidx], k_q, pos)
-        v_l = jax.vmap(upd)(v_all[lidx], v_q, pos)
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_l, lidx, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_l, lidx, 0)
+        # Append the new token in place (ops/cache_append windowed-RMW DMA,
+        # the analog of the reference's in-kernel append, flash_attn.cu:
+        # 691-701). The functional dynamic_update_slice alternative slices
+        # the layer out/in and moves ~134 MB of HBM per layer at 7B shapes
+        # (measured ~40% of the decode step); this writes ~1 MB. Positions
+        # clamp to the last slot exactly like dynamic_update_slice did —
+        # the scheduler's capacity slack keeps real traffic below that.
+        pos_w = jnp.minimum(pos, k_all.shape[3] - 1)
+        k_all, v_all = cache_append.append_rows_kv(k_all, v_all, k_q, v_q, lidx, pos_w)
 
         o = flash_decode(
             q, k_all, v_all, lengths_now, layer=lidx,

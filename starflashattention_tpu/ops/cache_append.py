@@ -1,14 +1,29 @@
-"""In-place KV-cache row append (Pallas, aliased table).
+"""In-place KV-cache row append (Pallas, aliased table, windowed RMW DMA).
 
 The reference appends the current token's K/V to the cache inside its decode
 kernel (/root/reference/src/flash_attn.cu:691-701). The XLA-functional
 alternatives both move far too many bytes on TPU: a batched scatter copies
 the whole table, and slicing one layer out/in (`table[l]` → update →
 `dynamic_update_index_in_dim`) moves the full layer per step (~134 MB/layer
-at 7B shapes — measured ~40% of the decode step). This kernel writes ONLY
-the B new (Hkv, D) rows: the table stays in HBM (`memory_space=ANY`),
-``input_output_aliases`` pins the output to the input buffer so nothing is
-copied, and one async DMA per sequence stores the row at its write position.
+at 7B shapes — measured ~40% of the decode step).
+
+Why this shape of kernel: Mosaic cannot DMA a size-1 slice of the tiled
+(second-minor) S dim — "Slice shape along dimension 3 must be aligned to
+tiling (8)" — and collapsing (S, D) → (S*D,) to make the write a lane slice
+is NOT layout-preserving on TPU (the (8, 128) tiling of (S, D) differs from
+the lane tiling of (S*D,)), so the reshape physically re-lays the whole
+table out and back every call (measured: 5.4 s/call at 7B shapes). Instead
+this kernel does a windowed read-modify-write with everything aligned:
+
+  1. DMA the WINDOW-aligned (Hkv, WINDOW, D) slab around each sequence's
+     write position HBM→VMEM (WINDOW = 32 rows covers every dtype's sublane
+     tiling: 8 for f32, 16 for bf16-packed, 32 for int8/fp8),
+  2. blend the new row in with a vector select on the VPU,
+  3. DMA the slab back.
+
+``input_output_aliases`` pins the output to the input buffer, so the table
+never moves; per step the traffic is B·Hkv·2·WINDOW·D bytes per table
+(~1 MB/layer at 7B shapes vs the 134 MB functional update).
 """
 
 from __future__ import annotations
@@ -20,43 +35,151 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Covers the sublane tiling of every cache dtype (f32: 8, bf16: 16 packed,
+# int8/fp8: 32) so the window DMA is always tile-aligned.
+WINDOW = 32
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _append_kernel(
+def _rmw_body(lidx, pos_ref, new_refs, out_hbms, win_refs, sem, *, batch, window):
+    """Shared RMW routine: for each table t and sequence b, read the aligned
+    window, blend row ``pos[b] % window``, write back. All reads are started
+    before any wait; all writes started before any wait — the DMAs overlap."""
+
+    def win_copy(t, b, direction):
+        start = pl.multiple_of((pos_ref[b] // window) * window, window)
+        hbm = out_hbms[t].at[lidx, b, :, pl.ds(start, window), :]
+        vmem = win_refs[t].at[b]
+        if direction == "read":
+            return pltpu.make_async_copy(hbm, vmem, sem)
+        return pltpu.make_async_copy(vmem, hbm, sem)
+
+    reads = [win_copy(t, b, "read") for t in range(len(out_hbms)) for b in range(batch)]
+    for c in reads:
+        c.start()
+    for c in reads:
+        c.wait()
+
+    # Blend: per-sequence vector select (SMEM loads are scalar-only, so the
+    # row index comes out one scalar at a time; the select itself is VPU).
+    for t in range(len(out_hbms)):
+        for b in range(batch):
+            slab = win_refs[t][b]  # (Hkv, W, D)
+            sel = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1) == pos_ref[b] % window
+            win_refs[t][b] = jnp.where(sel, new_refs[t][b][:, None, :], slab)
+
+    writes = [win_copy(t, b, "write") for t in range(len(out_hbms)) for b in range(batch)]
+    for c in writes:
+        c.start()
+    for c in writes:
+        c.wait()
+
+
+def _append_kernel_kv(
     # scalar prefetch
     layer_ref,  # (1,) int32
     pos_ref,  # (B,) int32 — write position per sequence
     # inputs
-    new_ref,  # (B, Hkv, D) VMEM
-    table_hbm,  # (L, B, Hkv, S*D) ANY — aliased to the output
-    # output (aliased)
-    out_hbm,  # same ref as table_hbm
+    k_new_ref,  # (B, Hkv, D) VMEM
+    v_new_ref,  # (B, Hkv, D) VMEM
+    k_hbm,  # (L, B, Hkv, S, D) ANY — aliased to output 0
+    v_hbm,  # aliased to output 1
+    # outputs (aliased)
+    k_out,
+    v_out,
     # scratch
+    k_win,  # (B, Hkv, WINDOW, D) VMEM
+    v_win,
     sem,
     *,
-    batch_size: int,
-    head_dim: int,
+    batch: int,
+    window: int,
 ):
-    # The (S, D) tail is collapsed to S*D so each row write is a D-wide,
-    # D-aligned slice of the MINOR dim — a size-1 slice of a tiled S dim is
-    # not DMA-able (Mosaic requires 8-aligned slices of the sublane dim).
-    lidx = layer_ref[0]
-    copies = []
-    for b in range(batch_size):
-        copies.append(
-            pltpu.make_async_copy(
-                new_ref.at[b],  # (Hkv, D)
-                out_hbm.at[lidx, b, :, pl.ds(pos_ref[b] * head_dim, head_dim)],
-                sem,
-            )
-        )
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    _rmw_body(
+        layer_ref[0], pos_ref, (k_new_ref, v_new_ref), (k_out, v_out),
+        (k_win, v_win), sem, batch=batch, window=window,
+    )
+
+
+def _append_kernel_one(layer_ref, pos_ref, new_ref, t_hbm, t_out, win, sem, *, batch, window):
+    _rmw_body(layer_ref[0], pos_ref, (new_ref,), (t_out,), (win,), sem,
+              batch=batch, window=window)
+
+
+def _window_for(s: int) -> int:
+    """Largest power-of-two window ≤ WINDOW dividing S (tiny test caches use
+    S < 32; real caches are multiples of 512)."""
+    w = WINDOW
+    while w > 1 and s % w:
+        w //= 2
+    return w
+
+
+def append_rows_kv(
+    k_table: jax.Array,  # (L, B, Hkv, S, D)
+    v_table: jax.Array,
+    k_new: jax.Array,  # (B, Hkv, D), same dtype as table
+    v_new: jax.Array,
+    layer: jax.Array | int,
+    pos: jax.Array,  # (B,) int32 — caller clamps to < S
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """``table[layer, b, :, pos[b], :] = new[b]`` for both tables — in place.
+
+    The K and V writes share one kernel so all 4·B window DMAs are in flight
+    together. Returns the updated tables; under jit the output buffers ARE
+    the input buffers (``input_output_aliases``), so thread the results
+    exactly like the functional update they replace.
+    """
+    l, b, hkv, s, d = k_table.shape
+    assert v_table.shape == k_table.shape, (v_table.shape, k_table.shape)
+    assert k_new.shape == (b, hkv, d), (k_new.shape, k_table.shape)
+    assert k_new.dtype == k_table.dtype, (k_new.dtype, k_table.dtype)
+    if interpret is None:
+        interpret = _use_interpret()
+    window = _window_for(s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hkv, window, d), k_table.dtype),
+            pltpu.VMEM((b, hkv, window, d), v_table.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_append_kernel_kv, batch=b, window=window),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_table.shape, k_table.dtype),
+            jax.ShapeDtypeStruct(v_table.shape, v_table.dtype),
+        ],
+        # operand index counts scalar-prefetch args: (layer, pos, kn, vn, k, v)
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos.astype(jnp.int32),
+        k_new,
+        v_new,
+        k_table,
+        v_table,
+    )
 
 
 def append_rows(
@@ -67,17 +190,13 @@ def append_rows(
     *,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """``table[layer, b, :, pos[b], :] = new[b]`` for every b — in place.
-
-    Returns the updated table; under jit the output buffer IS the input
-    buffer (no table copy), so thread the result exactly like the
-    functional update it replaces.
-    """
+    """Single-table form of :func:`append_rows_kv`."""
     l, b, hkv, s, d = table.shape
     assert new.shape == (b, hkv, d), (new.shape, table.shape)
     assert new.dtype == table.dtype, (new.dtype, table.dtype)
     if interpret is None:
         interpret = _use_interpret()
+    window = _window_for(s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -87,20 +206,20 @@ def append_rows(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.VMEM((b, hkv, window, d), table.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
-    out = pl.pallas_call(
-        functools.partial(_append_kernel, batch_size=b, head_dim=d),
+    return pl.pallas_call(
+        functools.partial(_append_kernel_one, batch=b, window=window),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((l, b, hkv, s * d), table.dtype),
-        # operand index counts scalar-prefetch args: (layer, pos, new, table)
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={3: 0},
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
         pos.astype(jnp.int32),
         new,
-        # collapsing the two minor dims is layout-preserving (no copy)
-        table.reshape(l, b, hkv, s * d),
+        table,
     )
-    return out.reshape(l, b, hkv, s, d)
