@@ -61,6 +61,18 @@ def _gate_up_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def _permute_cols(w, perm: jnp.ndarray):
+    """Permute the fused-column (last) axis of a dense weight OR a quantized
+    ``{"w", "scale"}`` pair — per-output-channel quantization commutes with a
+    column permutation, so w and scale permute identically."""
+    if isinstance(w, dict):
+        return {
+            "w": jnp.take(w["w"], perm, axis=-1),
+            "scale": jnp.take(w["scale"], perm, axis=-1),
+        }
+    return jnp.take(w, perm, axis=-1)
+
+
 def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
     """One-time fused-column permutation so contiguous model-axis shards are
     self-consistent local layouts (see module docstring). Idempotent only on
@@ -68,17 +80,30 @@ def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
     if tp == 1:
         return params
     layers = dict(params["layers"])
-    layers["wqkv"] = jnp.take(layers["wqkv"], jnp.asarray(_wqkv_perm(cfg, tp)), axis=-1)
-    layers["w_gate_up"] = jnp.take(
-        layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp)), axis=-1
+    layers["wqkv"] = _permute_cols(layers["wqkv"], jnp.asarray(_wqkv_perm(cfg, tp)))
+    layers["w_gate_up"] = _permute_cols(
+        layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp))
     )
     out = dict(params)
     out["layers"] = layers
     return out
 
 
-def param_specs(cfg: ModelConfig) -> dict:
-    """PartitionSpec pytree matching llama.init_params' structure."""
+# Quantized {"w", "scale"} spec pairs. Column-parallel weights shard the
+# output dim of BOTH the (L, H, O) payload and its (L, O) per-output-channel
+# scale; row-parallel weights shard the contraction dim of the payload only —
+# the scale applies per (unsharded) output channel and is linear, so it
+# commutes with the post-matmul psum.
+_COL_QSPEC = {"w": P(None, None, MODEL), "scale": P(None, MODEL)}
+_ROW_QSPEC = {"w": P(None, MODEL, None), "scale": P()}
+
+
+def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
+    """PartitionSpec pytree matching llama.init_params' structure.
+
+    ``weight_quant=True`` matches the structure after
+    ``llama.quantize_model_weights`` (the 4 projections are {"w","scale"}
+    dicts — BASELINE north-star config: INT8 weights tensor-sharded)."""
     specs = {
         "embed": P(),  # replicated (gather per token is tiny)
         "layers": {
@@ -92,6 +117,11 @@ def param_specs(cfg: ModelConfig) -> dict:
         "final_norm": P(),
         "lm_head": P(),
     }
+    if weight_quant:
+        for name in ("wqkv", "w_gate_up"):
+            specs["layers"][name] = dict(_COL_QSPEC)
+        for name in ("wo", "w_down"):
+            specs["layers"][name] = dict(_ROW_QSPEC)
     if cfg.tie_embeddings:
         specs.pop("lm_head")
     return specs
@@ -115,9 +145,13 @@ def _strip_none_scales(specs: KVCache, cache: KVCache) -> KVCache:
     return specs
 
 
+def _params_are_weight_quant(params: dict) -> bool:
+    return isinstance(params["layers"].get("wqkv"), dict)
+
+
 def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
     params = permute_params_for_tp(params, cfg, mesh.shape[MODEL])
-    specs = param_specs(cfg)
+    specs = param_specs(cfg, weight_quant=_params_are_weight_quant(params))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: x is None,
@@ -143,13 +177,16 @@ def _check(cfg: ModelConfig, mesh: Mesh) -> None:
         )
 
 
-def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
+def make_tp_decode_step(
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+):
     """Build the sharded decode step:
     ``step(params, cache, tokens, cos, sin) -> (logits, cache)``.
 
     Per-shard, each chip runs the SAME single-chip program (its heads, its KV
     shard, its batch rows) + 2 psums/layer; logits come out replicated over
-    ``model`` and sharded over ``data``.
+    ``model`` and sharded over ``data``. ``quantized`` = the KV cache carries
+    scales; ``weight_quant`` = params went through quantize_model_weights.
     """
     _check(cfg, mesh)
     shard_cfg = dataclasses.replace(
@@ -158,7 +195,7 @@ def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
         num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
         intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
     )
-    p_specs = param_specs(cfg)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
@@ -178,7 +215,9 @@ def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
     return jax.jit(sharded, donate_argnums=(1,))
 
 
-def make_tp_prefill(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
+def make_tp_prefill(
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+):
     """Sharded prefill: ``fn(params, cache, tokens, new_lengths, cos, sin)``."""
     _check(cfg, mesh)
     shard_cfg = dataclasses.replace(
@@ -187,7 +226,7 @@ def make_tp_prefill(mesh: Mesh, cfg: ModelConfig, quantized: bool = False):
         num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
         intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
     )
-    p_specs = param_specs(cfg)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)

@@ -100,6 +100,56 @@ def test_seq_sharded_decode_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_tp_decode_quantized_weights(mesh24, rng):
+    """INT8 WEIGHTS under TP must match the single-chip int8 model bit-for-bit
+    (same quantized values, column-permuted; the per-output-channel scale is
+    linear so it commutes with the psum). BASELINE north-star config 5."""
+    b = 2
+    params = llama.init_params(CFG, jax.random.PRNGKey(3))
+    params_q = llama.quantize_model_weights(params, "int8")
+    cos, sin = llama.rope_tables(CFG)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (b,)), jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim,
+            dtype=jnp.float32,
+        )
+
+    logits_1, cache_1 = llama.decode_step(params_q, fresh(), toks, cos, sin, CFG)
+
+    step = make_tp_decode_step(mesh24, CFG, weight_quant=True)
+    params_n = shard_params(params_q, mesh24, CFG)
+    # the quantized payloads shard along the model axis
+    wqkv_spec = params_n["layers"]["wqkv"]["w"].sharding.spec
+    assert wqkv_spec == jax.sharding.PartitionSpec(None, None, "model")
+    logits_n, cache_n = step(params_n, shard_cache(fresh(), mesh24), toks, cos, sin)
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_n.k), np.asarray(cache_1.k), atol=1e-5)
+
+
+def test_tp_prefill_quantized_weights(mesh24, rng):
+    b, sp = 2, 5
+    params_q = llama.quantize_model_weights(llama.init_params(CFG, jax.random.PRNGKey(4)))
+    cos, sin = llama.rope_tables(CFG)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.asarray([sp, 2], jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim,
+            dtype=jnp.float32,
+        )
+
+    logits_1, _ = llama.prefill(params_q, fresh(), toks, plens, cos, sin, CFG)
+    pre = make_tp_prefill(mesh24, CFG, weight_quant=True)
+    logits_n, _ = pre(
+        shard_params(params_q, mesh24, CFG), shard_cache(fresh(), mesh24),
+        toks, plens, cos, sin,
+    )
+    np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+
+
 def test_tp_decode_quantized(mesh24, rng):
     cfg = dataclasses.replace(CFG, quant_mode="int8")
     b = 2
