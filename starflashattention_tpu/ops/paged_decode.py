@@ -98,7 +98,14 @@ def _paged_decode_kernel(
     b, i = pl.program_id(0), pl.program_id(1)
     bk = ppcb * page_size
     length = lengths_ref[b]
-    num_blocks = pl.cdiv(length, bk)
+    # Every sequence executes AT LEAST one (fully masked) block: a zero-length
+    # row that skipped _run entirely would break the prefetch chain — its cell
+    # would neither wait its own prefetched copies nor prefetch the next
+    # sequence's, leaving o_ref unwritten here and the FOLLOWING sequence
+    # waiting on semaphores signaled by the wrong pages (silent cross-sequence
+    # corruption). The masked block reads the null page and contributes
+    # nothing (p is masked to 0 below), yielding a safe zero output.
+    num_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
 
     def copies(bb, blk, slot):
         base = bb * pages_per_seq + blk * ppcb
@@ -157,6 +164,12 @@ def _paged_decode_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[..., :1])
+        # Explicit mask: in a FULLY masked block (zero-length row) m_next
+        # stays NEG_INF, so exp(s - m_next) = exp(0) = 1 for every masked
+        # entry — without this, l would count bk phantom keys of the null
+        # page. With length > 0, masked entries already underflow to 0 and
+        # this is a no-op.
+        p = jnp.where(kv_pos < length, p, 0.0)
         l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=2, keepdims=True)
         m_s[...] = m_next
 

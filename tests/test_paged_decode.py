@@ -61,6 +61,31 @@ def test_gqa(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_zero_length_rows(rng):
+    """Zero-length slots (natural in continuous batching) must yield a zero
+    output AND not corrupt their neighbors' prefetch chains (the cell still
+    executes one fully-masked block to keep the double-buffer DMA sequence
+    intact)."""
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(
+        rng, b=3, lengths=[40, 0, 55]
+    )
+    q = jnp.asarray(rng.standard_normal((3, 4, 32)), jnp.float32)
+    o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=2)
+    assert np.all(np.isfinite(np.asarray(o)))
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+    ref = decode_reference(q, dense_k, dense_v, lengths)
+    # rows 0 and 2 must be untouched by row 1's empty cell
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(ref[0]), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(o[2]), np.asarray(ref[2]), atol=2e-5, rtol=2e-5)
+
+
+def test_all_zero_lengths(rng):
+    k_pages, v_pages, pt, lengths, *_ = build_paged(rng, b=2, lengths=[0, 0])
+    q = jnp.asarray(rng.standard_normal((2, 4, 32)), jnp.float32)
+    o = paged_flash_decode(q, k_pages, v_pages, pt, lengths, pages_per_compute_block=2)
+    np.testing.assert_array_equal(np.asarray(o), 0.0)
+
+
 @pytest.mark.parametrize("mode", ["int8", "fp8"])
 def test_quantized_pages(rng, mode):
     k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(rng)
