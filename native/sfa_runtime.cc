@@ -105,22 +105,26 @@ struct SchedCore {
   };
   int num_slots;
   int max_seq_len;
+  int capacity_slack;  // cache rows reserved for fixed-round overshoot
   std::deque<Req> queue;
   std::vector<Req> slots;      // slot state; uid < 0 => free
-  explicit SchedCore(int n, int cap) : num_slots(n), max_seq_len(cap) {
+  SchedCore(int n, int cap, int slack)
+      : num_slots(n), max_seq_len(cap), capacity_slack(slack) {
     slots.assign(n, Req{-1, 0, 0});
   }
 };
 
-void* sfa_sched_create(int num_slots, int max_seq_len) {
-  return new SchedCore(num_slots, max_seq_len);
+void* sfa_sched_create(int num_slots, int max_seq_len, int capacity_slack) {
+  return new SchedCore(num_slots, max_seq_len, capacity_slack);
 }
 void sfa_sched_destroy(void* h) { delete static_cast<SchedCore*>(h); }
 
-// Returns 0 on accept, -1 if the request can never fit.
+// Returns 0 on accept, -1 if the request can never fit. The slack term
+// matches serving/scheduler.py:submit — without it, the engine's fixed-size
+// decode rounds could append past max_seq_len and clamp onto live KV rows.
 int sfa_sched_submit(void* h, int64_t uid, int prompt_len, int max_new) {
   auto* s = static_cast<SchedCore*>(h);
-  if (prompt_len + max_new > s->max_seq_len) return -1;
+  if (prompt_len + max_new + s->capacity_slack > s->max_seq_len) return -1;
   s->queue.push_back({uid, prompt_len, max_new});
   return 0;
 }

@@ -128,18 +128,22 @@ def _decode_kernel(
 
 
 def _split_geometry(s: int, num_splits: int, block_k: int) -> tuple[int, int, int]:
-    """Pick (num_splits, block_k, blocks_per_split) tiling S exactly."""
-    block_k = min(block_k, s)
-    while s % (num_splits * block_k) != 0:
-        if block_k > 128 and s % ((num_splits * block_k) // 2) == 0 and block_k % 2 == 0:
-            block_k //= 2
+    """Pick (num_splits, block_k, blocks_per_split) tiling S exactly.
+
+    Joint search over feasible (ns <= num_splits, bk <= block_k) pairs,
+    maximizing block_k first (DMA efficiency dominates) and num_splits
+    second — a greedy descent can strand small caches at block_k=1
+    (e.g. s=128 with the default knobs has the exact (1, 128) tiling)."""
+    cap = min(block_k, s)
+    best = (0, 0)  # (bk, ns)
+    for ns in range(num_splits, 0, -1):
+        if s % ns:
             continue
-        if num_splits > 1:
-            num_splits -= 1
-            while s % (num_splits * block_k) != 0 and block_k > 1:
-                block_k //= 2
-            continue
-        block_k //= 2
+        per_split = s // ns
+        bk = next(b for b in range(min(cap, per_split), 0, -1) if per_split % b == 0)
+        if (bk, ns) > best:
+            best = (bk, ns)
+    block_k, num_splits = best
     if block_k < 32 and s > 256:
         # A cache length with no usable tiling (e.g. prime) would silently
         # degrade to a per-row grid — orders of magnitude slow. The CACHE

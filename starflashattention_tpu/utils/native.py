@@ -24,16 +24,23 @@ def load(build_if_missing: bool = True):
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and build_if_missing and _NATIVE_DIR.exists():
+    src = _NATIVE_DIR / "sfa_runtime.cc"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if (not _LIB_PATH.exists() or stale) and build_if_missing and _NATIVE_DIR.exists():
         try:
             subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
+                ["make", "-B", "-C", str(_NATIVE_DIR)],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if stale:  # stale binary is worse than none — don't load it
+                return None
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
@@ -57,7 +64,7 @@ def load(build_if_missing: bool = True):
     lib.sfa_pool_seq_free.argtypes = [ctypes.c_void_p, ctypes.c_int]
 
     lib.sfa_sched_create.restype = ctypes.c_void_p
-    lib.sfa_sched_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.sfa_sched_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sfa_sched_destroy.argtypes = [ctypes.c_void_p]
     lib.sfa_sched_submit.restype = ctypes.c_int
     lib.sfa_sched_submit.argtypes = [
@@ -138,12 +145,12 @@ class NativePagePool:
 class NativeSchedCore:
     """Native-backed FCFS slot scheduler core."""
 
-    def __init__(self, num_slots: int, max_seq_len: int):
+    def __init__(self, num_slots: int, max_seq_len: int, capacity_slack: int = 0):
         lib = load()
         if lib is None:
             raise RuntimeError("native runtime not available")
         self._lib = lib
-        self._h = lib.sfa_sched_create(num_slots, max_seq_len)
+        self._h = lib.sfa_sched_create(num_slots, max_seq_len, capacity_slack)
         self.num_slots = num_slots
 
     def __del__(self):

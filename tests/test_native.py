@@ -74,3 +74,20 @@ def test_sched_core_fcfs_and_retire():
     assert s.has_work  # slot 0 still live
     assert s.record(0, 3) is True
     assert not s.has_work
+
+
+def test_sched_capacity_slack_parity():
+    """Native submit must apply the same slack-aware rejection as
+    serving/scheduler.py:51 (engine reserves round_size-1 overshoot rows)."""
+    from starflashattention_tpu.serving.scheduler import Request, Scheduler
+
+    py = Scheduler(2, 64, capacity_slack=7)
+    nat = native.NativeSchedCore(2, 64, capacity_slack=7)
+    # 50 + 7 + 7 = 64: exactly fits both
+    py.submit(Request(uid=1, prompt=[0] * 50, max_new_tokens=7))
+    nat.submit(1, prompt_len=50, max_new=7)
+    # 50 + 8 + 7 = 65: both reject
+    with pytest.raises(ValueError):
+        py.submit(Request(uid=2, prompt=[0] * 50, max_new_tokens=8))
+    with pytest.raises(ValueError):
+        nat.submit(2, prompt_len=50, max_new=8)
