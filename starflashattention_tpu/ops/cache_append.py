@@ -44,20 +44,25 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _rmw_body(lidx, pos_ref, new_refs, out_hbms, win_refs, sem, *, batch, window):
+def _rmw_body(
+    pos_ref, new_refs, win_refs, sem, *, batch, window, hbm_window
+):
     """Shared RMW routine: for each table t and sequence b, read the aligned
-    window, blend row ``pos[b] % window``, write back. All reads are started
-    before any wait; all writes started before any wait — the DMAs overlap."""
+    window (``hbm_window(t, b, start)`` names the HBM slab), blend row
+    ``pos[b] % window``, write back. All reads are started before any wait;
+    all writes started before any wait — the DMAs overlap."""
+
+    n_tables = len(win_refs)
 
     def win_copy(t, b, direction):
         start = pl.multiple_of((pos_ref[b] // window) * window, window)
-        hbm = out_hbms[t].at[lidx, b, :, pl.ds(start, window), :]
+        hbm = hbm_window(t, b, start)
         vmem = win_refs[t].at[b]
         if direction == "read":
             return pltpu.make_async_copy(hbm, vmem, sem)
         return pltpu.make_async_copy(vmem, hbm, sem)
 
-    reads = [win_copy(t, b, "read") for t in range(len(out_hbms)) for b in range(batch)]
+    reads = [win_copy(t, b, "read") for t in range(n_tables) for b in range(batch)]
     for c in reads:
         c.start()
     for c in reads:
@@ -65,13 +70,13 @@ def _rmw_body(lidx, pos_ref, new_refs, out_hbms, win_refs, sem, *, batch, window
 
     # Blend: per-sequence vector select (SMEM loads are scalar-only, so the
     # row index comes out one scalar at a time; the select itself is VPU).
-    for t in range(len(out_hbms)):
+    for t in range(n_tables):
         for b in range(batch):
             slab = win_refs[t][b]  # (Hkv, W, D)
             sel = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 1) == pos_ref[b] % window
             win_refs[t][b] = jnp.where(sel, new_refs[t][b][:, None, :], slab)
 
-    writes = [win_copy(t, b, "write") for t in range(len(out_hbms)) for b in range(batch)]
+    writes = [win_copy(t, b, "write") for t in range(n_tables) for b in range(batch)]
     for c in writes:
         c.start()
     for c in writes:
@@ -98,15 +103,26 @@ def _append_kernel_kv(
     batch: int,
     window: int,
 ):
+    lidx = layer_ref[0]
+    outs = (k_out, v_out)
+
+    def hbm_window(t, b, start):
+        return outs[t].at[lidx, b, :, pl.ds(start, window), :]
+
     _rmw_body(
-        layer_ref[0], pos_ref, (k_new_ref, v_new_ref), (k_out, v_out),
-        (k_win, v_win), sem, batch=batch, window=window,
+        pos_ref, (k_new_ref, v_new_ref), (k_win, v_win), sem,
+        batch=batch, window=window, hbm_window=hbm_window,
     )
 
 
 def _append_kernel_one(layer_ref, pos_ref, new_ref, t_hbm, t_out, win, sem, *, batch, window):
-    _rmw_body(layer_ref[0], pos_ref, (new_ref,), (t_out,), (win,), sem,
-              batch=batch, window=window)
+    lidx = layer_ref[0]
+
+    def hbm_window(t, b, start):
+        return t_out.at[lidx, b, :, pl.ds(start, window), :]
+
+    _rmw_body(pos_ref, (new_ref,), (win,), sem,
+              batch=batch, window=window, hbm_window=hbm_window)
 
 
 def _window_for(s: int) -> int:
@@ -179,6 +195,117 @@ def append_rows_kv(
         v_new,
         k_table,
         v_table,
+    )
+
+
+def _append_kernel_paged(
+    # scalar prefetch
+    layer_ref,  # (1,) int32
+    pos_ref,  # (B,) int32 — logical write position per sequence
+    page_tbl_ref,  # (B * pages_per_seq,) int32 flattened
+    # inputs
+    k_new_ref,  # (B, Hkv, D) VMEM
+    v_new_ref,
+    k_hbm,  # (L, Hkv, P, page_size, D) ANY — aliased to output 0
+    v_hbm,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    k_win,  # (B, Hkv, WINDOW, D)
+    v_win,
+    sem,
+    *,
+    batch: int,
+    window: int,
+    page_size: int,
+    pages_per_seq: int,
+):
+    lidx = layer_ref[0]
+    outs = (k_out, v_out)
+
+    def hbm_window(t, b, start):
+        # `start` is the window-aligned LOGICAL position; window | page_size,
+        # so the whole window lives inside one physical page.
+        phys = page_tbl_ref[b * pages_per_seq + start // page_size]
+        # re-annotate: `% page_size` drops the multiple_of fact Mosaic needs
+        # to prove the sublane slice is tile-aligned.
+        in_page = pl.multiple_of(start % page_size, window)
+        return outs[t].at[lidx, :, phys, pl.ds(in_page, window), :]
+
+    _rmw_body(
+        pos_ref, (k_new_ref, v_new_ref), (k_win, v_win), sem,
+        batch=batch, window=window, hbm_window=hbm_window,
+    )
+
+
+def append_rows_paged_kv(
+    k_pages: jax.Array,  # (L, Hkv, P, page_size, D)
+    v_pages: jax.Array,
+    k_new: jax.Array,  # (B, Hkv, D), same dtype as pool
+    v_new: jax.Array,
+    layer: jax.Array | int,
+    page_table: jax.Array,  # (B, pages_per_seq) int32
+    pos: jax.Array,  # (B,) int32 — logical position; its page must be mapped
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """``pool[layer, :, page_table[b, pos[b]//ps], pos[b]%ps, :] = new[b]``
+    for both pools — in place (aliased), same windowed-RMW as
+    :func:`append_rows_kv` but routed through the page table. The paged analog
+    of the reference's in-kernel append (flash_attn.cu:691-701)."""
+    l, hkv, p, page_size, d = k_pages.shape
+    b = k_new.shape[0]
+    assert v_pages.shape == k_pages.shape, (v_pages.shape, k_pages.shape)
+    assert k_new.shape == (b, hkv, d), (k_new.shape, k_pages.shape)
+    assert k_new.dtype == k_pages.dtype, (k_new.dtype, k_pages.dtype)
+    _, pages_per_seq = page_table.shape
+    if interpret is None:
+        interpret = _use_interpret()
+    window = _window_for(page_size)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hkv, window, d), k_pages.dtype),
+            pltpu.VMEM((b, hkv, window, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _append_kernel_paged,
+            batch=b, window=window,
+            page_size=page_size, pages_per_seq=pages_per_seq,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ],
+        # operand index counts scalar-prefetch args:
+        # (layer, pos, page_tbl, kn, vn, k, v)
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos.astype(jnp.int32),
+        page_table.astype(jnp.int32).reshape(-1),
+        k_new,
+        v_new,
+        k_pages,
+        v_pages,
     )
 
 

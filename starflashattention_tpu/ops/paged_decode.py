@@ -44,17 +44,19 @@ class _PageCopies:
     the sum (cf. the reference staging one tile per cp.async group).
     """
 
-    def __init__(self, pages_hbm, buf, sem, page_tbl_ref, base, hkv, ppcb):
+    def __init__(self, pages_hbm, buf, sem, page_tbl_ref, base, hkv, ppcb, lidx):
         # `base` is a flat scalar offset into the (B * pages_per_seq,) table;
         # scalar SMEM loads at dynamic indices are fine where ref slices
-        # would need 128-alignment.
+        # would need 128-alignment. `lidx` selects the layer of the stacked
+        # (L, Hkv, P, ps, D) table in-kernel — the analog of the contiguous
+        # kernel's scalar-prefetched layer id (no per-layer gather copy).
         self._copies = []
         for j in range(ppcb):
             phys = page_tbl_ref[base + j]
             for h in range(hkv):
                 self._copies.append(
                     pltpu.make_async_copy(
-                        pages_hbm.at[h, phys],  # (page_size, D)
+                        pages_hbm.at[lidx, h, phys],  # (page_size, D)
                         buf.at[h, j],
                         sem,
                     )
@@ -73,9 +75,10 @@ def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,  # (B,) int32
     page_tbl_ref,  # (B * pages_per_seq,) int32 flattened
+    layer_ref,  # (1,) int32 — layer of the stacked table
     # inputs
     q_ref,  # (1, Hkv, G, D) VMEM — pre-scaled by sm_scale (and K scale)
-    k_pages_hbm,  # (Hkv, P, page_size, D) ANY
+    k_pages_hbm,  # (L, Hkv, P, page_size, D) ANY
     v_pages_hbm,
     # outputs
     o_ref,  # (1, Hkv, G, D) f32 — normalized
@@ -107,11 +110,13 @@ def _paged_decode_kernel(
     # nothing (p is masked to 0 below), yielding a safe zero output.
     num_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
 
+    lidx = layer_ref[0]
+
     def copies(bb, blk, slot):
         base = bb * pages_per_seq + blk * ppcb
         return (
-            _PageCopies(k_pages_hbm, k_buf.at[slot], k_sems.at[slot], page_tbl_ref, base, hkv, ppcb),
-            _PageCopies(v_pages_hbm, v_buf.at[slot], v_sems.at[slot], page_tbl_ref, base, hkv, ppcb),
+            _PageCopies(k_pages_hbm, k_buf.at[slot], k_sems.at[slot], page_tbl_ref, base, hkv, ppcb, lidx),
+            _PageCopies(v_pages_hbm, v_buf.at[slot], v_sems.at[slot], page_tbl_ref, base, hkv, ppcb, lidx),
         )
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
@@ -192,20 +197,32 @@ def _paged_decode_kernel(
 
 def paged_flash_decode(
     q: jax.Array,  # (B, Hq, D)
-    k_pages: jax.Array,  # (Hkv, P, page_size, D) — one layer's pages
+    k_pages: jax.Array,  # (Hkv, P, page_size, D) or (L, Hkv, P, ps, D) + layer
     v_pages: jax.Array,
     page_table: jax.Array,  # (B, pages_per_seq) int32
     lengths: jax.Array,  # (B,) int32
     *,
+    layer: jax.Array | int | None = None,
     sm_scale: float | None = None,
     pages_per_compute_block: int = 4,
     k_scales: jax.Array | None = None,  # (Hkv,) f32
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Paged decode attention → (B, Hq, D)."""
+    """Paged decode attention → (B, Hq, D).
+
+    Stacked-layer mode: pass the whole (L, Hkv, P, ps, D) page pool plus a
+    (traced) ``layer`` index; the DMA source is selected in-kernel — REQUIRED
+    under scan-over-layers (an XLA dynamic-slice feeding a Pallas operand
+    would copy the entire layer's pages per step; same rationale as
+    ops/flash_decode's in-kernel cache-table indexing)."""
     b, hq, d = q.shape
-    hkv, num_pages, page_size, _ = k_pages.shape
+    if k_pages.ndim == 4:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        layer = 0
+    assert layer is not None, "layer index required for a stacked (L, ...) page pool"
+    _, hkv, num_pages, page_size, _ = k_pages.shape
     assert hq % hkv == 0
     g = hq // hkv
     _, pages_per_seq = page_table.shape
@@ -239,7 +256,7 @@ def paged_flash_decode(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, max_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -275,6 +292,7 @@ def paged_flash_decode(
     )(
         lengths.astype(jnp.int32),
         page_table.astype(jnp.int32).reshape(-1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
         q4,
         k_pages,
         v_pages,

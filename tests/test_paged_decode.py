@@ -61,6 +61,29 @@ def test_gqa(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_stacked_layer_mode(rng):
+    """(L, Hkv, P, ps, D) pool + traced layer index must match slicing the
+    layer out (the kernel selects the DMA source in-kernel)."""
+    import jax
+
+    layers = [build_paged(rng) for _ in range(3)]
+    k_stack = jnp.stack([l[0] for l in layers])
+    v_stack = jnp.stack([l[1] for l in layers])
+    q = jnp.asarray(rng.standard_normal((2, 4, 32)), jnp.float32)
+
+    @jax.jit
+    def run(lidx, k_stack, v_stack, pt, lengths):
+        return paged_flash_decode(
+            q, k_stack, v_stack, pt, lengths, layer=lidx, pages_per_compute_block=2
+        )
+
+    for li in range(3):
+        _, _, pt, lengths, dense_k, dense_v = layers[li]
+        o = run(jnp.asarray(li), k_stack, v_stack, pt, lengths)
+        ref = decode_reference(q, dense_k, dense_v, lengths)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_zero_length_rows(rng):
     """Zero-length slots (natural in continuous batching) must yield a zero
     output AND not corrupt their neighbors' prefetch chains (the cell still
