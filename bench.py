@@ -42,9 +42,13 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # num_splits from the measured on-device sweep (runtime/autotune.py;
-        # winner memoized in benchmarks/artifacts/autotune_cache.json).
-        cfg = ModelConfig.llama_7b_gqa(max_seq_len=1024, num_splits=2, block_k=256)
+        # Kernel knobs from the measured on-device sweep (runtime/autotune.py;
+        # winner memoized in benchmarks/artifacts/autotune_cache.json):
+        # single-split fused-epilogue decode, 8 sequences per grid cell,
+        # 64-row KV blocks (tight fetch for ragged lengths).
+        cfg = ModelConfig.llama_7b_gqa(
+            max_seq_len=1024, num_splits=1, block_k=64, batch_block=8
+        )
         batch, ctx, dtype = 16, 1024, jnp.bfloat16
         warm_chain, n_chain = 4, 24
     else:  # CPU smoke fallback so the line always prints

@@ -256,6 +256,7 @@ def _decode_core(
         o = flash_decode(
             q, k_all, v_all, lengths_now, layer=lidx,
             num_splits=cfg.num_splits, block_k=cfg.block_k,
+            batch_block=cfg.batch_block,
             k_scales=ks, v_scales=vs,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)

@@ -50,29 +50,83 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _attend_block(
+    lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
+    *, group, block_start, lens, nb,
+):
+    """One KV block's online-softmax update into the (m, l, acc) scratch."""
+    q = q_ref[...]  # (NB, Hkv, G, D)
+    k = k_ref[0]  # (NB, Hkv, Bk, D)
+    v = v_ref[0]
+    # Quantized tiles upcast in VMEM registers (never materialized in HBM).
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
+
+    # Mosaic's matmul takes at most ONE batch dim — collapse (NB, Hkv)
+    # around the dots. Leading-dim reshapes keep the (sublane, lane)
+    # layout, so these are free.
+    hkv, g, d = q.shape[1], q.shape[2], q.shape[3]
+    bk = k.shape[2]
+    s = jax.lax.dot_general(
+        q.reshape(nb * hkv, g, d),
+        k.reshape(nb * hkv, bk, d),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(nb, hkv, g, bk)  # (NB, Hkv, G, Bk)
+
+    kv_pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    # Broadcast each sequence's scalar length over its batch slice with
+    # unrolled selects (Mosaic cannot shape-cast a 1-D vector to 4-D).
+    seq_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    len_b = jnp.full(s.shape, lens[0], jnp.int32)
+    for j in range(1, nb):
+        len_b = jnp.where(seq_idx == j, lens[j], len_b)
+    s = jnp.where(kv_pos < len_b, s, NEG_INF)
+
+    m_prev = m_s[...]  # (NB, Hkv, G, LANES), lanes equal
+    m_curr = jnp.max(s, axis=3, keepdims=True)  # (NB, Hkv, G, 1)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[..., :1])  # (NB, Hkv, G, Bk)
+    l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=3, keepdims=True)
+    m_s[...] = m_next
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype).reshape(nb * hkv, g, bk),
+        v.reshape(nb * hkv, bk, d),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(nb, hkv, g, d)  # (NB, Hkv, G, D)
+    acc_s[...] = acc_s[...] * alpha[..., :1] + pv
+
+
 def _decode_kernel(
     # scalar-prefetch operands (PrefetchScalarGridSpec: also fed to index maps)
     lengths_ref,  # (B,) int32 — valid KV length per sequence
     layer_ref,  # (1,) int32 — which layer of the (L, ...) cache table
     # tensor operands
-    q_ref,  # (1, Hkv, G, D) — pre-scaled by sm_scale (and K scale if quant)
-    k_ref,  # (1, 1, Hkv, Bk, D) — layer-selected KV block, all heads
-    v_ref,  # (1, 1, Hkv, Bk, D)
+    q_ref,  # (NB, Hkv, G, D) — pre-scaled by sm_scale (and K scale if quant)
+    k_ref,  # (1, NB, Hkv, Bk, D) — layer-selected KV block, all heads
+    v_ref,  # (1, NB, Hkv, Bk, D)
     # outputs
-    o_ref,  # (1, 1, Hkv, G, D) f32 — UNNORMALIZED partial output
-    m_ref,  # (1, 1, Hkv, G, LANES) f32
-    l_ref,  # (1, 1, Hkv, G, LANES) f32
+    o_ref,  # (NB, 1, Hkv, G, D) f32 — UNNORMALIZED partial output
+    m_ref,  # (NB, 1, Hkv, G, LANES) f32
+    l_ref,  # (NB, 1, Hkv, G, LANES) f32
     # scratch
-    m_s,  # (Hkv, G, LANES) f32
-    l_s,  # (Hkv, G, LANES) f32
-    acc_s,  # (Hkv, G, D) f32
+    m_s,  # (NB, Hkv, G, LANES) f32
+    l_s,  # (NB, Hkv, G, LANES) f32
+    acc_s,  # (NB, Hkv, G, D) f32
     *,
     block_k: int,
     blocks_per_split: int,
+    batch_block: int,
 ):
     blk = pl.program_id(2)  # kv-block index inside this split
     split = pl.program_id(1)
-    batch = pl.program_id(0)
+    group = pl.program_id(0)  # batch group of `batch_block` sequences
+    nb = batch_block
 
     @pl.when(blk == 0)
     def _init():
@@ -80,51 +134,71 @@ def _decode_kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    length = lengths_ref[batch]
+    # Per-sequence lengths of this group (SMEM loads are scalar; nb is
+    # static so this unrolls to nb loads).
+    lens = [lengths_ref[group * nb + j] for j in range(nb)]
+    group_max = functools.reduce(jnp.maximum, lens)
     block_start = (split * blocks_per_split + blk) * block_k
 
-    @pl.when(block_start < length)
+    @pl.when(block_start < group_max)
     def _attend():
-        q = q_ref[0]  # (Hkv, G, D)
-        k = k_ref[0, 0]  # (Hkv, Bk, D)
-        v = v_ref[0, 0]
-        # Quantized tiles upcast in VMEM registers (never materialized in HBM).
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
-        if v.dtype != q.dtype:
-            v = v.astype(q.dtype)
-
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Hkv, G, Bk)
-
-        kv_pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(kv_pos < length, s, NEG_INF)
-
-        m_prev = m_s[...]  # (Hkv, G, LANES), lanes equal
-        m_curr = jnp.max(s, axis=2, keepdims=True)  # (Hkv, G, 1)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[..., :1])  # (Hkv, G, Bk)
-        l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=2, keepdims=True)
-        m_s[...] = m_next
-
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Hkv, G, D)
-        acc_s[...] = acc_s[...] * alpha[..., :1] + pv
+        _attend_block(
+            lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
+            group=group, block_start=block_start, lens=lens, nb=nb,
+        )
 
     @pl.when(blk == blocks_per_split - 1)
     def _emit():
-        o_ref[0, 0] = acc_s[...]
-        m_ref[0, 0] = m_s[...]
-        l_ref[0, 0] = l_s[...]
+        o_ref[:, 0] = acc_s[...]
+        m_ref[:, 0] = m_s[...]
+        l_ref[:, 0] = l_s[...]
+
+
+def _decode_kernel_fused(
+    # Single-split variant: normalize in-kernel, write the FINAL output in
+    # the query dtype — no f32 partials or (m, l) stats ever reach HBM. At
+    # short context this removes ~3 MB/step of epilogue traffic (measured
+    # ~25% of the whole kernel's bytes at ctx=384, B=16, Hkv=8).
+    lengths_ref,
+    layer_ref,
+    q_ref,  # (NB, Hkv, G, D)
+    k_ref,  # (1, NB, Hkv, Bk, D)
+    v_ref,  # (1, NB, Hkv, Bk, D)
+    o_ref,  # (NB, Hkv, G, D) in q dtype — FINAL normalized output
+    m_s,
+    l_s,
+    acc_s,
+    *,
+    block_k: int,
+    blocks_per_split: int,
+    batch_block: int,
+):
+    blk = pl.program_id(1)  # grid = (groups, blocks)
+    group = pl.program_id(0)
+    nb = batch_block
+
+    @pl.when(blk == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    lens = [lengths_ref[group * nb + j] for j in range(nb)]
+    group_max = functools.reduce(jnp.maximum, lens)
+    block_start = blk * block_k
+
+    @pl.when(block_start < group_max)
+    def _attend():
+        _attend_block(
+            lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
+            group=group, block_start=block_start, lens=lens, nb=nb,
+        )
+
+    @pl.when(blk == blocks_per_split - 1)
+    def _emit():
+        l = l_s[..., :1]  # (NB, Hkv, G, 1)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc_s[...] / l_safe).astype(o_ref.dtype)
 
 
 def _split_geometry(s: int, num_splits: int, block_k: int) -> tuple[int, int, int]:
@@ -157,6 +231,24 @@ def _split_geometry(s: int, num_splits: int, block_k: int) -> tuple[int, int, in
     return num_splits, block_k, s // (num_splits * block_k)
 
 
+# VMEM spent on in-flight KV blocks: 2 tables x 2 pipeline buffers, out of
+# the ~16 MB scoped-vmem limit — leave headroom for q, outputs, scratch, and
+# the compiler. (Measured: 8.4 MB of KV buffers compiles, 16.7 MB OOMs.)
+_KV_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_batch_block(b: int, hkv: int, d: int, block_k: int, itemsize: int) -> int:
+    """Sequences per grid cell. Grid-cell fixed cost (~1 us of pipeline
+    bookkeeping + VPU ramp per step) dominates the short-context decode
+    regime — measured 56% of kernel time at B=16/Hkv=8/ctx~384 with one
+    sequence per cell. Batch as many sequences as divide B and fit the
+    VMEM budget."""
+    for cand in (8, 4, 2):
+        if b % cand == 0 and 4 * cand * hkv * block_k * d * itemsize <= _KV_VMEM_BUDGET:
+            return cand
+    return 1
+
+
 def flash_decode_with_stats(
     q: jax.Array,  # (B, Hq, D)
     k_cache: jax.Array,  # (B, Hkv, S, D) or (L, B, Hkv, S, D) with `layer`
@@ -167,6 +259,7 @@ def flash_decode_with_stats(
     sm_scale: float | None = None,
     num_splits: int = 4,
     block_k: int = 256,
+    batch_block: int | None = None,  # sequences per grid cell; None = auto
     k_scales: jax.Array | None = None,  # (Hkv,) f32 when cache is quantized
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
@@ -200,6 +293,10 @@ def flash_decode_with_stats(
         interpret = _use_interpret()
 
     num_splits, block_k, blocks_per_split = _split_geometry(s, num_splits, block_k)
+    if batch_block is None:
+        batch_block = _pick_batch_block(b, hkv, d, block_k, k_cache.dtype.itemsize)
+    assert b % batch_block == 0, (b, batch_block)
+    nb = batch_block
 
     # Fold sm_scale (and the per-KV-head K dequant scale) into q: one tiny
     # VPU multiply instead of per-block work inside the kernel.
@@ -211,50 +308,55 @@ def flash_decode_with_stats(
     lengths = lengths.astype(jnp.int32)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    grid = (b, num_splits, blocks_per_split)
+    grid = (b // nb, num_splits, blocks_per_split)
     kernel = functools.partial(
         _decode_kernel,
         block_k=block_k,
         blocks_per_split=blocks_per_split,
+        batch_block=nb,
     )
 
-    def kv_index(bi, si, ki, lens, layer_ref):
-        # Clamp to the last block holding valid data for sequence bi: the
-        # pipeline skips re-fetching a block whose index didn't change, so
-        # masked tail blocks cost zero HBM traffic.
-        last_valid = jnp.maximum((lens[bi] + block_k - 1) // block_k - 1, 0)
+    def kv_index(gi, si, ki, lens, layer_ref):
+        # Clamp to the last block holding valid data for ANY sequence of the
+        # group: the pipeline skips re-fetching a block whose index didn't
+        # change, so masked tail blocks cost zero HBM traffic. (Sorting the
+        # batch by length keeps group maxima tight.)
+        gmax = functools.reduce(
+            jnp.maximum, [lens[gi * nb + j] for j in range(nb)]
+        )
+        last_valid = jnp.maximum((gmax + block_k - 1) // block_k - 1, 0)
         blk = jnp.minimum(si * blocks_per_split + ki, last_valid)
-        return (layer_ref[0], bi, 0, blk, 0)
+        return (layer_ref[0], gi, 0, blk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, hkv, g, d), lambda bi, si, ki, *_: (bi, 0, 0, 0),
+                (nb, hkv, g, d), lambda gi, si, ki, *_: (gi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, hkv, g, d), lambda bi, si, ki, *_: (bi, si, 0, 0, 0),
+                (nb, 1, hkv, g, d), lambda gi, si, ki, *_: (gi, si, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, hkv, g, LANES), lambda bi, si, ki, *_: (bi, si, 0, 0, 0),
+                (nb, 1, hkv, g, LANES), lambda gi, si, ki, *_: (gi, si, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, hkv, g, LANES), lambda bi, si, ki, *_: (bi, si, 0, 0, 0),
+                (nb, 1, hkv, g, LANES), lambda gi, si, ki, *_: (gi, si, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hkv, g, LANES), jnp.float32),
-            pltpu.VMEM((hkv, g, LANES), jnp.float32),
-            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, g, d), jnp.float32),
         ],
     )
 
@@ -301,6 +403,92 @@ def lse_combine_splits(
     return o.astype(dtype) if dtype is not None else o
 
 
+def _flash_decode_fused(
+    q, k_cache, v_cache, lengths, *,
+    layer, sm_scale, block_k, batch_block, k_scales, v_scales, interpret,
+) -> jax.Array:
+    """Single-split decode with the normalize epilogue fused in-kernel."""
+    b, hq, d = q.shape
+    if k_cache.ndim == 4:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = 0
+    assert layer is not None
+    _, _, hkv, s, _ = k_cache.shape
+    g = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    quantized = k_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
+    if interpret is None:
+        interpret = _use_interpret()
+
+    _, block_k, blocks = _split_geometry(s, 1, block_k)
+    if batch_block is None:
+        batch_block = _pick_batch_block(b, hkv, d, block_k, k_cache.dtype.itemsize)
+    assert b % batch_block == 0, (b, batch_block)
+    nb = batch_block
+
+    q4 = q.reshape(b, hkv, g, d)
+    scale = jnp.asarray(sm_scale, jnp.float32)
+    if quantized:
+        scale = scale * k_scales.astype(jnp.float32)[None, :, None, None]
+    q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+    lengths = lengths.astype(jnp.int32)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _decode_kernel_fused,
+        block_k=block_k,
+        blocks_per_split=blocks,
+        batch_block=nb,
+    )
+
+    def kv_index(gi, ki, lens, layer_ref):
+        gmax = functools.reduce(jnp.maximum, [lens[gi * nb + j] for j in range(nb)])
+        last_valid = jnp.maximum((gmax + block_k - 1) // block_k - 1, 0)
+        blk = jnp.minimum(ki, last_valid)
+        return (layer_ref[0], gi, 0, blk, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // nb, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (nb, hkv, g, d), lambda gi, ki, *_: (gi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, hkv, g, d), lambda gi, ki, *_: (gi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, g, d), jnp.float32),
+        ],
+    )
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, layer_arr, q4, k_cache, v_cache)
+
+    if quantized:
+        # V dequant scale is linear in the output — applied on the tiny
+        # final tensor instead of inside the kernel.
+        o = (o.astype(jnp.float32) * v_scales.astype(jnp.float32)[None, :, None, None]
+             ).astype(q.dtype)
+    return o.reshape(b, hq, d)
+
+
 def flash_decode(
     q: jax.Array,
     k_cache: jax.Array,
@@ -311,6 +499,7 @@ def flash_decode(
     sm_scale: float | None = None,
     num_splits: int = 4,
     block_k: int = 256,
+    batch_block: int | None = None,
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
@@ -320,8 +509,18 @@ def flash_decode(
 
     The public analog of the reference's ``mha_fwd_cuda`` attention core
     (flash_api.cpp:42-68) with GQA, ragged ``lengths``, quantized caches, and
-    in-kernel layer-table indexing.
+    in-kernel layer-table indexing. ``num_splits=1`` takes the fused-epilogue
+    kernel: no f32 partials or (m, l) stats ever reach HBM.
     """
+    s = k_cache.shape[-2]
+    eff_splits = _split_geometry(s, num_splits, block_k)[0]
+    if eff_splits == 1:
+        return _flash_decode_fused(
+            q, k_cache, v_cache, lengths,
+            layer=layer, sm_scale=sm_scale, block_k=block_k,
+            batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
+            interpret=interpret,
+        )
     o_parts, m_parts, l_parts = flash_decode_with_stats(
         q,
         k_cache,
@@ -331,6 +530,7 @@ def flash_decode(
         sm_scale=sm_scale,
         num_splits=num_splits,
         block_k=block_k,
+        batch_block=batch_block,
         k_scales=k_scales,
         v_scales=v_scales,
         interpret=interpret,

@@ -34,6 +34,7 @@ _VMEM_TILE_BUDGET = 24 * 1024 * 1024
 class DecodeConfig:
     num_splits: int
     block_k: int
+    batch_block: int = 1
 
 
 def candidate_decode_configs(
@@ -43,27 +44,36 @@ def candidate_decode_configs(
     itemsize: int = 2,
     *,
     max_splits: int = 16,
+    batch_size: int | None = None,
 ) -> list[DecodeConfig]:
-    """Valid (num_splits, block_k) geometries for a contiguous cache.
+    """Valid (num_splits, block_k, batch_block) geometries.
 
     A geometry is valid when ``num_splits * block_k`` tiles ``seq_len``
     exactly (ops/flash_decode.py requires exact tiling) and the KV tile
-    (``num_kv_heads * block_k * head_dim`` ×2 for K+V, ×2 double-buffered)
-    fits the VMEM budget.
+    (``batch_block * num_kv_heads * block_k * head_dim`` ×2 for K+V,
+    ×2 double-buffered) fits the VMEM budget. ``batch_block > 1`` batches
+    several sequences per grid cell — wins in the short-context regime
+    where per-cell fixed cost dominates.
     """
+    from starflashattention_tpu.ops.flash_decode import _KV_VMEM_BUDGET
+
+    bbs = [1]
+    if batch_size is not None:
+        bbs += [c for c in (2, 4) if batch_size % c == 0]
     out = []
     for block_k in (1024, 512, 256, 128):
         if seq_len % block_k:
             continue
-        tile = 4 * num_kv_heads * block_k * head_dim * itemsize
-        if tile > _VMEM_TILE_BUDGET:
-            continue
-        max_ns = seq_len // block_k
-        ns = 1
-        while ns <= min(max_splits, max_ns):
-            if max_ns % ns == 0:
-                out.append(DecodeConfig(ns, block_k))
-            ns *= 2
+        for bb in bbs:
+            tile = 4 * bb * num_kv_heads * block_k * head_dim * itemsize
+            if tile > min(_VMEM_TILE_BUDGET, _KV_VMEM_BUDGET):
+                continue
+            max_ns = seq_len // block_k
+            ns = 1
+            while ns <= min(max_splits, max_ns):
+                if max_ns % ns == 0:
+                    out.append(DecodeConfig(ns, block_k, bb))
+                ns *= 2
     return out or [DecodeConfig(1, min(seq_len, 128))]
 
 
@@ -126,7 +136,9 @@ class DecodeAutotuner:
         from starflashattention_tpu.ops.flash_decode import flash_decode
 
         hkv, s, d = k_cache.shape[-3], k_cache.shape[-2], k_cache.shape[-1]
-        cands = candidate_decode_configs(s, hkv, d, k_cache.dtype.itemsize)
+        cands = candidate_decode_configs(
+            s, hkv, d, k_cache.dtype.itemsize, batch_size=q.shape[0]
+        )
         if len(cands) == 1:
             return cands[0]
         on_tpu = jax.default_backend() == "tpu"
@@ -144,7 +156,8 @@ class DecodeAutotuner:
             def step(qq, k_cache, v_cache, lengths, cand=cand):
                 o = flash_decode(
                     qq, k_cache, v_cache, lengths,
-                    num_splits=cand.num_splits, block_k=cand.block_k, **kw,
+                    num_splits=cand.num_splits, block_k=cand.block_k,
+                    batch_block=cand.batch_block, **kw,
                 )
                 # data-dependent feedback keeps the timing chain serialized
                 return qq + o.astype(qq.dtype) * jnp.asarray(1e-3, qq.dtype)

@@ -31,6 +31,7 @@ class AttentionConfig:
     # kernel knobs (reference: kBlockN / num_splits, params.h:53-58)
     num_splits: int = 4
     block_k: int = 256
+    batch_block: int | None = None  # sequences per decode grid cell; None = auto
     pages_per_compute_block: int = 4
     sm_scale: float | None = None
     quant_mode: QuantMode = "none"
@@ -72,6 +73,7 @@ class ModelConfig:
     quant_mode: QuantMode = "none"
     num_splits: int = 4
     block_k: int = 256
+    batch_block: int | None = None
     tie_embeddings: bool = False
 
     def attention(self) -> AttentionConfig:
@@ -83,6 +85,7 @@ class ModelConfig:
             rope_style=self.rope_style,
             num_splits=self.num_splits,
             block_k=self.block_k,
+            batch_block=self.batch_block,
             quant_mode=self.quant_mode,
         )
 
