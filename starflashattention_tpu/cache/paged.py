@@ -145,6 +145,42 @@ class PageAllocator:
         return -(-length // page_size)
 
 
+class SeqPagePool:
+    """Per-sequence page allocator: the pure-Python twin of
+    ``utils.native.NativePagePool`` (same handle API), built on
+    :class:`PageAllocator`. The serving engine takes either interchangeably —
+    the native one when the C++ core is built, this otherwise."""
+
+    def __init__(self, num_pages: int):
+        self._alloc = PageAllocator(num_pages)
+        self.num_pages = num_pages
+        self._seqs: dict[int, list[int]] = {}
+        self._next = 1
+
+    @property
+    def free_pages(self) -> int:
+        return self._alloc.free_pages
+
+    def seq_new(self) -> int:
+        h = self._next
+        self._next += 1
+        self._seqs[h] = []
+        return h
+
+    def seq_extend(self, handle: int, new_len: int, page_size: int) -> int:
+        pages = self._seqs[handle]
+        need = self._alloc.pages_needed(new_len, page_size)
+        if need > len(pages):
+            pages.extend(self._alloc.alloc(need - len(pages)))
+        return len(pages)
+
+    def seq_pages(self, handle: int) -> list[int]:
+        return list(self._seqs[handle])
+
+    def seq_free(self, handle: int) -> None:
+        self._alloc.free(self._seqs.pop(handle))
+
+
 def _quantize_new(x: jax.Array, scales: jax.Array | None, dtype) -> jax.Array:
     if scales is None:
         return x.astype(dtype)
@@ -178,6 +214,40 @@ def append_decode_paged(
     return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
 
 
+def scatter_prefill_chunk(
+    pages: jax.Array,  # (L, Hkv, P, page_size, D) pool (one table)
+    layer: jax.Array | int,
+    vals: jax.Array,  # (B, Hkv, Sq, D) chunk, ALREADY in the pool dtype
+    page_table: jax.Array,  # (B, pages_per_seq) int32
+    start: jax.Array,  # (B,) write offset per sequence
+    new_lengths: jax.Array,  # (B,) tokens valid in this chunk per sequence
+) -> jax.Array:
+    """Array-level prompt-chunk scatter (positions start..start+new_lengths).
+
+    Rows with ``new_lengths == 0`` write nothing — the serving engine's
+    inactive slots. Usable inside scan-over-layers with a traced ``layer``.
+    """
+    l, hkv, num_pages, ps, d = pages.shape
+    b, _, sq, _ = vals.shape
+    _, pages_per_seq = page_table.shape
+    tok = jnp.arange(sq)[None, :]  # (1, Sq)
+    pos = start[:, None] + tok  # (B, Sq)
+    valid = tok < new_lengths[:, None]
+    logical = pos // ps
+    b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, sq))
+    phys = page_table[b_idx, jnp.minimum(logical, pages_per_seq - 1)]
+    slot = pos % ps
+    # Out-of-range tokens → out-of-bounds page id, dropped by scatter mode.
+    phys = jnp.where(valid, phys, num_pages)
+
+    phys_f = phys.reshape(-1)  # (B*Sq,)
+    slot_f = slot.reshape(-1)
+    # NB advanced-indexing placement (same rule as append_decode_paged):
+    # value layout (B*Sq, Hkv, D).
+    flat = vals.transpose(0, 2, 1, 3).reshape(b * sq, hkv, d)
+    return pages.at[layer, :, phys_f, slot_f, :].set(flat, mode="drop")
+
+
 def append_prefill_paged(
     cache: PagedKVCache,
     layer: int,
@@ -190,27 +260,12 @@ def append_prefill_paged(
     ks, vs = cache.layer_scales(layer)
     k_new = _quantize_new(k_new, ks, cache.k_pages.dtype)
     v_new = _quantize_new(v_new, vs, cache.v_pages.dtype)
-
-    b, hkv, sq, d = k_new.shape
-    ps = cache.page_size
-    tok = jnp.arange(sq)[None, :]  # (1, Sq)
-    pos = start[:, None] + tok  # (B, Sq)
-    valid = tok < new_lengths[:, None]
-    logical = pos // ps
-    b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, sq))
-    phys = cache.page_table[b_idx, jnp.minimum(logical, cache.pages_per_seq - 1)]
-    slot = pos % ps
-    # Out-of-range tokens → out-of-bounds page id, dropped by scatter mode.
-    phys = jnp.where(valid, phys, cache.num_pages)
-
-    phys_f = phys.reshape(-1)  # (B*Sq,)
-    slot_f = slot.reshape(-1)
-    # Same placement rule as append_decode_paged: value layout (B*Sq, Hkv, D).
-    k_vals = k_new.transpose(0, 2, 1, 3).reshape(b * sq, hkv, d)
-    v_vals = v_new.transpose(0, 2, 1, 3).reshape(b * sq, hkv, d)
-
-    k_pages = cache.k_pages.at[layer, :, phys_f, slot_f, :].set(k_vals, mode="drop")
-    v_pages = cache.v_pages.at[layer, :, phys_f, slot_f, :].set(v_vals, mode="drop")
+    k_pages = scatter_prefill_chunk(
+        cache.k_pages, layer, k_new, cache.page_table, start, new_lengths
+    )
+    v_pages = scatter_prefill_chunk(
+        cache.v_pages, layer, v_new, cache.page_table, start, new_lengths
+    )
     return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
 
 

@@ -27,12 +27,13 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.cache import contiguous, paged
 from starflashattention_tpu.core import quant
 from starflashattention_tpu.ops import cache_append
 from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
+from starflashattention_tpu.ops.paged_decode import paged_flash_decode
 from starflashattention_tpu.ops.quant_matmul import quant_matmul
 from starflashattention_tpu.runtime.params import ModelConfig
 
@@ -410,6 +411,33 @@ def prefill(
     return _prefill_core(params, cache, tokens, new_lengths, cos, sin, cfg)
 
 
+def _decode_multi_core(
+    params: Params,
+    cache: contiguous.KVCache,
+    tok: jax.Array,  # (B,) the pending token per slot
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    n_steps: int,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
+    """``n_steps`` greedy decode steps in ONE program → (tokens (B, n),
+    next pending token, cache). ``axis_name`` set = running per-shard under
+    shard_map (parallel/tp.py serving path)."""
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = _decode_core(
+            params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    return toks.T, tok, cache  # (B, n), (B,), cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
 def decode_multi(
     params: Params,
@@ -421,21 +449,35 @@ def decode_multi(
     cfg: ModelConfig,
     n_steps: int,
 ) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
-    """``n_steps`` greedy decode steps in ONE program → (tokens (B, n),
-    next pending token, cache).
+    """Single-chip jitted ``n_steps`` decode rounds.
 
     Serving uses this to amortize host↔device round-trips (the tunnel costs
     ~25 ms per readback): one dispatch + one readback per n tokens.
     """
+    return _decode_multi_core(params, cache, tok, cos, sin, active, cfg, n_steps)
 
-    def step(carry, _):
-        tok, cache = carry
-        logits, cache = _decode_core(params, cache, tok, cos, sin, cfg, active=active)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, cache), nxt
 
-    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
-    return toks.T, tok, cache  # (B, n), (B,), cache
+def _prefill_serving_core(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,  # (B, Sq)
+    new_lengths: jax.Array,  # (B,)
+    active: jax.Array,  # (B,) bool — slots being (re)filled
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Masked prefill for admission: resets active slots' lengths to 0, fills
+    their prompts, leaves every other slot untouched, and returns each active
+    row's first sampled-from logits."""
+    cache = dataclasses.replace(
+        cache, lengths=jnp.where(active, 0, cache.lengths)
+    )
+    return _prefill_core(
+        params, cache, tokens, new_lengths, cos, sin, cfg,
+        axis_name=axis_name, active=active,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -449,13 +491,228 @@ def prefill_serving(
     sin: jax.Array,
     cfg: ModelConfig,
 ) -> tuple[jax.Array, contiguous.KVCache]:
-    """Masked prefill for admission: resets active slots' lengths to 0, fills
-    their prompts, leaves every other slot untouched, and returns each active
-    row's first sampled-from logits."""
+    """Single-chip jitted admission prefill."""
+    return _prefill_serving_core(
+        params, cache, tokens, new_lengths, active, cos, sin, cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paged-cache serving path (BASELINE config 3: GQA flash-decode, paged KV)
+# ---------------------------------------------------------------------------
+
+
+def _decode_core_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tokens: jax.Array,  # (B,) int32
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+    active: jax.Array | None = None,
+) -> tuple[jax.Array, paged.PagedKVCache]:
+    """One decode step against the PAGED pool — same program structure as
+    :func:`_decode_core` but the KV stream rides the page table: appends go
+    through the windowed-RMW paged kernel (ops/cache_append.append_rows_paged_kv)
+    and attention through the double-buffered page-DMA kernel
+    (ops/paged_decode.paged_flash_decode).
+
+    The caller (serving engine / page allocator) guarantees every position in
+    [0, lengths[b]] maps to an allocated physical page; unmapped entries point
+    at the reserved null page 0, so inactive slots' writes land harmlessly
+    there."""
+    x = params["embed"][tokens]
+    pos = cache.lengths
+    if active is None:
+        lengths_now = cache.lengths + 1
+    else:
+        lengths_now = cache.lengths + active.astype(jnp.int32)
+
+    layers = params["layers"]
+    page_tbl = cache.page_table
+    s_logical = cache.pages_per_seq * cache.page_size
+
+    def layer_body(carry, layer_in):
+        x, k_pages, v_pages = carry
+        lp, lidx = layer_in
+        proj = _make_proj(layers, lp, lidx)
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = proj(h, "wqkv").astype(x.dtype)
+        q, k_new, v_new = _split_heads_decode(qkv, cfg)
+        q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
+
+        if cache.k_scales is not None:
+            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
+            k_q = paged._quantize_new(k_new, ks, k_pages.dtype)
+            v_q = paged._quantize_new(v_new, vs, v_pages.dtype)
+        else:
+            ks = vs = None
+            k_q, v_q = k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)
+
+        pos_w = jnp.minimum(pos, s_logical - 1)
+        k_pages, v_pages = cache_append.append_rows_paged_kv(
+            k_pages, v_pages, k_q, v_q, lidx, page_tbl, pos_w
+        )
+
+        o = paged_flash_decode(
+            q, k_pages, v_pages, page_tbl, lengths_now, layer=lidx,
+            pages_per_compute_block=cfg.pages_per_compute_block,
+            k_scales=ks, v_scales=vs,
+        )  # (B, Hq, D)
+        o = o.reshape(o.shape[0], -1)
+        attn_out = proj(o, "wo")
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        x = x + attn_out.astype(x.dtype)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        mlp_out = _swiglu(h, proj)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out.astype(x.dtype)
+        return (x, k_pages, v_pages), None
+
+    layer_idx = jnp.arange(cfg.num_layers)
+    (x, k_pages, v_pages), _ = jax.lax.scan(
+        layer_body, (x, cache.k_pages, cache.v_pages), (_scan_xs_layers(layers), layer_idx)
+    )
+    cache = dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages, lengths=lengths_now
+    )
+    return _logits(x, params, cfg), cache
+
+
+def _prefill_core_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tokens: jax.Array,  # (B, Sq) int32, right-padded
+    new_lengths: jax.Array,  # (B,)
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+    active: jax.Array | None = None,
+) -> tuple[jax.Array, paged.PagedKVCache]:
+    """Prompt ingestion into the paged pool — FRESH slots only (start = 0).
+
+    The serving engine admits only into retired slots, so the chunk being
+    prefilled IS the whole sequence: attention runs directly on the
+    in-register chunk K/V (never touching the pool), and the chunk is
+    scattered across the slot's pages for the decode rounds that follow.
+    Inactive rows scatter nothing and their logits row is unused."""
+    b, sq = tokens.shape
+    x = params["embed"][tokens]
+    start = cache.lengths  # 0 for rows being admitted
+    pos = start[:, None] + jnp.arange(sq)[None, :]
+    if active is not None:
+        new_lengths = jnp.where(active, new_lengths, 0)
+    kv_lengths = start + new_lengths
+
+    layers = params["layers"]
+    page_tbl = cache.page_table
+
+    def layer_body(carry, layer_in):
+        x, k_pages, v_pages = carry
+        lp, lidx = layer_in
+        proj = _make_proj(layers, lp, lidx)
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = proj(h, "wqkv").astype(x.dtype)
+        q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+        q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
+
+        if cache.k_scales is not None:
+            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
+            k_q = paged._quantize_new(k_new, ks, k_pages.dtype)
+            v_q = paged._quantize_new(v_new, vs, v_pages.dtype)
+            # Attend against the quantize→dequantize round-trip so prefill
+            # numerics match what decode will read back from the pool.
+            k_att = (k_q.astype(jnp.float32) * ks[None, :, None, None]).astype(q.dtype)
+            v_att = (v_q.astype(jnp.float32) * vs[None, :, None, None]).astype(q.dtype)
+        else:
+            k_q, v_q = k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)
+            k_att, v_att = k_q, v_q
+
+        k_pages = paged.scatter_prefill_chunk(
+            k_pages, lidx, k_q, page_tbl, start, new_lengths
+        )
+        v_pages = paged.scatter_prefill_chunk(
+            v_pages, lidx, v_q, page_tbl, start, new_lengths
+        )
+
+        o = flash_prefill(
+            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
+        attn_out = proj(o, "wo")
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        x = x + attn_out.astype(x.dtype)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        mlp_out = _swiglu(h, proj)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out.astype(x.dtype)
+        return (x, k_pages, v_pages), None
+
+    layer_idx = jnp.arange(cfg.num_layers)
+    (x, k_pages, v_pages), _ = jax.lax.scan(
+        layer_body, (x, cache.k_pages, cache.v_pages), (_scan_xs_layers(layers), layer_idx)
+    )
+    cache = dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages, lengths=kv_lengths
+    )
+    last = jnp.maximum(new_lengths - 1, 0)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    return _logits(x_last, params, cfg), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+def decode_multi_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tok: jax.Array,  # (B,)
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    n_steps: int,
+) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
+    """Paged analog of :func:`decode_multi`: n greedy steps, one program."""
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = _decode_core_paged(params, cache, tok, cos, sin, cfg, active=active)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    return toks.T, tok, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def prefill_serving_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tokens: jax.Array,  # (B, Sq)
+    new_lengths: jax.Array,  # (B,)
+    active: jax.Array,  # (B,) bool
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, paged.PagedKVCache]:
+    """Paged analog of :func:`prefill_serving` (admission into fresh slots)."""
     cache = dataclasses.replace(
         cache, lengths=jnp.where(active, 0, cache.lengths)
     )
-    return _prefill_core(params, cache, tokens, new_lengths, cos, sin, cfg, active=active)
+    return _prefill_core_paged(
+        params, cache, tokens, new_lengths, cos, sin, cfg, active=active
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -12,8 +12,10 @@ flash_combine_kernel (flash_attn.cu:877-935).
 
 from starflashattention_tpu.parallel.mesh import make_mesh  # noqa: F401
 from starflashattention_tpu.parallel.tp import (  # noqa: F401
+    make_tp_decode_multi,
     make_tp_decode_step,
     make_tp_prefill,
+    make_tp_prefill_serving,
     shard_cache,
     shard_params,
 )

@@ -189,12 +189,7 @@ def make_tp_decode_step(
     scales; ``weight_quant`` = params went through quantize_model_weights.
     """
     _check(cfg, mesh)
-    shard_cfg = dataclasses.replace(
-        cfg,
-        num_q_heads=cfg.num_q_heads // mesh.shape[MODEL],
-        num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
-        intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
-    )
+    shard_cfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = cache_specs()
     if not quantized:
@@ -215,17 +210,85 @@ def make_tp_decode_step(
     return jax.jit(sharded, donate_argnums=(1,))
 
 
+def _shard_cfg(cfg: ModelConfig, mesh: Mesh) -> ModelConfig:
+    """Per-shard model geometry: each chip runs the single-chip program at
+    1/T width (its heads, its MLP slice)."""
+    tp = mesh.shape[MODEL]
+    return dataclasses.replace(
+        cfg,
+        num_q_heads=cfg.num_q_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+    )
+
+
+def make_tp_decode_multi(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    n_steps: int,
+    quantized: bool = False,
+    weight_quant: bool = False,
+):
+    """Sharded serving decode round: ``fn(params, cache, tok, cos, sin,
+    active) -> (tokens (B, n), pending tok, cache)`` — the TP+DP analog of
+    llama.decode_multi, used by the Engine when given a mesh. The whole
+    n-step scan (including the 2 psums/layer) is one program per round."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, tok, cos, sin, active):
+        return llama._decode_multi_core(
+            params, cache, tok, cos, sin, active, scfg, n_steps, axis_name=MODEL
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(), P(), P(DATA)),
+        out_specs=(P(DATA), P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def make_tp_prefill_serving(
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+):
+    """Sharded admission prefill: ``fn(params, cache, tokens, new_lengths,
+    active, cos, sin)`` — TP+DP analog of llama.prefill_serving."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, tokens, new_lengths, active, cos, sin):
+        return llama._prefill_serving_core(
+            params, cache, tokens, new_lengths, active, cos, sin, scfg,
+            axis_name=MODEL,
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(), P()),
+        out_specs=(P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
 def make_tp_prefill(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
 ):
     """Sharded prefill: ``fn(params, cache, tokens, new_lengths, cos, sin)``."""
     _check(cfg, mesh)
-    shard_cfg = dataclasses.replace(
-        cfg,
-        num_q_heads=cfg.num_q_heads // mesh.shape[MODEL],
-        num_kv_heads=cfg.num_kv_heads // mesh.shape[MODEL],
-        intermediate_size=cfg.intermediate_size // mesh.shape[MODEL],
-    )
+    shard_cfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = cache_specs()
     if not quantized:

@@ -74,6 +74,7 @@ class ModelConfig:
     num_splits: int = 4
     block_k: int = 256
     batch_block: int | None = None
+    pages_per_compute_block: int = 4
     tie_embeddings: bool = False
 
     def attention(self) -> AttentionConfig:
@@ -86,6 +87,7 @@ class ModelConfig:
             num_splits=self.num_splits,
             block_k=self.block_k,
             batch_block=self.batch_block,
+            pages_per_compute_block=self.pages_per_compute_block,
             quant_mode=self.quant_mode,
         )
 

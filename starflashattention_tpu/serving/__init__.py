@@ -9,4 +9,4 @@ every device step stays a single jitted program.
 """
 
 from starflashattention_tpu.serving.scheduler import Request, Scheduler  # noqa: F401
-from starflashattention_tpu.serving.engine import Engine  # noqa: F401
+from starflashattention_tpu.serving.engine import Engine, EngineStats, PagedEngine  # noqa: F401

@@ -1,4 +1,4 @@
-"""Continuous-batching engine: drives jitted steps over scheduler slots.
+"""Continuous-batching engines: contiguous-cache and paged-cache serving.
 
 Loop shape (host): admit → masked prefill of new slots → N decode steps in
 one program → one readback → record/retire → repeat. Device work is always
@@ -6,21 +6,83 @@ the same two static-shape programs regardless of which slots are live, so
 nothing recompiles as requests come and go — the TPU-native answer to
 varying workloads (the reference recompiles per Traits config instead,
 SURVEY.md §2.8).
+
+Two cache backends share the loop:
+
+- :class:`Engine` — contiguous per-slot KV windows (cache/contiguous.py).
+- :class:`PagedEngine` — paged pool + per-sequence page tables
+  (cache/paged.py): pages are allocated at admission, grown ahead of each
+  decode round, freed at retirement, and under pool exhaustion the youngest
+  running request is PREEMPTED (pages freed, request requeued; greedy
+  decoding is deterministic, so re-prefilling prompt+output reproduces its
+  state). The allocator is the C++ native page pool (native/sfa_runtime.cc)
+  when built, else the pure-Python twin.
+
+Both record serving metrics (p50/mean TTFT, decode throughput) in
+:class:`EngineStats` — the observability surface BASELINE.json's p50-TTFT
+metric reads from.
 """
 
 from __future__ import annotations
+
+import dataclasses
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.cache import contiguous, paged
 from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
 from starflashattention_tpu.serving.scheduler import Request, Scheduler
 
 
+@dataclasses.dataclass
+class EngineStats:
+    """Serving counters (host-side, updated once per round — not hot-path)."""
+
+    ttfts_s: list[float] = dataclasses.field(default_factory=list)
+    decode_tokens: int = 0
+    decode_seconds: float = 0.0
+    prefill_rounds: int = 0
+    decode_rounds: int = 0
+    preemptions: int = 0
+    finished: int = 0
+
+    def p50_ttft_ms(self) -> float:
+        return float(np.median(self.ttfts_s) * 1e3) if self.ttfts_s else 0.0
+
+    def mean_ttft_ms(self) -> float:
+        return float(np.mean(self.ttfts_s) * 1e3) if self.ttfts_s else 0.0
+
+    def decode_tokens_per_s(self) -> float:
+        return self.decode_tokens / self.decode_seconds if self.decode_seconds else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "p50_ttft_ms": round(self.p50_ttft_ms(), 2),
+            "mean_ttft_ms": round(self.mean_ttft_ms(), 2),
+            "decode_tokens_per_s": round(self.decode_tokens_per_s(), 1),
+            "decode_tokens": self.decode_tokens,
+            "prefill_rounds": self.prefill_rounds,
+            "decode_rounds": self.decode_rounds,
+            "preemptions": self.preemptions,
+            "finished": self.finished,
+        }
+
+
 class Engine:
+    """Contiguous-cache continuous-batching engine.
+
+    With ``mesh`` set (a ``(data, model)`` Mesh from parallel/mesh.py) the
+    engine serves TENSOR+DATA-SHARDED: params/cache are sharded at
+    construction (unsharded params in, column-permuted TP shards out —
+    parallel/tp.py) and every prefill/decode round is one shard_map'd
+    program over the mesh, psums riding ICI. ``num_slots`` must divide the
+    data axis. The host loop is unchanged — scheduling is shape-invariant.
+    """
+
     def __init__(
         self,
         params,
@@ -28,95 +90,171 @@ class Engine:
         num_slots: int = 8,
         steps_per_round: int = 8,
         prefill_pad: int = 64,
+        mesh=None,
     ):
-        self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
+        self.mesh = mesh
         # Rounds are FIXED-SIZE so exactly two program shapes exist per
         # prompt-pad bucket (one prefill, one decode_multi) — a variable
         # round length would recompile per distinct value, which dominates
         # wall-clock through the remote compiler. The slack reserves cache
         # room for the final round's discarded overshoot tokens.
         self.sched = Scheduler(num_slots, cfg.max_seq_len, capacity_slack=steps_per_round - 1)
-        self.cache = contiguous.init_cache(
-            cfg.num_layers,
-            num_slots,
-            cfg.num_kv_heads,
-            cfg.max_seq_len,
-            cfg.head_dim,
-            dtype=jnp.dtype(cfg.dtype),
-            quant_mode=cfg.quant_mode,
-        )
         self.cos, self.sin = llama.rope_tables(cfg)
         self.pending_tok = jnp.zeros((num_slots,), jnp.int32)
-        self._host_lengths = np.zeros((num_slots,), np.int64)  # host mirror
+        self.stats = EngineStats()
+        self._submit_time: dict[int, float] = {}
+        self._first_token_seen: set[int] = set()
+        if mesh is not None:
+            self.params = self._shard(params)
+        else:
+            self.params = params
+        self.cache = self._init_cache()
+
+    def _shard(self, params):
+        from starflashattention_tpu.parallel import tp
+
+        if self.num_slots % self.mesh.shape[tp.DATA]:
+            raise ValueError(
+                f"num_slots {self.num_slots} not divisible by data axis "
+                f"{self.mesh.shape[tp.DATA]}"
+            )
+        weight_quant = tp._params_are_weight_quant(params)
+        quantized = self.cfg.quant_mode != "none"
+        self._tp_decode_multi = tp.make_tp_decode_multi(
+            self.mesh, self.cfg, self.steps_per_round,
+            quantized=quantized, weight_quant=weight_quant,
+        )
+        self._tp_prefill = tp.make_tp_prefill_serving(
+            self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant
+        )
+        self._shard_cache_fn = tp.shard_cache
+        return tp.shard_params(params, self.mesh, self.cfg)
+
+    # -- cache-backend hooks (overridden by PagedEngine) ----------------------
+
+    def _init_cache(self):
+        cache = contiguous.init_cache(
+            self.cfg.num_layers,
+            self.num_slots,
+            self.cfg.num_kv_heads,
+            self.cfg.max_seq_len,
+            self.cfg.head_dim,
+            dtype=jnp.dtype(self.cfg.dtype),
+            quant_mode=self.cfg.quant_mode,
+        )
+        if self.mesh is not None:
+            cache = self._shard_cache_fn(cache, self.mesh)
+        return cache
+
+    def _prepare_admit(self, admitted: list[tuple[int, Request]]) -> list[tuple[int, Request]]:
+        """Reserve backend capacity for admitted requests; may trim the list
+        (rejected entries must be returned to the scheduler by the override)."""
+        return admitted
+
+    def _before_decode(self, active: np.ndarray) -> np.ndarray:
+        """Ensure backend capacity for one decode round; returns the possibly
+        reduced active mask (paged backend may preempt under pressure)."""
+        return active
+
+    def _on_retired(self, slot: int) -> None:
+        """Backend hook: release per-slot resources."""
+
+    def _prefill_call(self, toks, new_lengths, admit_mask):
+        if self.mesh is not None:
+            logits, self.cache = self._tp_prefill(
+                self.params, self.cache, toks, new_lengths, admit_mask,
+                self.cos, self.sin,
+            )
+            return logits
+        logits, self.cache = llama.prefill_serving(
+            self.params, self.cache, toks, new_lengths, admit_mask,
+            self.cos, self.sin, self.cfg,
+        )
+        return logits
+
+    def _decode_call(self, active, n):
+        if self.mesh is not None:
+            toks, self.pending_tok, self.cache = self._tp_decode_multi(
+                self.params, self.cache, self.pending_tok,
+                self.cos, self.sin, active,
+            )
+            return toks
+        toks, self.pending_tok, self.cache = llama.decode_multi(
+            self.params, self.cache, self.pending_tok,
+            self.cos, self.sin, active, self.cfg, n,
+        )
+        return toks
 
     # -- one scheduling round -------------------------------------------------
 
+    def _record(self, slot: int, tokens: list[int]) -> None:
+        req = self.sched.slots[slot].request
+        uid = req.uid if req is not None else None
+        if self.sched.record_tokens(slot, tokens):
+            self.stats.finished += 1
+            self._on_retired(slot)
+        if uid is not None and uid not in self._first_token_seen:
+            self._first_token_seen.add(uid)
+            t0 = self._submit_time.get(uid)
+            if t0 is not None:
+                self.stats.ttfts_s.append(time.time() - t0)
+
     def _admit_and_prefill(self) -> None:
-        admitted = self.sched.admit()
+        admitted = self._prepare_admit(self.sched.admit())
         if not admitted:
             return
-        pad = max(len(r.prompt) for _, r in admitted)
+        # A re-admitted (preempted) request prefills prompt + generated-so-far.
+        texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
+        pad = max(len(t) for _, _, t in texts)
         pad = -(-pad // self.prefill_pad) * self.prefill_pad  # quantize shapes
         toks = np.zeros((self.num_slots, pad), np.int32)
         new_lengths = np.zeros((self.num_slots,), np.int32)
         admit_mask = np.zeros((self.num_slots,), bool)
-        for slot, req in admitted:
-            toks[slot, : len(req.prompt)] = req.prompt
-            new_lengths[slot] = len(req.prompt)
+        for slot, _req, text in texts:
+            toks[slot, : len(text)] = text
+            new_lengths[slot] = len(text)
             admit_mask[slot] = True
-            self._host_lengths[slot] = len(req.prompt)
 
-        logits, self.cache = llama.prefill_serving(
-            self.params,
-            self.cache,
-            jnp.asarray(toks),
-            jnp.asarray(new_lengths),
-            jnp.asarray(admit_mask),
-            self.cos,
-            self.sin,
-            self.cfg,
+        logits = self._prefill_call(
+            jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask)
         )
+        self.stats.prefill_rounds += 1
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         self.pending_tok = jnp.where(jnp.asarray(admit_mask), first, self.pending_tok)
-        # record the first generated token of each admitted request
-        first_host = np.asarray(first)
-        for slot, _req in admitted:
-            self.sched.record_tokens(slot, [int(first_host[slot])])
-            if not self.sched.slots[slot].free:
-                self._host_lengths[slot] += 0  # token enters cache on next decode
+        first_host = np.asarray(first)  # the single readback
+        for slot, _req, _text in texts:
+            self._record(slot, [int(first_host[slot])])
 
     def _decode_round(self) -> None:
         active = np.asarray(self.sched.active_mask())
         if not active.any():
             return
+        active = self._before_decode(active)
+        if not active.any():
+            return
         n = self.steps_per_round  # FIXED — one compiled program, ever
-        toks, self.pending_tok, self.cache = llama.decode_multi(
-            self.params,
-            self.cache,
-            self.pending_tok,
-            self.cos,
-            self.sin,
-            jnp.asarray(active),
-            self.cfg,
-            n,
-        )
+        t0 = time.time()
+        toks = self._decode_call(jnp.asarray(active), n)
         toks_host = np.asarray(toks)  # (B, n) — the single readback
+        self.stats.decode_seconds += time.time() - t0
+        self.stats.decode_rounds += 1
+        self.stats.decode_tokens += int(active.sum()) * n
         for i in range(self.num_slots):
             if active[i]:
-                self._host_lengths[i] += n
                 # record_tokens caps at the slot's remaining budget; any
                 # overshoot tokens of the final round are discarded (their
                 # cache appends sit inside the reserved slack).
-                self.sched.record_tokens(i, [int(t) for t in toks_host[i]])
+                self._record(i, [int(t) for t in toks_host[i]])
 
     # -- public API -----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
         self.sched.submit(req)
+        self._submit_time[req.uid] = time.time()
 
     def run(self) -> None:
         """Drive until all submitted requests complete."""
@@ -134,3 +272,181 @@ class Engine:
             self.submit(r)
         self.run()
         return [r.output for r in reqs]
+
+
+class PagedEngine(Engine):
+    """Paged-KV continuous-batching engine (BASELINE config 3 as a serving
+    path): decode reads scattered pages via ops/paged_decode, appends via the
+    paged windowed-RMW kernel, and physical pages come from a per-sequence
+    allocator — the native C++ page pool (native/sfa_runtime.cc:27-93) when
+    built, else its Python twin (cache/paged.SeqPagePool)."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        num_slots: int = 8,
+        steps_per_round: int = 8,
+        prefill_pad: int = 64,
+        page_size: int = 128,
+        num_pages: int | None = None,
+        native: bool | None = None,
+        mesh=None,
+    ):
+        if mesh is not None:
+            raise NotImplementedError(
+                "sharded serving currently uses the contiguous Engine; "
+                "paged pools shard over heads the same way but the sharded "
+                "paged step functions are not built yet"
+            )
+        self.page_size = page_size
+        self.pages_per_seq = -(-cfg.max_seq_len // page_size)
+        # Default pool: every slot can hold a full sequence (+ null page 0).
+        self.num_pages = num_pages or num_slots * self.pages_per_seq + 1
+        self.pool = self._make_pool(self.num_pages, native)
+        self._handles: dict[int, int] = {}  # slot -> pool handle
+        self._admit_order: list[int] = []  # slots by admission recency
+        self._host_table = np.zeros((num_slots, self.pages_per_seq), np.int32)
+        self._host_len = np.zeros((num_slots,), np.int64)
+        self._table_dirty = False
+        super().__init__(params, cfg, num_slots, steps_per_round, prefill_pad)
+
+    @staticmethod
+    def _make_pool(num_pages: int, native: bool | None):
+        if native is not False:
+            try:
+                from starflashattention_tpu.utils.native import NativePagePool
+
+                return NativePagePool(num_pages)
+            except Exception:
+                if native:
+                    raise
+        return paged.SeqPagePool(num_pages)
+
+    # -- backend hooks --------------------------------------------------------
+
+    def _init_cache(self):
+        return paged.init_paged_cache(
+            self.cfg.num_layers,
+            self.num_slots,
+            self.cfg.num_kv_heads,
+            self.cfg.head_dim,
+            num_pages=self.num_pages,
+            page_size=self.page_size,
+            pages_per_seq=self.pages_per_seq,
+            dtype=jnp.dtype(self.cfg.dtype),
+            quant_mode=self.cfg.quant_mode,
+        )
+
+    def _sync_table(self) -> None:
+        if self._table_dirty:
+            self.cache = dataclasses.replace(
+                self.cache, page_table=jnp.asarray(self._host_table)
+            )
+            self._table_dirty = False
+
+    def _write_row(self, slot: int) -> None:
+        row = np.zeros((self.pages_per_seq,), np.int32)
+        if slot in self._handles:
+            pages = self.pool.seq_pages(self._handles[slot])
+            row[: len(pages)] = pages
+        self._host_table[slot] = row
+        self._table_dirty = True
+
+    def _grow(self, slot: int, new_len: int) -> bool:
+        """Extend the slot's page list to cover ``new_len`` tokens; False on
+        pool exhaustion (caller decides who to preempt)."""
+        try:
+            self.pool.seq_extend(self._handles[slot], new_len, self.page_size)
+        except MemoryError:
+            return False
+        self._write_row(slot)
+        return True
+
+    def _release(self, slot: int) -> None:
+        handle = self._handles.pop(slot, None)
+        if handle is not None:
+            self.pool.seq_free(handle)
+        if slot in self._admit_order:
+            self._admit_order.remove(slot)
+        self._host_len[slot] = 0
+        self._write_row(slot)  # zero row -> null page 0; device sees it
+        # before the next decode round (_sync_table), so a reused physical
+        # page can never receive a stale slot's append.
+
+    def _on_retired(self, slot: int) -> None:
+        self._release(slot)
+
+    def _preempt_youngest(self, but_not: int | None = None) -> int | None:
+        """Free the most recently admitted running slot's pages; requeue its
+        request. Returns the slot, or None if there is no candidate."""
+        for slot in reversed(self._admit_order):
+            if slot == but_not:
+                continue
+            self.sched.preempt(slot)
+            self._release(slot)
+            self.stats.preemptions += 1
+            return slot
+        return None
+
+    def _prepare_admit(self, admitted):
+        """Allocate pages for each admitted prompt; on the first miss, THIS
+        and every later admission goes back to the queue front in FCFS order
+        (preempted in reverse so appendleft restores the original order)."""
+        accepted, rejected = [], []
+        exhausted = False
+        for slot, req in admitted:
+            if not exhausted:
+                self._handles[slot] = self.pool.seq_new()
+                need = len(req.prompt) + len(req.output)
+                if self._grow(slot, need):
+                    self._admit_order.append(slot)
+                    self._host_len[slot] = need
+                    accepted.append((slot, req))
+                    continue
+                self.pool.seq_free(self._handles.pop(slot))
+                exhausted = True
+            rejected.append(slot)
+        for slot in reversed(rejected):
+            self.sched.preempt(slot)  # back to queue front, slot freed
+        return accepted
+
+    def _before_decode(self, active: np.ndarray) -> np.ndarray:
+        """Grow every active slot to cover this round's appends; preempt the
+        youngest slots on exhaustion (their requests resume later)."""
+        active = active.copy()
+        for slot in list(self._admit_order):  # oldest first
+            if not active[slot]:
+                continue
+            need = int(self._host_len[slot]) + self.steps_per_round
+            while not self._grow(slot, need):
+                victim = self._preempt_youngest(but_not=slot)
+                if victim is None:
+                    raise MemoryError(
+                        f"paged pool too small for one sequence: slot {slot} "
+                        f"needs {need} tokens, pool {self.num_pages - 1} pages "
+                        f"x {self.page_size}"
+                    )
+                active[victim] = False
+                if not self.sched.slots[slot].request:
+                    break  # slot itself got preempted (shouldn't happen)
+        for slot in range(self.num_slots):
+            if active[slot]:
+                self._host_len[slot] += self.steps_per_round
+        self._sync_table()
+        return active
+
+    def _prefill_call(self, toks, new_lengths, admit_mask):
+        self._sync_table()
+        logits, self.cache = llama.prefill_serving_paged(
+            self.params, self.cache, toks, new_lengths, admit_mask,
+            self.cos, self.sin, self.cfg,
+        )
+        return logits
+
+    def _decode_call(self, active, n):
+        toks, self.pending_tok, self.cache = llama.decode_multi_paged(
+            self.params, self.cache, self.pending_tok,
+            self.cos, self.sin, active, self.cfg, n,
+        )
+        return toks

@@ -57,7 +57,11 @@ class Scheduler:
         self.queue.append(req)
 
     def admit(self) -> list[tuple[int, Request]]:
-        """Fill free slots from the queue → [(slot_idx, request)]."""
+        """Fill free slots from the queue → [(slot_idx, request)].
+
+        A re-admitted (previously preempted) request resumes with its
+        remaining budget: its generated tokens stay in ``output`` and its
+        effective prompt is ``prompt + output``."""
         admitted = []
         for i, slot in enumerate(self.slots):
             if not self.queue:
@@ -65,9 +69,22 @@ class Scheduler:
             if slot.free:
                 req = self.queue.popleft()
                 slot.request = req
-                slot.budget = req.max_new_tokens
+                slot.budget = req.max_new_tokens - len(req.output)
                 admitted.append((i, req))
         return admitted
+
+    def preempt(self, slot_idx: int) -> Request:
+        """Evict a running request back to the FRONT of the queue (paged
+        engine under pool pressure). Greedy decoding is deterministic, so
+        re-prefilling ``prompt + output`` on re-admission reproduces the
+        evicted KV state exactly — no state is saved."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        assert req is not None, f"slot {slot_idx} is free"
+        slot.request = None
+        slot.budget = 0
+        self.queue.appendleft(req)
+        return req
 
     def active_mask(self) -> list[bool]:
         return [not s.free for s in self.slots]
