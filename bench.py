@@ -8,15 +8,19 @@ achieved effective HBM bandwidth as a fraction of the BASELINE.json target
 >1.0 means the bandwidth target is beaten. Decode at these shapes is
 weight+cache-read bound, so effective BW = bytes_touched_per_step / step_time.
 
-Timing protocol: the axon tunnel makes block_until_ready dispatch-only and
-adds ~25-30 ms per host readback, so we chain N steps per measurement and use
-the marginal time between a short and a long chain.
+Timing protocol (utils/profiling.time_scanned): N decode steps chained in ONE
+XLA program (a lax.scan of the step), so per-call dispatch and the axon
+tunnel's ~25-30 ms readback amortize over N — wall-clocking individual calls
+through the tunnel measures host dispatch gaps, not the chip.
+
+Byte accounting is conservative (real traffic only): weights actually
+streamed per step (the embedding table is a B-row gather, NOT a full read),
+the valid KV prefix read, the windowed append write, and the logits write.
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +31,20 @@ HBM_ROOFLINE = 819e9
 TARGET_FRACTION = 0.85
 
 
-def _bytes_per_step(params_bytes: int, cache, mean_len: float) -> float:
-    """HBM bytes read per decode step: all weights + the valid KV prefix."""
+def _bytes_per_step(params, cache, mean_len: float, batch: int, vocab: int) -> float:
+    """HBM bytes a decode step must move (counted honestly, see module doc)."""
     l, b, hkv, _, d = cache.k.shape
     itemsize = cache.k.dtype.itemsize
-    kv_bytes = 2 * l * b * hkv * mean_len * d * itemsize
-    return params_bytes + kv_bytes
+    embed_table = params["embed"].size * params["embed"].dtype.itemsize
+    weights = (
+        sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_table
+    )
+    embed_rows = batch * params["embed"].shape[1] * params["embed"].dtype.itemsize
+    kv_read = 2 * l * b * hkv * mean_len * d * itemsize
+    # windowed-RMW append (ops/cache_append): read+write a 32-row window, K+V
+    append = 4 * l * b * hkv * 32 * d * itemsize
+    logits_write = batch * vocab * 4
+    return weights + embed_rows + kv_read + append + logits_write
 
 
 def main() -> None:
@@ -50,18 +62,17 @@ def main() -> None:
             max_seq_len=1024, num_splits=1, block_k=64, batch_block=8
         )
         batch, ctx, dtype = 16, 1024, jnp.bfloat16
-        warm_chain, n_chain = 4, 24
+        iters = 96
     else:  # CPU smoke fallback so the line always prints
         cfg = ModelConfig.tiny(dtype="float32")
         batch, ctx, dtype = 2, 64, jnp.float32
-        warm_chain, n_chain = 2, 6
+        iters = 6
 
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     if on_tpu:
         # Headline = the north-star configuration: weight-only INT8 with
         # fused in-kernel dequant (ops/quant_matmul.py).
         params = llama.quantize_model_weights(params, "int8", consume=True)
-    params_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params))
     cache = contiguous.init_cache(
         cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim, dtype=dtype
     )
@@ -72,23 +83,22 @@ def main() -> None:
     cos, sin = llama.rope_tables(cfg)
     tok = jnp.zeros((batch,), jnp.int32)
 
-    def chain(n):
-        nonlocal cache
-        t0 = time.time()
-        logits = None
-        for _ in range(n):
-            logits, cache = llama.decode_step(params, cache, tok, cos, sin, cfg)
-        _ = np.asarray(logits[:1, :1])  # force full execution through the tunnel
-        return time.time() - t0
+    from starflashattention_tpu.utils.profiling import time_scanned
 
-    chain(1)  # compile
-    t_short = chain(warm_chain)
-    t_long = chain(n_chain)
-    per_step = (t_long - t_short) / (n_chain - warm_chain)
+    def step(carry, params, cos, sin):
+        cache, tok = carry
+        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+    per_step, _ = time_scanned(
+        step, (cache, tok), params, cos, sin, iters=iters, repeats=5
+    )
 
     tokens_per_s = batch / per_step
-    mean_len = float(np.mean(lens)) + (warm_chain + n_chain) / 2
-    achieved_bw = _bytes_per_step(params_bytes, cache, mean_len) / per_step
+    mean_len = float(np.mean(lens)) + iters / 2  # lengths advance along the chain
+    achieved_bw = (
+        _bytes_per_step(params, cache, mean_len, batch, cfg.vocab_size) / per_step
+    )
     vs_baseline = achieved_bw / (TARGET_FRACTION * HBM_ROOFLINE) if on_tpu else 0.0
 
     print(

@@ -1,0 +1,100 @@
+"""Capture an xplane trace of the 7B decode step and print the op-level
+time breakdown (what the ncu reports are to the reference, SURVEY §2.13).
+
+Usage: python benchmarks/trace_ops.py [--out benchmarks/artifacts/trace_step]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def capture(out_dir: str) -> None:
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=1024, num_splits=1, block_k=64, batch_block=8
+    )
+    batch, ctx, dtype = 16, 1024, jnp.bfloat16
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    params = llama.quantize_model_weights(params, "int8", consume=True)
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim, dtype=dtype
+    )
+    lens = np.full((batch,), ctx // 2, np.int64)
+    lens[: batch // 2] = ctx // 4
+    cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def chain(cache, tok, params, cos, sin):
+        def body(c, _):
+            cache, tok = c
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            return (cache, jnp.argmax(logits, -1).astype(jnp.int32)), None
+        c, _ = jax.lax.scan(body, (cache, tok), None, length=16)
+        return c
+
+    out = chain(cache, tok, params, cos, sin)  # compile + warm
+    jax.block_until_ready(out)
+    np.asarray(out[1][:1])
+    with jax.profiler.trace(out_dir):
+        out = chain(cache, tok, params, cos, sin)
+        np.asarray(out[1][:1])
+
+
+def summarize(out_dir: str, top: int = 28) -> None:
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
+    assert xplanes, f"no xplane under {out_dir}"
+    xplane = max(xplanes, key=lambda p: Path(p).stat().st_mtime)
+    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "trace_viewer", {})
+    trace = json.loads(data)
+    events = trace["traceEvents"]
+    pid_names = {
+        e["pid"]: e["args"]["name"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    # device-side complete events only
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid", -1), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0.0)  # us
+        by_op[name] += dur
+        total += dur
+    print(f"device total: {total/1e3:.3f} ms over {len(by_op)} distinct ops")
+    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur/1e3:9.3f} ms  {100*dur/total:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/artifacts/trace_step")
+    ap.add_argument("--no-capture", action="store_true")
+    args = ap.parse_args()
+    if not args.no_capture:
+        capture(args.out)
+    summarize(args.out)

@@ -31,11 +31,20 @@ def merge_partials_across_chips(
 ) -> jax.Array:
     """LSE-merge partial attention results across the ``axis_name`` chips —
     the distributed flash_combine (SURVEY.md §2 row 2.2, TPU-equivalent
-    column)."""
+    column).
+
+    TWO collectives, not three: the payload is latency-bound (a few KB per
+    (batch, head)), so ``l`` rides as an extra lane of the ``o`` psum —
+    pmax(m) then one psum of the packed (B, Hq, D+1) tensor. Measured on the
+    8-device mesh this removes a third of the merge's collective launches
+    (benchmarks/collective_cost.py)."""
     m_global = jax.lax.pmax(m_local, axis_name)  # (B, Hq)
     alpha = jnp.exp(m_local - m_global)
-    l_global = jax.lax.psum(alpha * l_local, axis_name)
-    o_global = jax.lax.psum(alpha[..., None] * o_local, axis_name)
+    packed = jnp.concatenate(
+        [alpha[..., None] * o_local, (alpha * l_local)[..., None]], axis=-1
+    )  # (B, Hq, D+1)
+    packed = jax.lax.psum(packed, axis_name)
+    o_global, l_global = packed[..., :-1], packed[..., -1]
     l_safe = jnp.where(l_global == 0.0, 1.0, l_global)
     o = o_global / l_safe[..., None]
     return o.astype(out_dtype) if out_dtype is not None else o
@@ -78,12 +87,22 @@ def make_seq_sharded_decode(
     num_splits: int = 4,
     block_k: int = 256,
     quantized: bool = False,
+    head_chunks: int = 1,
 ):
     """Build ``fn(q, k_cache, v_cache, lengths[, k_scales, v_scales]) -> o``
     with the KV cache sequence-sharded over ``seq_axis`` and q replicated.
 
     k_cache/v_cache: (B, Hkv, S_total, D) global; each chip sees
     S_total / axis_size contiguous positions.
+
+    ``head_chunks > 1`` = collective/compute OVERLAP (BASELINE north-star:
+    "collectives overlapped with attention compute"): the KV heads are
+    processed in ``head_chunks`` independent slices, so chunk i's merge
+    collective is in flight while chunk i+1's attention kernel runs — the
+    psums and the Pallas calls have no data dependence, and XLA's async
+    collectives + latency-hiding scheduler interleave them on TPU. Chunking
+    does not change the math (heads are independent); it only shortens the
+    exposed (non-overlapped) communication to roughly one chunk's merge.
     """
     n_shards = mesh.shape[seq_axis]
 
@@ -91,11 +110,29 @@ def make_seq_sharded_decode(
         idx = jax.lax.axis_index(seq_axis)
         s_shard = k_shard.shape[2]
         shard_start = idx * s_shard
-        return _local_decode(
-            q, k_shard, v_shard, lengths, shard_start,
-            axis_name=seq_axis, num_splits=num_splits, block_k=block_k,
-            k_scales=k_scales, v_scales=v_scales,
-        )
+        hkv = k_shard.shape[1]
+        g = q.shape[1] // hkv
+        if head_chunks == 1 or hkv % head_chunks:
+            return _local_decode(
+                q, k_shard, v_shard, lengths, shard_start,
+                axis_name=seq_axis, num_splits=num_splits, block_k=block_k,
+                k_scales=k_scales, v_scales=v_scales,
+            )
+        per = hkv // head_chunks
+        outs = []
+        for c in range(head_chunks):
+            kv_sl = slice(c * per, (c + 1) * per)
+            q_sl = slice(c * per * g, (c + 1) * per * g)
+            outs.append(
+                _local_decode(
+                    q[:, q_sl], k_shard[:, kv_sl], v_shard[:, kv_sl],
+                    lengths, shard_start,
+                    axis_name=seq_axis, num_splits=num_splits, block_k=block_k,
+                    k_scales=None if k_scales is None else k_scales[kv_sl],
+                    v_scales=None if v_scales is None else v_scales[kv_sl],
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
 
     if quantized:
         in_specs = (P(), P(None, None, seq_axis, None), P(None, None, seq_axis, None), P(), P(), P())

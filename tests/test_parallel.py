@@ -100,6 +100,25 @@ def test_seq_sharded_decode_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_seq_sharded_decode_head_chunked_matches(rng):
+    """head_chunks (collective/compute overlap structure) must not change
+    the math — each chunk merges independently."""
+    mesh = make_mesh({"model": 8})
+    b, hq, hkv, s, d = 2, 8, 4, 512, 32
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    lengths = jnp.asarray([100, 512], jnp.int32)
+
+    ref = decode_reference(q, k, v, lengths)
+    for chunks in (2, 4):
+        fn = make_seq_sharded_decode(
+            mesh, num_splits=2, block_k=32, head_chunks=chunks
+        )
+        o = fn(q, k, v, lengths)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_tp_decode_quantized_weights(mesh24, rng):
     """INT8 WEIGHTS under TP must match the single-chip int8 model bit-for-bit
     (same quantized values, column-permuted; the per-output-channel scale is
