@@ -131,38 +131,127 @@ def int8_kv_decode_bench(quick: bool = False):
     )
 
 
-def prefill_ttft_bench(quick: bool = False):
-    """BASELINE config 2 / TTFT: whole-model causal prefill at 7B shapes."""
+def model_int8_decode_bench(quick: bool = False):
+    """BASELINE config 4 as a FULL-MODEL decode (not a kernel microbench):
+    INT8 weights + INT8 KV cache, whole 7B decode step, scan-chain timed.
+
+    The literal b=64/seq=8k point cannot exist on one v5e: the INT8 KV alone
+    is 2·32·64·8·8192·128 = 34 GB against 16 GB HBM. This runs the two
+    frontier points that saturate the chip instead — b=64 at the longest
+    fitting context and seq=8k at the largest fitting batch — and reports
+    the same roofline fraction (the metric is per-byte, so the fraction is
+    the comparable number).
+    """
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
     from starflashattention_tpu.runtime.params import ModelConfig
 
     if jax.default_backend() != "tpu":
         return
+    cases = [(64, 2048), (8, 8192)]
+    if quick:
+        cases = [(8, 2048)]
+    for batch, max_seq in cases:
+        cfg = ModelConfig.llama_7b_gqa(
+            max_seq_len=max_seq, quant_mode="int8",
+            num_splits=1, block_k=128, batch_block=8 if batch % 8 == 0 else batch,
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        params = llama.quantize_model_weights(params, "int8", consume=True)
+        cache = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.bfloat16, quant_mode="int8",
+        )
+        lens = np.full((batch,), max_seq - 256, np.int64)  # near-full context
+        cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
+        cos, sin = llama.rope_tables(cfg)
+        tok = jnp.zeros((batch,), jnp.int32)
+
+        def step(carry, params, cos, sin, cfg=cfg):
+            cache, tok = carry
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        iters = 32 if quick else 64
+        per, _ = time_scanned(
+            step, (cache, tok), params, cos, sin, iters=iters, repeats=3
+        )
+        embed_b = params["embed"].size * 2
+        weights = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
+        kv = 2 * cfg.num_layers * batch * cfg.num_kv_heads * float(np.mean(lens)) * cfg.head_dim
+        bytes_touched = weights + kv + batch * cfg.vocab_size * 4
+        _emit(
+            f"model7b_int8w_int8kv_b{batch}_seq{max_seq}",
+            per,
+            {
+                "tokens_per_s": round(batch / per, 1),
+                "GBps": round(bytes_touched / per / 1e9, 1),
+                "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+                "note": "b64/s8k INT8-KV=34GB > 16GB HBM; frontier points instead",
+            },
+        )
+        del params, cache
+
+
+def prefill_ttft_bench(quick: bool = False):
+    """BASELINE config 2 / TTFT: whole-model causal prefill at 7B shapes.
+
+    Prefill is COMPUTE-bound (every weight multiplies Sp activations), so the
+    target framing is the MXU roofline: flops ≈ 2 · n_params · Sp, against
+    the v5e bf16 peak (394.5 bf16 TFLOP/s per chip is the public v5e spec;
+    fraction reported as mxu_frac). TTFT is reported as p50 over a prompt-
+    length distribution (BASELINE metric is p50 TTFT).
+    """
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    V5E_BF16_FLOPS = 394.5e12 / 2  # MXU peak without int8 doubling
     cfg = ModelConfig.llama_7b_gqa(max_seq_len=2048)
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_params = sum(p.size for p in jax.tree.leaves(params)) - params["embed"].size
     cos, sin = llama.rope_tables(cfg)
-    b, sp = 1, 2048
+    b = 1
     rng = np.random.default_rng(0)
-    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
-    plens = jnp.full((b,), sp, jnp.int32)
+    prompt_lens = [512, 1024, 2048] if not quick else [512]
 
     import time as _t
 
-    def run_once():
-        cache = contiguous.init_cache(
-            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
-            dtype=jnp.bfloat16,
-        )
-        t0 = _t.time()
-        logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
-        _ = np.asarray(logits[:1, :1])
-        return _t.time() - t0
+    all_times = []
+    for sp in prompt_lens:
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
+        plens = jnp.full((b,), sp, jnp.int32)
 
-    run_once()  # compile
-    times = [run_once() for _ in range(3)]
-    # wall time includes one ~25 ms tunnel readback; report p50
-    _emit("prefill_ttft_7b_seq2048", float(np.median(times)), {"note": "p50 incl ~25ms tunnel RTT"})
+        def run_once(toks=toks, plens=plens):
+            cache = contiguous.init_cache(
+                cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+                dtype=jnp.bfloat16,
+            )
+            t0 = _t.time()
+            logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
+            _ = np.asarray(logits[:1, :1])
+            return _t.time() - t0
+
+        run_once()  # compile
+        times = [run_once() for _ in range(3)]
+        t = float(np.median(times))
+        all_times.append(t)
+        flops = 2.0 * n_params * sp
+        _emit(
+            f"prefill_ttft_7b_seq{sp}",
+            t,
+            {
+                "mxu_frac": round(flops / t / V5E_BF16_FLOPS, 3),
+                "note": "wall TTFT incl ~25ms tunnel RTT",
+            },
+        )
+    _emit(
+        "prefill_ttft_7b_p50",
+        float(np.median(all_times)),
+        {"prompt_lens": prompt_lens},
+    )
 
 
 def main():
@@ -172,6 +261,7 @@ def main():
     decode_kernel_sweep(quick=args.quick)
     paged_decode_bench(quick=args.quick)
     int8_kv_decode_bench(quick=args.quick)
+    model_int8_decode_bench(quick=args.quick)
     prefill_ttft_bench(quick=args.quick)
 
 

@@ -744,6 +744,7 @@ def generate(
         cache = contiguous.init_cache(
             cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
             dtype=jnp.dtype(cfg.dtype), quant_mode=cfg.quant_mode,
+            calibration_scale=cfg.kv_calibration_scale,
         )
     cos, sin = rope_tables(cfg)
     logits, cache = prefill(params, cache, prompts, prompt_lengths, cos, sin, cfg)

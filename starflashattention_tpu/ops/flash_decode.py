@@ -370,6 +370,10 @@ def flash_decode_with_stats(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # allow double-buffered KV tiles beyond the default 16 MB scoped
+            # budget (v5e has 128 MB physical VMEM) — big blocks cut the
+            # idle-grid-step tax in the ragged short-context regime
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths, layer_arr, q4, k_cache, v_cache)
@@ -477,6 +481,7 @@ def _flash_decode_fused(
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths, layer_arr, q4, k_cache, v_cache)

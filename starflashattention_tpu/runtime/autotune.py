@@ -37,6 +37,17 @@ class DecodeConfig:
     batch_block: int = 1
 
 
+@dataclasses.dataclass(frozen=True)
+class PagedConfig:
+    pages_per_compute_block: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PrefillConfig:
+    block_q: int
+    block_k: int
+
+
 def candidate_decode_configs(
     seq_len: int,
     num_kv_heads: int,
@@ -59,9 +70,9 @@ def candidate_decode_configs(
 
     bbs = [1]
     if batch_size is not None:
-        bbs += [c for c in (2, 4) if batch_size % c == 0]
+        bbs += [c for c in (2, 4, 8, 16) if batch_size % c == 0 and c <= batch_size]
     out = []
-    for block_k in (1024, 512, 256, 128):
+    for block_k in (1024, 512, 256, 128, 64, 32):
         if seq_len % block_k:
             continue
         for bb in bbs:
@@ -103,11 +114,16 @@ class DecodeAutotuner:
     """
 
     def __init__(self, cache_path: str | pathlib.Path | None = None):
-        self._cache: dict[str, DecodeConfig] = {}
+        self._cache: dict[str, object] = {}
         self._path = pathlib.Path(cache_path) if cache_path else None
         if self._path and self._path.exists():
             for key, val in json.loads(self._path.read_text()).items():
-                self._cache[key] = DecodeConfig(**val)
+                cls = (
+                    PagedConfig if key.startswith("paged:")
+                    else PrefillConfig if key.startswith("prefill:")
+                    else DecodeConfig
+                )
+                self._cache[key] = cls(**val)
 
     @staticmethod
     def _key(q, k_cache) -> str:
@@ -124,13 +140,97 @@ class DecodeAutotuner:
         if hit is not None:
             return hit
         cfg = self._measure(q, k_cache, v_cache, lengths, **kw)
-        self._cache[key] = cfg
+        self._store(key, cfg)
+        return cfg
+
+    # -- paged decode ---------------------------------------------------------
+
+    def best_paged(self, q, k_pages, v_pages, page_table, lengths, **kw) -> PagedConfig:
+        """Measured pages_per_compute_block for ops/paged_decode.py."""
+        hkv, ps, d = k_pages.shape[-4], k_pages.shape[-2], k_pages.shape[-1]
+        b = q.shape[0]
+        pages_per_seq = page_table.shape[1]
+        key = (
+            f"paged:{jax.default_backend()}:b{b}hq{q.shape[1]}hkv{hkv}"
+            f"pps{pages_per_seq}ps{ps}d{d}:{jnp.dtype(k_pages.dtype).name}"
+        )
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from starflashattention_tpu.ops.paged_decode import paged_flash_decode
+
+        cands = [
+            c for c in (1, 2, 4, 8, 16)
+            if c <= pages_per_seq and pages_per_seq % c == 0
+            # K+V double-buffered page block must fit the VMEM budget
+            and 4 * hkv * c * ps * d * k_pages.dtype.itemsize <= _VMEM_TILE_BUDGET
+        ] or [1]
+        iters = 64 if jax.default_backend() == "tpu" else 4
+        best, best_t = None, float("inf")
+        for c in cands:
+            def step(qq, k_pages, v_pages, page_table, lengths, c=c):
+                o = paged_flash_decode(
+                    qq, k_pages, v_pages, page_table, lengths,
+                    pages_per_compute_block=c, **kw,
+                )
+                return qq + o.astype(qq.dtype) * jnp.asarray(1e-3, qq.dtype)
+
+            per, _ = time_scanned(
+                step, q, k_pages, v_pages, page_table, lengths,
+                iters=iters, repeats=3, min_window_s=0.04,
+            )
+            if per < best_t:
+                best, best_t = PagedConfig(c), per
+        self._store(key, best)
+        return best
+
+    # -- prefill --------------------------------------------------------------
+
+    def best_prefill(self, q, k, v, lengths, **kw) -> PrefillConfig:
+        """Measured (block_q, block_k) for ops/flash_prefill.py."""
+        b, hq, sq, d = q.shape
+        hkv, s = k.shape[1], k.shape[2]
+        key = (
+            f"prefill:{jax.default_backend()}:b{b}hq{hq}hkv{hkv}sq{sq}s{s}d{d}"
+            f":{jnp.dtype(k.dtype).name}"
+        )
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from starflashattention_tpu.ops.flash_prefill import flash_prefill
+
+        cands = [
+            PrefillConfig(bq, bk)
+            for bq in (128, 256, 512)
+            for bk in (128, 256, 512)
+            if bq <= max(sq, 128) and bk <= max(s, 128)
+        ]
+        iters = 16 if jax.default_backend() == "tpu" else 2
+        best, best_t = None, float("inf")
+        for cand in cands:
+            def step(qq, k, v, lengths, cand=cand):
+                o = flash_prefill(
+                    qq, k, v, lengths=lengths, causal=True,
+                    block_q=cand.block_q, block_k=cand.block_k, **kw,
+                )
+                return qq + o.astype(qq.dtype) * jnp.asarray(1e-3, qq.dtype)
+
+            per, _ = time_scanned(
+                step, q, k, v, lengths, iters=iters, repeats=3, min_window_s=0.04
+            )
+            if per < best_t:
+                best, best_t = cand, per
+        self._store(key, best)
+        return best
+
+    def _store(self, key: str, val) -> None:
+        self._cache[key] = val
         if self._path:
             self._path.parent.mkdir(parents=True, exist_ok=True)
-            self._path.write_text(
-                json.dumps({k: dataclasses.asdict(v) for k, v in self._cache.items()})
-            )
-        return cfg
+            payload = {}
+            for k, v in self._cache.items():
+                payload[k] = dataclasses.asdict(v)
+            self._path.write_text(json.dumps(payload))
 
     def _measure(self, q, k_cache, v_cache, lengths, **kw) -> DecodeConfig:
         from starflashattention_tpu.ops.flash_decode import flash_decode

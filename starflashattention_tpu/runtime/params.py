@@ -71,6 +71,11 @@ class ModelConfig:
     max_seq_len: int = 4096
     dtype: str = "bfloat16"
     quant_mode: QuantMode = "none"
+    # Static KV quantization range (absmax calibration): scales cover
+    # [-kv_calibration_scale, +kv_calibration_scale]. K/V projections of a
+    # unit-variance residual stream are ~N(0,1), so ~5 sigma avoids clipping;
+    # recalibrate per checkpoint (models/checkpoint.py loads real weights).
+    kv_calibration_scale: float = 5.0
     num_splits: int = 4
     block_k: int = 256
     batch_block: int | None = None

@@ -145,6 +145,7 @@ class Engine:
             self.cfg.head_dim,
             dtype=jnp.dtype(self.cfg.dtype),
             quant_mode=self.cfg.quant_mode,
+            calibration_scale=self.cfg.kv_calibration_scale,
         )
         if self.mesh is not None:
             cache = self._shard_cache_fn(cache, self.mesh)
@@ -336,6 +337,7 @@ class PagedEngine(Engine):
             pages_per_seq=self.pages_per_seq,
             dtype=jnp.dtype(self.cfg.dtype),
             quant_mode=self.cfg.quant_mode,
+            calibration_scale=self.cfg.kv_calibration_scale,
         )
 
     def _sync_table(self) -> None:

@@ -73,3 +73,38 @@ def test_degenerate_cache_length_raises(rng):
     lengths = jnp.asarray([100], jnp.int32)
     with pytest.raises(ValueError, match="multiple of 512"):
         flash_decode(q, k, v, lengths)
+
+
+def test_autotuner_paged_and_prefill_memoize(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from starflashattention_tpu.runtime.autotune import PagedConfig, PrefillConfig
+
+    path = tmp_path / "tune.json"
+    tuner = DecodeAutotuner(cache_path=path)
+
+    # paged: B=2, Hkv=2, 4 pages/seq of 16 tokens
+    b, hq, hkv, d, ps, pps = 2, 4, 2, 64, 16, 4
+    num_pages = b * pps + 1
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.float32)
+    pt = jnp.arange(1, 1 + b * pps, dtype=jnp.int32).reshape(b, pps)
+    lengths = jnp.asarray([30, 64], jnp.int32)
+    pcfg = tuner.best_paged(q, kp, vp, pt, lengths)
+    assert isinstance(pcfg, PagedConfig)
+    assert pps % pcfg.pages_per_compute_block == 0
+
+    # prefill
+    sq, s = 32, 64
+    qp = jnp.asarray(rng.standard_normal((b, hq, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    fcfg = tuner.best_prefill(qp, k, v, jnp.asarray([30, 64], jnp.int32))
+    assert isinstance(fcfg, PrefillConfig)
+
+    # reload from disk: typed entries survive the round-trip, no re-measure
+    tuner2 = DecodeAutotuner(cache_path=path)
+    tuner2._measure = None
+    assert tuner2.best_paged(q, kp, vp, pt, lengths) == pcfg
+    assert tuner2.best_prefill(qp, k, v, jnp.asarray([30, 64], jnp.int32)) == fcfg
