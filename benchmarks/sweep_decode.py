@@ -39,11 +39,14 @@ CONFIGS = [
 
 
 def main() -> None:
-    rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
-    q = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype)
-    k = jnp.asarray(rng.standard_normal((L, B, HKV, S, D)) * 0.1, dtype)
-    v = jnp.asarray(rng.standard_normal((L, B, HKV, S, D)) * 0.1, dtype)
+    # Generate ON DEVICE: a (L,B,Hkv,S,D) host-numpy array is ~4 GB of f64
+    # that then crawls through the remote tunnel (measured: minutes).
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, HQ, D), dtype)
+    k = jax.random.normal(kk, (L, B, HKV, S, D), dtype) * jnp.asarray(0.1, dtype)
+    v = jax.random.normal(kv, (L, B, HKV, S, D), dtype) * jnp.asarray(0.1, dtype)
+    jax.block_until_ready((q, k, v))
     lens = np.full((B,), S // 2, np.int32)
     lens[: B // 2] = S // 4
     lengths = jnp.asarray(lens + 1, jnp.int32)
