@@ -193,6 +193,53 @@ def model_int8_decode_bench(quick: bool = False):
         del params, cache
 
 
+def paged_serving_bench(quick: bool = False):
+    """BASELINE config 3 as a SERVING path (not a kernel microbench): the
+    PagedEngine end-to-end — 7B INT8 weights, paged bf16 KV (b=32 slots,
+    4k-token pool per slot), continuous batching with real admission,
+    page growth, and retirement. Reports the engine's own counters
+    (p50 TTFT, decode tokens/s — wall-clock, i.e. INCLUDING the ~25-30 ms
+    remote-tunnel readback per round; device-only decode rate is bounded
+    below by the model_int8 benches)."""
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+    from starflashattention_tpu.serving import PagedEngine
+
+    if jax.default_backend() != "tpu":
+        return
+    slots, max_seq, page = (8, 1024, 128) if quick else (32, 4096, 128)
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=max_seq, num_splits=1, block_k=128,
+        batch_block=8, pages_per_compute_block=4,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = llama.quantize_model_weights(params, "int8", consume=True)
+    eng = PagedEngine(
+        params, cfg, num_slots=slots, steps_per_round=16, page_size=page
+    )
+    rng = np.random.default_rng(0)
+    n_req = slots + slots // 2  # oversubscribe: exercises retire + re-admit
+    prompts = [
+        [int(t) for t in rng.integers(0, cfg.vocab_size, int(n))]
+        for n in rng.integers(32, 192, size=n_req)
+    ]
+    max_new = 32 if quick else 64
+    eng.generate(prompts, max_new_tokens=max_new)
+    s = eng.stats.summary()
+    _emit(
+        f"paged_serving_7b_int8w_b{slots}_seq{max_seq // 1024}k",
+        s["p50_ttft_ms"] / 1e3,
+        {
+            "decode_tokens_per_s_wall": s["decode_tokens_per_s"],
+            "p50_ttft_ms": s["p50_ttft_ms"],
+            "finished": s["finished"],
+            "preemptions": s["preemptions"],
+            "note": "wall rates include ~25-30ms tunnel RTT per decode round",
+        },
+    )
+    del params, eng
+
+
 def prefill_ttft_bench(quick: bool = False):
     """BASELINE config 2 / TTFT: whole-model causal prefill at 7B shapes.
 
@@ -262,6 +309,7 @@ def main():
     paged_decode_bench(quick=args.quick)
     int8_kv_decode_bench(quick=args.quick)
     model_int8_decode_bench(quick=args.quick)
+    paged_serving_bench(quick=args.quick)
     prefill_ttft_bench(quick=args.quick)
 
 

@@ -58,7 +58,9 @@ def quant_matmul(
     *,
     layer: jax.Array | int | None = None,
     block_h: int = 512,
-    block_o: int = 2048,
+    # measured at the 7B decode shapes (benchmarks/sweep_qmm.py): 4096-wide
+    # output blocks beat 2048 on every projection (w_down 72 -> 65 us)
+    block_o: int = 4096,
     interpret: bool | None = None,
 ) -> jax.Array:
     """``x @ dequant(w[layer])`` → (B, O) fp32. B may be tiny (decode)."""
