@@ -148,7 +148,9 @@ def model_int8_decode_bench(quick: bool = False):
 
     if jax.default_backend() != "tpu":
         return
-    cases = [(64, 2048), (8, 8192)]
+    # frontier points: INT8 weights (5.7 GB) + embeds (0.5 GB) leave ~9 GB
+    # for cache + runtime scratch on a 16 GB chip
+    cases = [(64, 1536), (8, 8192)]
     if quick:
         cases = [(8, 2048)]
     for batch, max_seq in cases:
@@ -162,7 +164,8 @@ def model_int8_decode_bench(quick: bool = False):
             cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
             cfg.head_dim, dtype=jnp.bfloat16, quant_mode="int8",
         )
-        lens = np.full((batch,), max_seq - 256, np.int64)  # near-full context
+        # near-full context, with room for warm+3 timed chains of appends
+        lens = np.full((batch,), max_seq - 384, np.int64)
         cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
         cos, sin = llama.rope_tables(cfg)
         tok = jnp.zeros((batch,), jnp.int32)
@@ -172,14 +175,21 @@ def model_int8_decode_bench(quick: bool = False):
             logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
             return cache, jnp.argmax(logits, -1).astype(jnp.int32)
 
+        # donate_carry: a non-donated chain would COPY the near-HBM-sized
+        # INT8 cache at chain start (OOM at b=64/seq=2k).
         iters = 32 if quick else 64
-        per, _ = time_scanned(
-            step, (cache, tok), params, cos, sin, iters=iters, repeats=3
+        per, out = time_scanned(
+            step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
+            donate_carry=True,
         )
+        del out, cache  # the returned carry holds the (donated) cache —
+        # release before the next case allocates its own
         embed_b = params["embed"].size * 2
         weights = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
         kv = 2 * cfg.num_layers * batch * cfg.num_kv_heads * float(np.mean(lens)) * cfg.head_dim
-        bytes_touched = weights + kv + batch * cfg.vocab_size * 4
+        # windowed-RMW append: read+write a 32-row window for K and V
+        append = 4 * cfg.num_layers * batch * cfg.num_kv_heads * 32 * cfg.head_dim
+        bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
         _emit(
             f"model7b_int8w_int8kv_b{batch}_seq{max_seq}",
             per,
@@ -190,7 +200,7 @@ def model_int8_decode_bench(quick: bool = False):
                 "note": "b64/s8k INT8-KV=34GB > 16GB HBM; frontier points instead",
             },
         )
-        del params, cache
+        del params
 
 
 def paged_serving_bench(quick: bool = False):

@@ -14,6 +14,7 @@ per-iteration time.
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
 from typing import Callable
 
@@ -97,6 +98,7 @@ def time_scanned(
     iters: int = 256,
     repeats: int = 5,
     min_window_s: float = 0.08,
+    donate_carry: bool = False,
 ) -> tuple[float, object]:
     """Per-iteration seconds of ``carry = fn(carry, *consts)`` — the honest
     protocol for sub-dispatch-floor kernels.
@@ -112,10 +114,17 @@ def time_scanned(
 
     If the measured window is shorter than ``min_window_s``, the chain is
     recompiled longer once (scan compile time is O(1) in ``iters``).
+
+    ``donate_carry=True`` donates the carry into the chain and threads each
+    run's output in as the next run's carry. Without it, a carry that the
+    chain updates in place (e.g. a KV cache) is COPIED wholesale at chain
+    start — wrong bytes charged, and a near-HBM-sized carry OOMs outright.
+    The caller's ``carry`` is consumed, and state advances across repeats
+    (size the carry so iters × (repeats+1) steps stay in capacity).
     """
 
     def build(n):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate_carry else ())
         def run(carry, *consts):
             def body(c, _):
                 return fn(c, *consts), None
@@ -123,17 +132,35 @@ def time_scanned(
             return c
         return run
 
+    def timed_run(run, carry):
+        if donate_carry:
+            times = []
+            for _ in range(repeats):
+                t0 = time.time()
+                carry = run(carry, *consts)
+                _force(carry)
+                times.append(time.time() - t0)
+            return min(times), carry
+        t = min(_timed(lambda: _force(run(carry, *consts))) for _ in range(repeats))
+        return t, carry
+
     rtt = _tunnel_rtt()
     run = build(iters)
     out = run(carry, *consts)
     _force(out)  # compile + warm
-    t = min(_timed(lambda: _force(run(carry, *consts))) for _ in range(repeats))
+    if donate_carry:
+        carry = out  # original buffer was donated into the warm run
+    t, out = timed_run(run, carry)
+    if donate_carry:
+        carry = out
     if t - rtt < min_window_s and iters < 4096:
         iters = min(4096, max(iters * 2, int(iters * min_window_s / max(t - rtt, 1e-4))))
         run = build(iters)
         out = run(carry, *consts)
         _force(out)
-        t = min(_timed(lambda: _force(run(carry, *consts))) for _ in range(repeats))
+        if donate_carry:
+            carry = out
+        t, out = timed_run(run, carry)
     return max(t - rtt, 1e-9) / iters, out
 
 
