@@ -42,11 +42,13 @@ def decode_kernel_sweep(quick: bool = False):
     if quick:
         cases = cases[:2]
     b, hq, d = 2, 32, 128
-    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
     for hkv in (32, 8):
         for max_seq, seq in cases:
-            k = jnp.asarray(rng.standard_normal((b, hkv, max_seq, d)), jnp.bfloat16)
-            v = jnp.asarray(rng.standard_normal((b, hkv, max_seq, d)), jnp.bfloat16)
+            # generate ON device: host-numpy giants crawl through the tunnel
+            key, kk, kv = jax.random.split(key, 3)
+            k = jax.random.normal(kk, (b, hkv, max_seq, d), jnp.bfloat16)
+            v = jax.random.normal(kv, (b, hkv, max_seq, d), jnp.bfloat16)
             lengths = jnp.full((b,), seq, jnp.int32)
 
             def step(q, k, v, lengths):
@@ -55,7 +57,8 @@ def decode_kernel_sweep(quick: bool = False):
                 # letting the compiler drop the kernel
                 return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-            q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+            key, kq = jax.random.split(key)
+            q0 = jax.random.normal(kq, (b, hq, d), jnp.bfloat16)
             # NB: big arrays must be scan ARGS — jit closure constants are
             # shipped to the remote compiler wholesale (HTTP 413 past ~100 MB).
             per, _ = time_scanned(step, q0, k, v, lengths)
@@ -78,8 +81,9 @@ def paged_decode_bench(quick: bool = False):
     pages_per_seq = 64  # 4096 tokens
     num_pages = b * pages_per_seq + 1
     rng = np.random.default_rng(0)
-    k_pages = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.bfloat16)
-    v_pages = jnp.asarray(rng.standard_normal((hkv, num_pages, ps, d)), jnp.bfloat16)
+    kk, kv = jax.random.split(jax.random.PRNGKey(0))
+    k_pages = jax.random.normal(kk, (hkv, num_pages, ps, d), jnp.bfloat16)
+    v_pages = jax.random.normal(kv, (hkv, num_pages, ps, d), jnp.bfloat16)
     perm = rng.permutation(num_pages - 1) + 1
     pt = jnp.asarray(perm[: b * pages_per_seq].reshape(b, pages_per_seq).astype(np.int32))
     lengths = jnp.full((b,), pages_per_seq * ps, jnp.int32)
@@ -106,8 +110,9 @@ def int8_kv_decode_bench(quick: bool = False):
     dequant, batch=64, seq=8k."""
     b, hq, hkv, d, s = (8, 32, 8, 128, 2048) if quick else (64, 32, 8, 128, 8192)
     rng = np.random.default_rng(0)
-    k8 = jnp.asarray(rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8)
-    v8 = jnp.asarray(rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8)
+    kk, kv = jax.random.split(jax.random.PRNGKey(0))
+    k8 = jax.random.randint(kk, (b, hkv, s, d), -127, 127, jnp.int8)
+    v8 = jax.random.randint(kv, (b, hkv, s, d), -127, 127, jnp.int8)
     scales = jnp.asarray(rng.uniform(0.01, 0.02, (hkv,)), jnp.float32)
     lengths = jnp.full((b,), s, jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
@@ -224,8 +229,13 @@ def paged_serving_bench(quick: bool = False):
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = llama.quantize_model_weights(params, "int8", consume=True)
+    # Pool sized for the WORKING SET, not worst case — that is the point of
+    # paging (a full-capacity pool at 7B is 1025 pages x 16.8 MB = 17 GB).
+    # 8 pages/slot covers prompt<=192 + 64 new with headroom; a page here is
+    # all 32 layers' K+V rows (16.8 MB), so this pool is ~4.3 GB.
     eng = PagedEngine(
-        params, cfg, num_slots=slots, steps_per_round=16, page_size=page
+        params, cfg, num_slots=slots, steps_per_round=16, page_size=page,
+        num_pages=slots * 8 + 1,
     )
     rng = np.random.default_rng(0)
     n_req = slots + slots // 2  # oversubscribe: exercises retire + re-admit

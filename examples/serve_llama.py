@@ -21,7 +21,7 @@ import numpy as np
 
 from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
-from starflashattention_tpu.serving import Engine
+from starflashattention_tpu.serving import Engine, PagedEngine
 
 
 def main():
@@ -30,13 +30,23 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV pool (vLLM-style; native C++ allocator when built)")
+    ap.add_argument("--int8", action="store_true", help="INT8 weight-only quantization")
     args = ap.parse_args()
 
     if args.tiny or jax.default_backend() != "tpu":
-        cfg = ModelConfig.tiny(dtype="float32")
+        if jax.default_backend() == "tpu":
+            # Mosaic DMA slices need 128-lane-aligned head dims on real
+            # hardware; interpret mode (CPU) accepts the smaller test dims.
+            cfg = ModelConfig.tiny(dtype="float32", head_dim=128, max_seq_len=256)
+        else:
+            cfg = ModelConfig.tiny(dtype="float32")
     else:
         cfg = ModelConfig.llama_7b_gqa(max_seq_len=1024)
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if args.int8:
+        params = llama.quantize_model_weights(params, "int8", consume=True)
     print(f"model: {llama.param_count(params)/1e9:.2f}B params, "
           f"{cfg.num_layers}L {cfg.num_q_heads}/{cfg.num_kv_heads} heads")
 
@@ -46,13 +56,21 @@ def main():
         for _ in range(args.requests)
     ]
 
-    eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8)
+    if args.paged:
+        page = 32 if cfg.max_seq_len < 512 else 128
+        eng = PagedEngine(params, cfg, num_slots=args.slots, steps_per_round=8,
+                          page_size=page)
+        print(f"paged pool: {eng.num_pages} pages x {eng.page_size} tokens, "
+              f"allocator={type(eng.pool).__name__}")
+    else:
+        eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8)
     t0 = time.time()
     outputs = eng.generate(prompts, max_new_tokens=args.new_tokens)
     dt = time.time() - t0
     total = sum(len(o) for o in outputs)
     print(f"{len(outputs)} requests, {total} tokens in {dt:.2f}s "
           f"-> {total/dt:.1f} tok/s (incl. prefill + scheduling)")
+    print("engine stats:", eng.stats.summary())
     print("first output:", outputs[0][:16])
 
 

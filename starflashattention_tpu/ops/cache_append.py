@@ -134,6 +134,19 @@ def _window_for(s: int) -> int:
     return w
 
 
+def _check_lane_dim(d: int, interpret: bool) -> None:
+    """Mosaic can only DMA window slices whose last (lane) dim is 128-tile
+    aligned; head_dim < 128 compiles on CPU interpret but ICEs on real TPU
+    ("Slice shape along dimension 4 must be aligned to tiling (128)").
+    Fail fast with an actionable message instead."""
+    if not interpret and d % 128:
+        raise ValueError(
+            f"cache append on TPU requires head_dim to be a multiple of 128 "
+            f"(got {d}); pad the head dim or use a CPU/interpret run for "
+            f"tiny test geometries"
+        )
+
+
 def append_rows_kv(
     k_table: jax.Array,  # (L, B, Hkv, S, D)
     v_table: jax.Array,
@@ -157,6 +170,7 @@ def append_rows_kv(
     assert k_new.dtype == k_table.dtype, (k_new.dtype, k_table.dtype)
     if interpret is None:
         interpret = _use_interpret()
+    _check_lane_dim(d, interpret)
     window = _window_for(s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -262,6 +276,7 @@ def append_rows_paged_kv(
     _, pages_per_seq = page_table.shape
     if interpret is None:
         interpret = _use_interpret()
+    _check_lane_dim(d, interpret)
     window = _window_for(page_size)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -323,6 +338,7 @@ def append_rows(
     assert new.dtype == table.dtype, (new.dtype, table.dtype)
     if interpret is None:
         interpret = _use_interpret()
+    _check_lane_dim(d, interpret)
     window = _window_for(s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -33,13 +33,13 @@ def _use_interpret() -> bool:
 
 
 def _qmm_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_h_blocks: int):
-    hi = pl.program_id(1)
+    hi = pl.program_id(2)
 
     @pl.when(hi == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]  # (B, block_h)
+    x = x_ref[...]  # (block_b, block_h)
     w = w_ref[0].astype(x.dtype)  # (block_h, block_o) upcast in VMEM
     acc_ref[...] += jax.lax.dot_general(
         x, w, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -90,8 +90,16 @@ def quant_matmul(
     block_h = best_block(h, block_h)
     exact_o = best_block(o, block_o)
     block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
+    # Rows are blocked too: decode feeds B=16, but PREFILL feeds B·Sq rows
+    # (thousands) — an unblocked (b, block_o) f32 output window would blow
+    # VMEM (measured: 6144x4096 f32 x 2 buffers = 200 MB at 7B admission).
+    block_b = b
+    while block_b > 512 or (block_b > 8 and b % block_b):
+        block_b = -(-block_b // 2)
+    if b % block_b:
+        block_b = b  # no clean split (small odd b): single row block
     n_h = h // block_h
-    grid = (pl.cdiv(o, block_o), n_h)
+    grid = (b // block_b, pl.cdiv(o, block_o), n_h)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -99,21 +107,25 @@ def quant_matmul(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (b, block_h), lambda oi, hi, lr: (0, hi), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_h, block_o),
-                lambda oi, hi, lr: (lr[0], hi, oi),
+                (block_b, block_h), lambda bi, oi, hi, lr: (bi, hi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_o), lambda oi, hi, lr: (lr[0], 0, oi), memory_space=pltpu.VMEM
+                (1, block_h, block_o),
+                lambda bi, oi, hi, lr: (lr[0], hi, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_o),
+                lambda bi, oi, hi, lr: (lr[0], 0, oi),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (b, block_o), lambda oi, hi, lr: (0, oi), memory_space=pltpu.VMEM
+            (block_b, block_o), lambda bi, oi, hi, lr: (bi, oi),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((b, block_o), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
     )
 
     out = pl.pallas_call(
@@ -121,7 +133,7 @@ def quant_matmul(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, o), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             # double-buffered weight blocks can exceed the default 16 MB
             # scoped-VMEM budget; v5e has 128 MB physical VMEM
             vmem_limit_bytes=96 * 1024 * 1024,

@@ -57,3 +57,18 @@ def test_model_with_quantized_weights(rng):
     tok = jnp.argmax(logits_q, -1).astype(jnp.int32)
     logits_q2, _ = llama.decode_step(qparams, cache_q, tok, cos, sin, cfg)
     assert np.all(np.isfinite(np.asarray(logits_q2)))
+
+
+def test_quant_matmul_prefill_row_count(rng):
+    """Thousands of rows (B*Sq at admission prefill) must row-block — an
+    unblocked output window OOMs VMEM on real hardware."""
+    import jax.numpy as jnp
+    from starflashattention_tpu.core import quant
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul
+
+    b, h, o = 1536, 64, 128
+    x = jnp.asarray(rng.standard_normal((b, h)), jnp.float32)
+    q = quant.quantize_weight(jnp.asarray(rng.standard_normal((h, o)), jnp.float32), "int8")
+    got = quant_matmul(x, q["w"], q["scale"])
+    want = (x @ q["w"].astype(jnp.float32)) * q["scale"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
