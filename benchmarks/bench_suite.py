@@ -244,6 +244,12 @@ def paged_serving_bench(quick: bool = False):
         for n in rng.integers(32, 192, size=n_req)
     ]
     max_new = 32 if quick else 64
+    # warmup compiles every prefill pad bucket (prompt lengths 32..192 →
+    # pads 64/128/192) + the decode program; remote compile is ~minutes at
+    # 7B and is NOT serving time
+    for warm_len in (191, 127, 63):
+        eng.generate([[1] * warm_len], max_new_tokens=max_new)
+    eng.reset_stats()
     eng.generate(prompts, max_new_tokens=max_new)
     s = eng.stats.summary()
     _emit(

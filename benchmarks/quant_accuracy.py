@@ -39,18 +39,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BOUNDS = {"max_abs_err": 0.5, "delta_ce_nats": 0.02}
+# Per-scheme Δ bounds ("the scheme's stated Δ", BASELINE.json): INT8
+# per-channel is a ~0.4%-relative scheme; FP8 E4M3 has ~2x coarser mantissa.
+BOUNDS = {
+    "int8": {"max_abs_err": 0.5, "delta_ce_nats": 0.02},
+    "fp8": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
+}
 
 
-def run_model(cfg, *, weight_quant: bool, prompts, plens, forced: np.ndarray):
-    """Init (seed 0) → optionally quantize → prefill + TEACHER-FORCED decode
-    of ``forced`` (B, n) tokens. Returns all logits, (B, n+1, V) on host."""
+def run_model(cfg, *, weight_quant, prompts, plens, forced: np.ndarray):
+    """Init (seed 0) → optionally quantize (weight_quant = None|"int8"|"fp8")
+    → prefill + TEACHER-FORCED decode of ``forced`` (B, n) tokens. Returns
+    all logits, (B, n+1, V) on host."""
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
 
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if weight_quant:
-        params = llama.quantize_model_weights(params, "int8", consume=True)
+        params = llama.quantize_model_weights(params, weight_quant, consume=True)
     b = prompts.shape[0]
     cache = contiguous.init_cache(
         cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
@@ -70,6 +76,7 @@ def run_model(cfg, *, weight_quant: bool, prompts, plens, forced: np.ndarray):
 
 
 def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
+    bounds = BOUNDS["fp8" if "fp8" in name else "int8"]
     err = np.abs(got - ref)
     # Δ cross-entropy: E_p_ref[log p_ref - log p_got], mean over positions
     def logsoftmax(x):
@@ -88,8 +95,8 @@ def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
         "ref_logit_std": round(float(ref.std()), 3),
     }
     out["within_bounds"] = bool(
-        out["max_abs_err"] <= BOUNDS["max_abs_err"]
-        and abs(out["delta_ce_nats"]) <= BOUNDS["delta_ce_nats"]
+        out["max_abs_err"] <= bounds["max_abs_err"]
+        and abs(out["delta_ce_nats"]) <= bounds["delta_ce_nats"]
     )
     print(json.dumps(out), flush=True)
     return out
@@ -115,19 +122,18 @@ def main() -> None:
     forced = rng.integers(0, 32000, (b, n_dec))  # same continuation for all
 
     cfg = ModelConfig.llama_7b_gqa(**cfg_kw)
-    ref = run_model(cfg, weight_quant=False, prompts=prompts, plens=plens, forced=forced)
+    ref = run_model(cfg, weight_quant=None, prompts=prompts, plens=plens, forced=forced)
 
-    int8w = run_model(cfg, weight_quant=True, prompts=prompts, plens=plens, forced=forced)
-    r1 = compare("int8_weights", ref, int8w)
-
-    cfg_kv = ModelConfig.llama_7b_gqa(**cfg_kw, quant_mode="int8")
-    int8kv = run_model(cfg_kv, weight_quant=False, prompts=prompts, plens=plens, forced=forced)
-    r2 = compare("int8_kv", ref, int8kv)
-
-    both = run_model(cfg_kv, weight_quant=True, prompts=prompts, plens=plens, forced=forced)
-    r3 = compare("int8_weights+int8_kv", ref, both)
-
-    results = [r1, r2, r3]
+    results = []
+    for wq, kv in [
+        ("int8", None), (None, "int8"), ("int8", "int8"),
+        ("fp8", None), (None, "fp8"), ("fp8", "fp8"),
+    ]:
+        c = ModelConfig.llama_7b_gqa(**cfg_kw, quant_mode=kv) if kv else cfg
+        got = run_model(c, weight_quant=wq, prompts=prompts, plens=plens, forced=forced)
+        name = "+".join(filter(None, [f"{wq}_weights" if wq else None,
+                                      f"{kv}_kv" if kv else None]))
+        results.append(compare(name, ref, got))
     out = Path(__file__).parent / "artifacts" / "quant_accuracy.json"
     out.write_text(json.dumps({"bounds": BOUNDS, "results": results}, indent=1))
     assert all(r["within_bounds"] for r in results), (

@@ -253,6 +253,13 @@ class Engine:
 
     # -- public API -----------------------------------------------------------
 
+    def reset_stats(self) -> None:
+        """Zero the counters (e.g. after a warmup pass that compiled the
+        prefill/decode programs — first-call times are compile, not serving)."""
+        self.stats = EngineStats()
+        self._submit_time.clear()
+        self._first_token_seen.clear()
+
     def submit(self, req: Request) -> None:
         self.sched.submit(req)
         self._submit_time[req.uid] = time.time()
