@@ -63,13 +63,20 @@ def quantize_int8(x: jax.Array, head_axis: int = 1) -> QuantizedTensor:
     return QuantizedTensor(values=q.astype(jnp.int8), scales=scales)
 
 
+def _to_fp8(scaled: jax.Array) -> jax.Array:
+    """Cast to e4m3fn with SATURATION: the format has no inf, so an
+    out-of-range cast produces NaN — one 6-sigma outlier under fixed
+    calibration scales would poison every later attention output."""
+    return jnp.clip(scaled, -FP8_MAX, FP8_MAX).astype(jnp.float8_e4m3fn)
+
+
 def quantize_fp8(x: jax.Array, head_axis: int = 1) -> QuantizedTensor:
     """Per-head FP8-e4m3 quantization: scale maps absmax to FP8_MAX."""
     absmax = _per_head_absmax(x, head_axis)
     scales = jnp.where(absmax == 0.0, 1.0, absmax / FP8_MAX)
     inv = 1.0 / _scale_shape(x.ndim, head_axis, scales)
     q = x.astype(jnp.float32) * inv
-    return QuantizedTensor(values=q.astype(jnp.float8_e4m3fn), scales=scales)
+    return QuantizedTensor(values=_to_fp8(q), scales=scales)
 
 
 def quantize(x: jax.Array, mode: QuantMode, head_axis: int = 1):
@@ -106,7 +113,7 @@ def quantize_weight(w: jax.Array, mode: QuantMode = "int8") -> dict:
     if mode == "int8":
         q = jnp.clip(jnp.round(scaled), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     else:
-        q = scaled.astype(jnp.float8_e4m3fn)
+        q = _to_fp8(scaled)
     return {"w": q, "scale": scale}
 
 
@@ -126,5 +133,5 @@ def quantize_value(x: jax.Array, scales: jax.Array, mode: QuantMode, head_axis: 
     if mode == "int8":
         return jnp.clip(jnp.round(scaled), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     if mode == "fp8":
-        return scaled.astype(jnp.float8_e4m3fn)
+        return _to_fp8(scaled)
     raise ValueError(f"unknown quant mode {mode!r}")

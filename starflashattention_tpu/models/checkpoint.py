@@ -129,3 +129,41 @@ def load_hf_model(model_name_or_path: str, dtype=None):
     model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
     params = load_hf_state_dict(model.state_dict(), cfg, dtype=dtype)
     return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (Orbax): save/restore the framework's own pytree —
+# including QUANTIZED weights, so a serving fleet warm-restarts without
+# re-reading + re-quantizing the bf16 original (at 7B that is ~14 GB of IO
+# plus a minute of on-chip quantization per restart).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, params: dict, cfg: ModelConfig) -> None:
+    """Write params (+ the ModelConfig, as metadata) to ``path``."""
+    import dataclasses
+    import json
+    import pathlib
+
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "params", params)
+    ckptr.wait_until_finished()
+    (path / "config.json").write_text(json.dumps(dataclasses.asdict(cfg)))
+
+
+def load_checkpoint(path: str):
+    """Restore ``(cfg, params)`` written by :func:`save_checkpoint` —
+    quantized ``{"w", "scale"}`` structure round-trips as-is."""
+    import json
+    import pathlib
+
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    cfg = ModelConfig(**json.loads((path / "config.json").read_text()))
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(path / "params")
+    return cfg, params

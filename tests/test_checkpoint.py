@@ -88,3 +88,36 @@ def test_logits_match_hf_forward(hf_model):
         params, cache, jnp.asarray(nxt, jnp.int32), cos, sin, cfg
     )
     np.testing.assert_allclose(np.asarray(ours2), hf_logits2, atol=2e-4, rtol=2e-3)
+
+
+def test_native_checkpoint_roundtrip_quantized(tmp_path):
+    """Orbax save/restore of the framework pytree, incl. quantized weights:
+    a serving restart must not re-quantize from bf16 (nor lose bit-exactness)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starflashattention_tpu.models import checkpoint, llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(0))
+    )
+    checkpoint.save_checkpoint(tmp_path / "ckpt", params, cfg)
+    cfg2, params2 = checkpoint.load_checkpoint(tmp_path / "ckpt")
+    assert cfg2 == cfg
+
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the restored pytree decodes identically
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    out1 = llama.generate(params, cfg, toks, lens, max_new_tokens=3)
+    out2 = llama.generate(params2, cfg2, toks, lens, max_new_tokens=3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -54,3 +54,25 @@ def test_int8_attention_logit_error(rng):
     o_q = decode_reference(jnp.array(q), kq, vq, jnp.array(lengths))
     err = np.max(np.abs(np.asarray(o_fp) - np.asarray(o_q)))
     assert err < 0.05, err
+
+
+def test_fp8_out_of_range_saturates_not_nan():
+    """e4m3fn has no inf: an unclamped cast of a value beyond +-448 yields
+    NaN, which one 6-sigma outlier under fixed calibration scales would
+    inject into every later attention output (regression: observed as NaN
+    logits in the 7B fp8-KV accuracy run)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starflashattention_tpu.core import quant
+
+    scales = jnp.asarray([1.0 / quant.FP8_MAX], jnp.float32)  # covers |x|<=1
+    x = jnp.asarray([[2.0, -3.0, 0.5]], jnp.float32).reshape(1, 1, 3)
+    q = quant.quantize_value(x, scales, "fp8", head_axis=1)
+    back = np.asarray(q.astype(jnp.float32)) * (1.0 / quant.FP8_MAX)
+    assert np.isfinite(back).all()
+    np.testing.assert_allclose(back[0, 0], [1.0, -1.0, 0.5], rtol=0.07)
+
+    w = jnp.asarray([[1.0, 600.0], [0.5, -700.0]], jnp.float32)
+    wq = quant.quantize_weight(w, "fp8")
+    assert np.isfinite(np.asarray(wq["w"].astype(jnp.float32))).all()
