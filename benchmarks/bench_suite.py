@@ -52,7 +52,10 @@ def decode_kernel_sweep(quick: bool = False):
             lengths = jnp.full((b,), seq, jnp.int32)
 
             def step(q, k, v, lengths):
-                o = flash_decode(q, k, v, lengths, num_splits=4, block_k=256)
+                # single-split fused-epilogue kernel: measured better than
+                # any ns>1 on the one-TensorCore v5e (splits only add an
+                # HBM partials round-trip; see default_decode_config)
+                o = flash_decode(q, k, v, lengths, num_splits=1, block_k=256)
                 # tiny feedback keeps the chain data-dependent without
                 # letting the compiler drop the kernel
                 return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)

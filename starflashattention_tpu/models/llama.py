@@ -672,6 +672,31 @@ def _prefill_core_paged(
     return _logits(x_last, params, cfg), cache
 
 
+def _decode_multi_core_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tok: jax.Array,  # (B,)
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    n_steps: int,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
+    """n greedy decode steps against the paged pool in ONE program."""
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = _decode_core_paged(
+            params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    return toks.T, tok, cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
 def decode_multi_paged(
     params: Params,
@@ -684,15 +709,27 @@ def decode_multi_paged(
     n_steps: int,
 ) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
     """Paged analog of :func:`decode_multi`: n greedy steps, one program."""
+    return _decode_multi_core_paged(params, cache, tok, cos, sin, active, cfg, n_steps)
 
-    def step(carry, _):
-        tok, cache = carry
-        logits, cache = _decode_core_paged(params, cache, tok, cos, sin, cfg, active=active)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, cache), nxt
 
-    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
-    return toks.T, tok, cache
+def _prefill_serving_core_paged(
+    params: Params,
+    cache: paged.PagedKVCache,
+    tokens: jax.Array,  # (B, Sq)
+    new_lengths: jax.Array,  # (B,)
+    active: jax.Array,  # (B,) bool
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, paged.PagedKVCache]:
+    cache = dataclasses.replace(
+        cache, lengths=jnp.where(active, 0, cache.lengths)
+    )
+    return _prefill_core_paged(
+        params, cache, tokens, new_lengths, cos, sin, cfg,
+        axis_name=axis_name, active=active,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -707,11 +744,8 @@ def prefill_serving_paged(
     cfg: ModelConfig,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     """Paged analog of :func:`prefill_serving` (admission into fresh slots)."""
-    cache = dataclasses.replace(
-        cache, lengths=jnp.where(active, 0, cache.lengths)
-    )
-    return _prefill_core_paged(
-        params, cache, tokens, new_lengths, cos, sin, cfg, active=active
+    return _prefill_serving_core_paged(
+        params, cache, tokens, new_lengths, active, cos, sin, cfg
     )
 
 

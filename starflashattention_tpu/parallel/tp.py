@@ -283,6 +283,95 @@ def make_tp_prefill_serving(
     return jax.jit(sharded, donate_argnums=(1,))
 
 
+# ---------------------------------------------------------------------------
+# Sharded PAGED serving: the page pool shards its KV-head axis over "model"
+# (each chip holds its co-located heads' slice of every page) and its PAGE
+# axis over "data" (each data shard owns a private pool partition; page ids
+# in the table are LOCAL to the shard, issued by that shard's allocator —
+# serving/engine.PagedEngine keeps one allocator per data shard). The page
+# table itself shards its slot rows over "data".
+# ---------------------------------------------------------------------------
+
+
+def paged_cache_specs():
+    from starflashattention_tpu.cache.paged import PagedKVCache
+
+    return PagedKVCache(
+        k_pages=P(None, MODEL, DATA, None, None),
+        v_pages=P(None, MODEL, DATA, None, None),
+        page_table=P(DATA, None),
+        lengths=P(DATA),
+        k_scales=P(None, MODEL),
+        v_scales=P(None, MODEL),
+    )
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    specs = paged_cache_specs()
+    if cache.k_scales is None:
+        specs = dataclasses.replace(specs, k_scales=None, v_scales=None)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def _paged_specs_for(cfg: ModelConfig):
+    specs = paged_cache_specs()
+    if cfg.quant_mode == "none":
+        specs = dataclasses.replace(specs, k_scales=None, v_scales=None)
+    return specs
+
+
+def make_tp_decode_multi_paged(
+    mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False
+):
+    """Sharded paged serving decode round — the paged analog of
+    :func:`make_tp_decode_multi`."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    c_specs = _paged_specs_for(cfg)
+
+    def core(params, cache, tok, cos, sin, active):
+        return llama._decode_multi_core_paged(
+            params, cache, tok, cos, sin, active, scfg, n_steps, axis_name=MODEL
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(), P(), P(DATA)),
+        out_specs=(P(DATA), P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+def make_tp_prefill_serving_paged(
+    mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False
+):
+    """Sharded paged admission prefill."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    c_specs = _paged_specs_for(cfg)
+
+    def core(params, cache, tokens, new_lengths, active, cos, sin):
+        return llama._prefill_serving_core_paged(
+            params, cache, tokens, new_lengths, active, cos, sin, scfg,
+            axis_name=MODEL,
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(), P()),
+        out_specs=(P(DATA), c_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
 def make_tp_prefill(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
 ):

@@ -89,14 +89,19 @@ def candidate_decode_configs(
 
 
 def default_decode_config(batch_size: int, seq_len: int) -> DecodeConfig:
-    """Heuristic when measuring is not an option: enough (batch × split)
-    cells to cover the chip's memory parallelism, biggest block that tiles."""
-    splits = 1
-    while batch_size * splits < 8 and splits < 8:
-        splits *= 2
+    """Heuristic when measuring is not an option.
+
+    A v5e chip has ONE TensorCore, so the grid runs sequentially — intra-chip
+    splits buy no parallelism and cost an extra (o, m, l) partials round-trip
+    through HBM. Measured (benchmarks/sweep_decode.py + the B=2 probe):
+    num_splits=1 with the fused-epilogue kernel wins at every shape tested
+    (e.g. B=2/Hkv=8/seq=511: 7.4 us vs 8.8 at ns=4). Splits remain for the
+    CROSS-chip reduction (parallel/distributed_decode.py) and for multi-core
+    parts; the measured autotuner still searches them."""
+    del batch_size
     for block_k in (512, 256, 128):
-        if seq_len % (splits * block_k) == 0:
-            return DecodeConfig(splits, block_k)
+        if seq_len % block_k == 0:
+            return DecodeConfig(1, block_k)
     return DecodeConfig(1, 256 if seq_len % 256 == 0 else 128)
 
 

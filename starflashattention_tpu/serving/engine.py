@@ -122,7 +122,10 @@ class Engine:
                 f"num_slots {self.num_slots} not divisible by data axis "
                 f"{self.mesh.shape[tp.DATA]}"
             )
-        weight_quant = tp._params_are_weight_quant(params)
+        self._build_sharded_fns(tp, tp._params_are_weight_quant(params))
+        return tp.shard_params(params, self.mesh, self.cfg)
+
+    def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
         quantized = self.cfg.quant_mode != "none"
         self._tp_decode_multi = tp.make_tp_decode_multi(
             self.mesh, self.cfg, self.steps_per_round,
@@ -132,7 +135,6 @@ class Engine:
             self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant
         )
         self._shard_cache_fn = tp.shard_cache
-        return tp.shard_params(params, self.mesh, self.cfg)
 
     # -- cache-backend hooks (overridden by PagedEngine) ----------------------
 
@@ -301,23 +303,36 @@ class PagedEngine(Engine):
         native: bool | None = None,
         mesh=None,
     ):
-        if mesh is not None:
-            raise NotImplementedError(
-                "sharded serving currently uses the contiguous Engine; "
-                "paged pools shard over heads the same way but the sharded "
-                "paged step functions are not built yet"
-            )
+        """With ``mesh`` set, the page pool shards its KV-head axis over the
+        model axis and its PAGE axis over the data axis: each data shard owns
+        a private pool partition with its own host allocator, and page-table
+        ids are LOCAL to the shard (each shard's kernels index only its
+        slice). ``num_pages`` is then the PER-DATA-SHARD pool size, and slots
+        map to shards by contiguous blocks (slot // slots_per_shard)."""
         self.page_size = page_size
         self.pages_per_seq = -(-cfg.max_seq_len // page_size)
+        self._data_shards = 1 if mesh is None else int(mesh.shape["data"])
+        self._slots_per_shard = num_slots // max(self._data_shards, 1)
         # Default pool: every slot can hold a full sequence (+ null page 0).
-        self.num_pages = num_pages or num_slots * self.pages_per_seq + 1
-        self.pool = self._make_pool(self.num_pages, native)
+        self.num_pages = num_pages or self._slots_per_shard * self.pages_per_seq + 1
+        self.pools = [
+            self._make_pool(self.num_pages, native) for _ in range(self._data_shards)
+        ]
         self._handles: dict[int, int] = {}  # slot -> pool handle
         self._admit_order: list[int] = []  # slots by admission recency
         self._host_table = np.zeros((num_slots, self.pages_per_seq), np.int32)
         self._host_len = np.zeros((num_slots,), np.int64)
         self._table_dirty = False
-        super().__init__(params, cfg, num_slots, steps_per_round, prefill_pad)
+        super().__init__(params, cfg, num_slots, steps_per_round, prefill_pad, mesh=mesh)
+
+    @property
+    def pool(self):
+        """The single-shard allocator (unsharded engines; tests)."""
+        assert self._data_shards == 1, "sharded engine has one pool per data shard"
+        return self.pools[0]
+
+    def _pool_for(self, slot: int):
+        return self.pools[slot // self._slots_per_shard]
 
     @staticmethod
     def _make_pool(num_pages: int, native: bool | None):
@@ -333,31 +348,51 @@ class PagedEngine(Engine):
 
     # -- backend hooks --------------------------------------------------------
 
+    def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
+        self._tp_decode_multi = tp.make_tp_decode_multi_paged(
+            self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant
+        )
+        self._tp_prefill = tp.make_tp_prefill_serving_paged(
+            self.mesh, self.cfg, weight_quant=weight_quant
+        )
+        self._shard_cache_fn = tp.shard_paged_cache
+
     def _init_cache(self):
-        return paged.init_paged_cache(
+        cache = paged.init_paged_cache(
             self.cfg.num_layers,
             self.num_slots,
             self.cfg.num_kv_heads,
             self.cfg.head_dim,
-            num_pages=self.num_pages,
+            # the global pool concatenates the data shards' partitions
+            num_pages=self.num_pages * self._data_shards,
             page_size=self.page_size,
             pages_per_seq=self.pages_per_seq,
             dtype=jnp.dtype(self.cfg.dtype),
             quant_mode=self.cfg.quant_mode,
             calibration_scale=self.cfg.kv_calibration_scale,
         )
+        if self.mesh is not None:
+            cache = self._shard_cache_fn(cache, self.mesh)
+        return cache
 
     def _sync_table(self) -> None:
         if self._table_dirty:
-            self.cache = dataclasses.replace(
-                self.cache, page_table=jnp.asarray(self._host_table)
-            )
+            table = jnp.asarray(self._host_table)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from starflashattention_tpu.parallel.tp import paged_cache_specs
+
+                table = jax.device_put(
+                    table, NamedSharding(self.mesh, paged_cache_specs().page_table)
+                )
+            self.cache = dataclasses.replace(self.cache, page_table=table)
             self._table_dirty = False
 
     def _write_row(self, slot: int) -> None:
         row = np.zeros((self.pages_per_seq,), np.int32)
         if slot in self._handles:
-            pages = self.pool.seq_pages(self._handles[slot])
+            pages = self._pool_for(slot).seq_pages(self._handles[slot])
             row[: len(pages)] = pages
         self._host_table[slot] = row
         self._table_dirty = True
@@ -366,7 +401,7 @@ class PagedEngine(Engine):
         """Extend the slot's page list to cover ``new_len`` tokens; False on
         pool exhaustion (caller decides who to preempt)."""
         try:
-            self.pool.seq_extend(self._handles[slot], new_len, self.page_size)
+            self._pool_for(slot).seq_extend(self._handles[slot], new_len, self.page_size)
         except MemoryError:
             return False
         self._write_row(slot)
@@ -375,7 +410,7 @@ class PagedEngine(Engine):
     def _release(self, slot: int) -> None:
         handle = self._handles.pop(slot, None)
         if handle is not None:
-            self.pool.seq_free(handle)
+            self._pool_for(slot).seq_free(handle)
         if slot in self._admit_order:
             self._admit_order.remove(slot)
         self._host_len[slot] = 0
@@ -386,11 +421,17 @@ class PagedEngine(Engine):
     def _on_retired(self, slot: int) -> None:
         self._release(slot)
 
-    def _preempt_youngest(self, but_not: int | None = None) -> int | None:
+    def _preempt_youngest(
+        self, but_not: int | None = None, shard: int | None = None
+    ) -> int | None:
         """Free the most recently admitted running slot's pages; requeue its
-        request. Returns the slot, or None if there is no candidate."""
+        request. ``shard`` restricts candidates to one data shard's pool
+        (preempting a slot on another shard frees nothing useful). Returns
+        the slot, or None if there is no candidate."""
         for slot in reversed(self._admit_order):
             if slot == but_not:
+                continue
+            if shard is not None and slot // self._slots_per_shard != shard:
                 continue
             self.sched.preempt(slot)
             self._release(slot)
@@ -406,14 +447,14 @@ class PagedEngine(Engine):
         exhausted = False
         for slot, req in admitted:
             if not exhausted:
-                self._handles[slot] = self.pool.seq_new()
+                self._handles[slot] = self._pool_for(slot).seq_new()
                 need = len(req.prompt) + len(req.output)
                 if self._grow(slot, need):
                     self._admit_order.append(slot)
                     self._host_len[slot] = need
                     accepted.append((slot, req))
                     continue
-                self.pool.seq_free(self._handles.pop(slot))
+                self._pool_for(slot).seq_free(self._handles.pop(slot))
                 exhausted = True
             rejected.append(slot)
         for slot in reversed(rejected):
@@ -429,7 +470,9 @@ class PagedEngine(Engine):
                 continue
             need = int(self._host_len[slot]) + self.steps_per_round
             while not self._grow(slot, need):
-                victim = self._preempt_youngest(but_not=slot)
+                victim = self._preempt_youngest(
+                    but_not=slot, shard=slot // self._slots_per_shard
+                )
                 if victim is None:
                     raise MemoryError(
                         f"paged pool too small for one sequence: slot {slot} "
@@ -447,6 +490,12 @@ class PagedEngine(Engine):
 
     def _prefill_call(self, toks, new_lengths, admit_mask):
         self._sync_table()
+        if self.mesh is not None:
+            logits, self.cache = self._tp_prefill(
+                self.params, self.cache, toks, new_lengths, admit_mask,
+                self.cos, self.sin,
+            )
+            return logits
         logits, self.cache = llama.prefill_serving_paged(
             self.params, self.cache, toks, new_lengths, admit_mask,
             self.cos, self.sin, self.cfg,
@@ -454,6 +503,12 @@ class PagedEngine(Engine):
         return logits
 
     def _decode_call(self, active, n):
+        if self.mesh is not None:
+            toks, self.pending_tok, self.cache = self._tp_decode_multi(
+                self.params, self.cache, self.pending_tok,
+                self.cos, self.sin, active,
+            )
+            return toks
         toks, self.pending_tok, self.cache = llama.decode_multi_paged(
             self.params, self.cache, self.pending_tok,
             self.cos, self.sin, active, self.cfg, n,

@@ -51,3 +51,56 @@ def test_tp_engine_slots_must_divide_data_axis(mesh8):
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="divisible by data axis"):
         Engine(params, CFG, num_slots=3, mesh=mesh8)
+
+
+def test_tp_paged_engine_matches_single_chip(mesh8):
+    """Sharded PAGED serving: pool sharded (heads over model, pages over
+    data, per-shard allocators with local page ids) must reproduce the
+    single-chip paged engine exactly."""
+    from starflashattention_tpu.serving import PagedEngine
+
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32", pages_per_compute_block=2
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, n)] for n in (3, 7, 5, 4)]
+    n_new = 5
+
+    ref_eng = PagedEngine(params, cfg, num_slots=2, steps_per_round=2, page_size=16)
+    expected = ref_eng.generate(prompts, max_new_tokens=n_new)
+
+    eng = PagedEngine(
+        params, cfg, num_slots=4, steps_per_round=2, page_size=16, mesh=mesh8
+    )
+    assert len(eng.pools) == 2  # one allocator per data shard
+    outputs = eng.generate(prompts, max_new_tokens=n_new)
+    assert outputs == expected
+    for pool in eng.pools:  # all pages recycled on retirement
+        assert pool.free_pages == eng.num_pages - 1
+
+
+def test_tp_paged_engine_per_shard_preemption(mesh8):
+    """Pool pressure on one data shard preempts within THAT shard and still
+    completes every request."""
+    from starflashattention_tpu.serving import PagedEngine
+
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32", pages_per_compute_block=2
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, 9)] for _ in range(4)]
+    n_new = 12
+
+    ref_eng = PagedEngine(params, cfg, num_slots=2, steps_per_round=3, page_size=16)
+    expected = ref_eng.generate(prompts, max_new_tokens=n_new)
+
+    # 2 slots/shard but only ~1.5 sequences' worth of pages per shard
+    eng = PagedEngine(
+        params, cfg, num_slots=4, steps_per_round=3, page_size=16,
+        num_pages=4, mesh=mesh8,
+    )
+    outputs = eng.generate(prompts, max_new_tokens=n_new)
+    assert outputs == expected
+    assert eng.stats.preemptions > 0
