@@ -121,8 +121,9 @@ def int8_kv_decode_bench(quick: bool = False):
     q0 = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
 
     def step(q, k8, v8, lengths, scales):
+        # single-split fused-epilogue kernel (see default_decode_config)
         o = flash_decode(
-            q, k8, v8, lengths, num_splits=4, block_k=512,
+            q, k8, v8, lengths, num_splits=1, block_k=512,
             k_scales=scales, v_scales=scales,
         )
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
@@ -286,48 +287,57 @@ def prefill_ttft_bench(quick: bool = False):
         return
     V5E_BF16_FLOPS = 394.5e12 / 2  # MXU peak without int8 doubling
     cfg = ModelConfig.llama_7b_gqa(max_seq_len=2048)
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    n_params = sum(p.size for p in jax.tree.leaves(params)) - params["embed"].size
-    cos, sin = llama.rope_tables(cfg)
     b = 1
     rng = np.random.default_rng(0)
     prompt_lens = [512, 1024, 2048] if not quick else [512]
 
     import time as _t
 
-    all_times = []
-    for sp in prompt_lens:
-        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
-        plens = jnp.full((b,), sp, jnp.int32)
+    for scheme in ("bf16", "int8w"):
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        if scheme == "int8w":
+            params = llama.quantize_model_weights(params, "int8", consume=True)
+        n_params = sum(
+            p.size for p in jax.tree.leaves(params)
+        ) - params["embed"].size
+        cos, sin = llama.rope_tables(cfg)
 
-        def run_once(toks=toks, plens=plens):
-            cache = contiguous.init_cache(
-                cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
-                dtype=jnp.bfloat16,
+        all_times = []
+        for sp in prompt_lens:
+            toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
+            plens = jnp.full((b,), sp, jnp.int32)
+
+            def run_once(toks=toks, plens=plens, params=params):
+                cache = contiguous.init_cache(
+                    cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len,
+                    cfg.head_dim, dtype=jnp.bfloat16,
+                )
+                t0 = _t.time()
+                logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
+                _ = np.asarray(logits[:1, :1])
+                return _t.time() - t0
+
+            run_once()  # compile
+            times = [run_once() for _ in range(3)]
+            t = float(np.median(times))
+            all_times.append(t)
+            flops = 2.0 * n_params * sp
+            _emit(
+                f"prefill_ttft_7b_{scheme}_seq{sp}",
+                t,
+                {
+                    "mxu_frac": round(flops / t / V5E_BF16_FLOPS, 3),
+                    "note": "wall TTFT incl ~25ms tunnel RTT",
+                },
             )
-            t0 = _t.time()
-            logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
-            _ = np.asarray(logits[:1, :1])
-            return _t.time() - t0
-
-        run_once()  # compile
-        times = [run_once() for _ in range(3)]
-        t = float(np.median(times))
-        all_times.append(t)
-        flops = 2.0 * n_params * sp
         _emit(
-            f"prefill_ttft_7b_seq{sp}",
-            t,
-            {
-                "mxu_frac": round(flops / t / V5E_BF16_FLOPS, 3),
-                "note": "wall TTFT incl ~25ms tunnel RTT",
-            },
+            f"prefill_ttft_7b_{scheme}_p50",
+            float(np.median(all_times)),
+            {"prompt_lens": prompt_lens},
         )
-    _emit(
-        "prefill_ttft_7b_p50",
-        float(np.median(all_times)),
-        {"prompt_lens": prompt_lens},
-    )
+        # run_once's default arg still references params — drop BOTH, or the
+        # next scheme's init_params peaks at 2x model size and OOMs 16 GB HBM
+        del params, run_once
 
 
 def main():
