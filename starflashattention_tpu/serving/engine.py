@@ -91,12 +91,17 @@ class Engine:
         steps_per_round: int = 8,
         prefill_pad: int = 64,
         mesh=None,
+        debug_validate: bool = False,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
         self.mesh = mesh
+        # Sanitizer mode (utils/sanitize.py): per-round host-side invariant
+        # checks + a finite-check on prefill logits. Debug only — never in
+        # the jitted hot path.
+        self.debug_validate = debug_validate
         # Rounds are FIXED-SIZE so exactly two program shapes exist per
         # prompt-pad bucket (one prefill, one decode_multi) — a variable
         # round length would recompile per distinct value, which dominates
@@ -108,6 +113,7 @@ class Engine:
         self.stats = EngineStats()
         self._submit_time: dict[int, float] = {}
         self._first_token_seen: set[int] = set()
+        self._finished_requests: list[Request] = []  # for recovery snapshots
         if mesh is not None:
             self.params = self._shard(params)
         else:
@@ -199,6 +205,8 @@ class Engine:
         uid = req.uid if req is not None else None
         if self.sched.record_tokens(slot, tokens):
             self.stats.finished += 1
+            if req is not None:
+                self._finished_requests.append(req)
             self._on_retired(slot)
         if uid is not None and uid not in self._first_token_seen:
             self._first_token_seen.add(uid)
@@ -225,6 +233,14 @@ class Engine:
         logits = self._prefill_call(
             jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask)
         )
+        if self.debug_validate:
+            from starflashattention_tpu.utils import sanitize
+
+            # only admitted rows — an inactive slot's row is fully masked
+            # and owes no numeric contract
+            sanitize.check_finite(
+                {"prefill_logits": logits[np.nonzero(admit_mask)[0]]}, "prefill"
+            )
         self.stats.prefill_rounds += 1
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         self.pending_tok = jnp.where(jnp.asarray(admit_mask), first, self.pending_tok)
@@ -252,6 +268,33 @@ class Engine:
                 # overshoot tokens of the final round are discarded (their
                 # cache appends sit inside the reserved slack).
                 self._record(i, [int(t) for t in toks_host[i]])
+
+    # -- failure recovery -------------------------------------------------------
+
+    def recover_device_state(self) -> None:
+        """Rebuild device state after a fault (serving/recovery.py).
+
+        Every running request is preempted back to the queue (newest uid
+        first, so ``appendleft`` restores FCFS order), backend resources are
+        released, and the KV cache + pending tokens are re-initialized.
+        Tokens already recorded stay recorded; re-admission re-prefills
+        ``prompt + output`` — the same deterministic-resume path preemption
+        uses, so recovered outputs are bit-identical to an un-faulted run.
+        """
+        running = [
+            (i, s.request) for i, s in enumerate(self.sched.slots) if s.request
+        ]
+        for slot, _req in sorted(running, key=lambda t: t[1].uid, reverse=True):
+            self.sched.preempt(slot)
+            self._on_retired(slot)
+        self.pending_tok = jnp.zeros_like(self.pending_tok)
+        self.cache = self._init_cache()
+
+    def run_resilient(self, **kwargs) -> int:
+        """:func:`serving.recovery.run_resilient` on this engine."""
+        from starflashattention_tpu.serving import recovery
+
+        return recovery.run_resilient(self, **kwargs)
 
     # -- public API -----------------------------------------------------------
 
@@ -302,6 +345,7 @@ class PagedEngine(Engine):
         num_pages: int | None = None,
         native: bool | None = None,
         mesh=None,
+        debug_validate: bool = False,
     ):
         """With ``mesh`` set, the page pool shards its KV-head axis over the
         model axis and its PAGE axis over the data axis: each data shard owns
@@ -323,7 +367,10 @@ class PagedEngine(Engine):
         self._host_table = np.zeros((num_slots, self.pages_per_seq), np.int32)
         self._host_len = np.zeros((num_slots,), np.int64)
         self._table_dirty = False
-        super().__init__(params, cfg, num_slots, steps_per_round, prefill_pad, mesh=mesh)
+        super().__init__(
+            params, cfg, num_slots, steps_per_round, prefill_pad,
+            mesh=mesh, debug_validate=debug_validate,
+        )
 
     @property
     def pool(self):
@@ -485,8 +532,28 @@ class PagedEngine(Engine):
         for slot in range(self.num_slots):
             if active[slot]:
                 self._host_len[slot] += self.steps_per_round
+        if self.debug_validate:
+            self._validate_tables(active)
         self._sync_table()
         return active
+
+    def _validate_tables(self, active: np.ndarray) -> None:
+        """Sanitizer pass (utils/sanitize.py): page aliasing across live
+        slots, out-of-range/null ids, and append-window capacity — run on
+        the exact host table the next decode round will consume."""
+        from starflashattention_tpu.utils import sanitize
+
+        shard_of = np.arange(self.num_slots) // self._slots_per_shard
+        # _host_len already includes this round's appends for active slots;
+        # the table was grown to cover them, so validate at that length.
+        sanitize.check_page_table(
+            self._host_table, self._host_len, self.page_size, self.num_pages,
+            active=active, shard_of=shard_of,
+        )
+        pre = np.where(active, self._host_len - self.steps_per_round, 0)
+        sanitize.check_append_window(
+            pre, self.steps_per_round, self.pages_per_seq * self.page_size
+        )
 
     def _prefill_call(self, toks, new_lengths, admit_mask):
         self._sync_table()
