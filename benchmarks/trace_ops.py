@@ -58,14 +58,49 @@ def capture(out_dir: str) -> None:
         np.asarray(out[1][:1])
 
 
-def summarize(out_dir: str, top: int = 28) -> None:
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def capture_prefill(out_dir: str, seq: int = 2048, scheme: str = "bf16") -> None:
+    """Trace one 7B prefill (the TTFT path) instead of the decode chain."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
 
-    xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
-    assert xplanes, f"no xplane under {out_dir}"
-    xplane = max(xplanes, key=lambda p: Path(p).stat().st_mtime)
-    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "trace_viewer", {})
-    trace = json.loads(data)
+    cfg = ModelConfig.llama_7b_gqa(max_seq_len=seq)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if scheme == "int8w":
+        params = llama.quantize_model_weights(params, "int8", consume=True)
+    cos, sin = llama.rope_tables(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0, cfg.vocab_size, jnp.int32)
+    plens = jnp.full((1,), seq, jnp.int32)
+
+    def run():
+        cache = contiguous.init_cache(
+            cfg.num_layers, 1, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.bfloat16,
+        )
+        logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
+        np.asarray(logits[:1, :1])
+
+    run()  # compile + warm
+    with jax.profiler.trace(out_dir):
+        run()
+
+
+def summarize(out_dir: str, top: int = 28) -> None:
+    # jax.profiler.trace writes a trace-viewer JSON next to the xplane —
+    # parse it directly (the tensorboard_plugin_profile converter is broken
+    # against this image's TF build).
+    jsons = glob.glob(f"{out_dir}/**/*.trace.json.gz", recursive=True)
+    if jsons:
+        latest = max(jsons, key=lambda p: Path(p).stat().st_mtime)
+        trace = json.loads(gzip.open(latest, "rt").read())
+    else:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+        xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
+        assert xplanes, f"no xplane under {out_dir}"
+        xplane = max(xplanes, key=lambda p: Path(p).stat().st_mtime)
+        data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "trace_viewer", {})
+        trace = json.loads(data)
     events = trace["traceEvents"]
     pid_names = {
         e["pid"]: e["args"]["name"]
@@ -94,7 +129,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/artifacts/trace_step")
     ap.add_argument("--no-capture", action="store_true")
+    ap.add_argument("--prefill", action="store_true")
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--scheme", default="bf16", choices=["bf16", "int8w"])
     args = ap.parse_args()
     if not args.no_capture:
-        capture(args.out)
+        if args.prefill:
+            capture_prefill(args.out, seq=args.seq, scheme=args.scheme)
+        else:
+            capture(args.out)
     summarize(args.out)

@@ -4,12 +4,28 @@ The reference has NO prefill kernel (SURVEY.md §2: decode-only); this is the
 new capability mandated by BASELINE.json config 2 (multi-head causal prefill,
 bf16, Llama-7B shapes) so the engine can serve TTFT, not just tokens/s.
 
-Design: classic FlashAttention-2 forward re-expressed for the MXU —
-grid (batch, q_head, q_block, kv_block), 128-aligned tiles, running
-(m, l, acc) in fp32 VMEM scratch, whole KV tiles above the causal diagonal
-skipped before any matmul. GQA maps each q head to its KV head inside the
-BlockSpec index maps, so no repeated KV is ever materialized (the reference
-has no GQA at all, SURVEY.md §2.9j).
+Design: FlashAttention-2 forward re-expressed for the MXU, with the same
+"all group heads per grid cell" batching that took the paged decode kernel
+from 0.34x to 0.89x of roofline:
+
+- grid (batch, KV head, q_block, kv_block) — one cell computes ALL G = Hq/Hkv
+  query heads of its group against one KV tile, so each KV tile is fetched
+  ONCE per q block instead of G times (at 7B GQA that's 4x less KV DMA) and
+  the score matmul is (G*block_q, D) x (D, block_k) — MXU-sized instead of
+  G small ones.
+- interior tiles skip masking entirely: a tile fully below the causal
+  diagonal and fully inside every sequence's valid length runs a mask-free
+  fast path (no iota, no compares, no select — at block 512x512 the masked
+  epilogue is pure VPU overhead on >90% of tiles).
+- whole KV tiles above the diagonal are skipped before any matmul; running
+  (m, l, acc) live in fp32 VMEM scratch across the kv_block loop.
+
+GQA head mapping (q head h -> KV head h // G) matches ops/flash_decode.py.
+Measured (v5e, B=1, Hq=32, Hkv=8, S=2048, D=128, bf16): per-q-head grid at
+block 128x128 ran 2.66 ms/layer (0.07 of MXU peak); this design at the
+512x1024 default runs ~0.35 ms (~0.5 of peak). Whole-model 7B TTFT at
+seq 2048: 244.5 -> 187.0 ms, step MXU fraction 0.49 -> 0.64
+(benchmarks/artifacts/results_round2.jsonl).
 """
 
 from __future__ import annotations
@@ -32,14 +48,15 @@ def _use_interpret() -> bool:
 def _prefill_kernel(
     lengths_ref,  # (B,) int32 SMEM — full array, indexed by program_id
     q_off_ref,  # (B,) int32 SMEM — absolute position of q row 0 per sequence
-    q_ref,  # (1, 1, Bq, D)
+    q_ref,  # (1, G, Bq, D)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
-    o_ref,  # (1, 1, Bq, D)
-    m_s,  # (Bq, LANES) f32
-    l_s,  # (Bq, LANES) f32
-    acc_s,  # (Bq, D) f32
+    o_ref,  # (1, G, Bq, D)
+    m_s,  # (G*Bq, LANES) f32
+    l_s,  # (G*Bq, LANES) f32
+    acc_s,  # (G*Bq, D) f32
     *,
+    group: int,
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
@@ -59,19 +76,23 @@ def _prefill_kernel(
     length = lengths_ref[batch]
     offset = q_off_ref[batch]
     kv_start = ki * block_k
+    q_row0 = offset + qi * block_q  # absolute position of this tile's row 0
 
     if causal:
         # Skip KV tiles entirely above the diagonal: the last q row of this
-        # tile sits at absolute position offset + (qi+1)*block_q - 1; run
-        # only if some kv column <= it.
-        in_band = kv_start <= offset + (qi + 1) * block_q - 1
+        # tile sits at absolute position q_row0 + block_q - 1.
+        in_band = kv_start <= q_row0 + block_q - 1
     else:
         in_band = True
     should_run = jnp.logical_and(in_band, kv_start < length)
+    # Interior tiles need no masking: every kv column is <= every q row
+    # (fully below the diagonal) and < length.
+    no_mask = kv_start + block_k <= length
+    if causal:
+        no_mask = jnp.logical_and(no_mask, kv_start + block_k - 1 <= q_row0)
 
-    @pl.when(should_run)
-    def _attend():
-        q = q_ref[0, 0]  # (Bq, D)
+    def _attend(masked: bool):
+        q = q_ref[0].reshape(group * block_q, q_ref.shape[-1])
         k = k_ref[0, 0]  # (Bk, D)
         v = v_ref[0, 0]
 
@@ -80,14 +101,19 @@ def _prefill_kernel(
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # (Bq, Bk)
+        ) * sm_scale  # (G*Bq, Bk)
 
-        col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = col < length
-        if causal:
-            row = offset + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = col < length
+            if causal:
+                # row index repeats per head within the group
+                row = q_row0 + jax.lax.rem(
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0),
+                    block_q,
+                )
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_s[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -105,11 +131,20 @@ def _prefill_kernel(
         )
         acc_s[...] = acc_s[...] * alpha[:, :1] + pv
 
+    @pl.when(jnp.logical_and(should_run, no_mask))
+    def _attend_fast():
+        _attend(masked=False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(no_mask)))
+    def _attend_masked():
+        _attend(masked=True)
+
     @pl.when(ki == num_kv_blocks - 1)
     def _emit():
         l = l_s[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+        o = (acc_s[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = o.reshape(group, block_q, o_ref.shape[-1])
 
 
 def flash_prefill(
@@ -121,15 +156,16 @@ def flash_prefill(
     causal: bool = True,
     q_offsets: jax.Array | None = None,  # (B,) absolute position of q[:, :, 0]
     sm_scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Blockwise causal prefill attention → (B, Hq, Sq, D).
 
     ``q_offsets`` shifts each sequence's causal diagonal: queries are a chunk
     starting at that absolute position in the KV timeline (chunked prefill /
-    multi-token decode against a cache).
+    multi-token decode against a cache). Q heads must be grouped by KV head
+    (head h attends KV head ``h // (Hq//Hkv)``).
     """
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
@@ -160,10 +196,11 @@ def flash_prefill(
 
     num_q_blocks = sq_p // block_q
     num_kv_blocks = skv_p // block_k
-    grid = (b, hq, num_q_blocks, num_kv_blocks)
+    grid = (b, hkv, num_q_blocks, num_kv_blocks)
 
     kernel = functools.partial(
         _prefill_kernel,
+        group=g,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
@@ -178,34 +215,35 @@ def flash_prefill(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, block_q, d),
+                (1, g, block_q, d),
                 lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda bi, hi, qi, ki: (bi, hi // g, ki, 0),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda bi, hi, qi, ki: (bi, hi // g, ki, 0),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
+            (1, g, block_q, d),
             lambda bi, hi, qi, ki: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((g * block_q, LANES), jnp.float32),
+            pltpu.VMEM((g * block_q, LANES), jnp.float32),
+            pltpu.VMEM((g * block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths, q_offsets, q, k, v)

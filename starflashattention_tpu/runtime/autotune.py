@@ -207,8 +207,8 @@ class DecodeAutotuner:
         cands = [
             PrefillConfig(bq, bk)
             for bq in (128, 256, 512)
-            for bk in (128, 256, 512)
-            if bq <= max(sq, 128) and bk <= max(s, 128)
+            for bk in (256, 512, 1024)
+            if bq <= max(sq, 128) and bk <= max(s, 256)
         ]
         iters = 16 if jax.default_backend() == "tpu" else 2
         best, best_t = None, float("inf")
