@@ -50,11 +50,18 @@ def _make_proj(layers: Params, lp: Params, lidx):
     ``lidx`` — an XLA dynamic-slice feeding a Pallas operand would
     materialize a full per-layer copy (measured 2.8x slower)."""
 
-    def proj(x: jax.Array, name: str) -> jax.Array:
+    def proj(x: jax.Array, name: str, out_dtype=None) -> jax.Array:
+        """``out_dtype`` narrows the QUANT kernel's output write in-kernel.
+        Only safe where the consumer casts before any cross-shard psum
+        (wqkv, gate_up — column-parallel, reduced after the cast in both the
+        single-chip and TP worlds, so sharded bit-match is preserved). The
+        dense path keeps f32; XLA fuses the downstream convert for free."""
         w = layers[name]
         if isinstance(w, dict):
             flat = x.reshape(-1, x.shape[-1])
-            out = quant_matmul(flat, w["w"], w["scale"], layer=lidx)
+            out = quant_matmul(
+                flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
+            )
             return out.reshape(*x.shape[:-1], out.shape[-1])
         return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
@@ -159,7 +166,7 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def _swiglu(x: jax.Array, proj) -> jax.Array:
-    gu = proj(x, "w_gate_up")
+    gu = proj(x, "w_gate_up", out_dtype=x.dtype)
     inter = gu.shape[-1] // 2
     gate, up = gu[..., :inter], gu[..., inter:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
@@ -231,7 +238,7 @@ def _decode_core(
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv").astype(x.dtype)
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -335,7 +342,7 @@ def _prefill_core(
         proj = _make_proj(layers, lp, lidx)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv").astype(x.dtype)
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -539,7 +546,7 @@ def _decode_core_paged(
         proj = _make_proj(layers, lp, lidx)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv").astype(x.dtype)
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -620,7 +627,7 @@ def _prefill_core_paged(
         proj = _make_proj(layers, lp, lidx)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv").astype(x.dtype)
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)

@@ -48,7 +48,9 @@ def _qmm_kernel(layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_h_blocks: i
 
     @pl.when(hi == n_h_blocks - 1)
     def _emit():
-        o_ref[...] = acc_ref[...] * s_ref[0]  # per-output-channel dequant
+        # per-output-channel dequant; cast in-kernel when the caller wants a
+        # narrow dtype (a separate XLA convert pass would re-stream the f32)
+        o_ref[...] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
 
 
 def quant_matmul(
@@ -61,9 +63,15 @@ def quant_matmul(
     # measured at the 7B decode shapes (benchmarks/sweep_qmm.py): 4096-wide
     # output blocks beat 2048 on every projection (w_down 72 -> 65 us)
     block_o: int = 4096,
+    out_dtype=None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """``x @ dequant(w[layer])`` → (B, O) fp32. B may be tiny (decode)."""
+    """``x @ dequant(w[layer])`` → (B, O) in ``out_dtype`` (default fp32).
+
+    Pass ``out_dtype=bf16`` when the consumer casts anyway: at prefill scale
+    the fp32 output window is the largest single HBM write of the layer
+    (gate_up at Sq=2048 is 180 MB f32 vs 90 MB bf16) and the downstream
+    convert re-streams it."""
     b, h = x.shape
     if w.ndim == 2:
         w = w[None]
@@ -93,11 +101,20 @@ def quant_matmul(
     # Rows are blocked too: decode feeds B=16, but PREFILL feeds B·Sq rows
     # (thousands) — an unblocked (b, block_o) f32 output window would blow
     # VMEM (measured: 6144x4096 f32 x 2 buffers = 200 MB at 7B admission).
+    # Every extra row block re-streams the WHOLE weight (the hi loop restarts
+    # per bi), so at prefill scale big row blocks win even though they force
+    # narrower output blocks: 4 row blocks at b=2048 cost 3 extra reads of
+    # ~177 MB/layer int8 ≈ 21 ms per 7B prefill step (xplane, trace_ops
+    # --prefill). Budget: out + acc f32 windows ≤ ~48 MB of the 96 MB limit.
+    row_cap = 512 if b <= 1024 else 4096
     block_b = b
-    while block_b > 512 or (block_b > 8 and b % block_b):
-        block_b = -(-block_b // 2)
-    if b % block_b:
-        block_b = b  # no clean split (small odd b): single row block
+    for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
+        if b % d == 0:
+            block_b = d
+            break
+    if block_b > 512:
+        cap = max(512, (4 * 1024 * 1024 // block_b) // 128 * 128)
+        block_o = min(block_o, cap)
     n_h = h // block_h
     grid = (b // block_b, pl.cdiv(o, block_o), n_h)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -131,7 +148,7 @@ def quant_matmul(
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, n_h_blocks=n_h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, o), out_dtype or jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # double-buffered weight blocks can exceed the default 16 MB

@@ -47,6 +47,26 @@ def test_tp_engine_quantized_weights(mesh8):
     assert outputs == expected
 
 
+def test_tp_engine_fp8_weights_int8_kv(mesh8):
+    """BASELINE config 5 verbatim: FP8 attention weights + INT8 KV cache,
+    heads/KV tensor-sharded, continuous batching — must reproduce the
+    single-chip engine bit-for-bit."""
+    cfg = ModelConfig.tiny(num_q_heads=8, num_kv_heads=4, quant_mode="int8")
+    params = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(5)), "fp8"
+    )
+    rng = np.random.default_rng(5)
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, n)] for n in (4, 6, 3)]
+
+    ref_eng = Engine(params, cfg, num_slots=2, steps_per_round=3)
+    expected = ref_eng.generate(prompts, max_new_tokens=5)
+
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=3, mesh=mesh8)
+    outputs = eng.generate(prompts, max_new_tokens=5)
+    assert outputs == expected
+    assert eng.stats.finished == 3
+
+
 def test_tp_engine_slots_must_divide_data_axis(mesh8):
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="divisible by data axis"):
