@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--paged", action="store_true",
                     help="paged KV pool (vLLM-style; native C++ allocator when built)")
     ap.add_argument("--int8", action="store_true", help="INT8 weight-only quantization")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="chunked prefill width (one compiled prefill shape; "
+                    "long prompts no longer monopolize a round)")
     args = ap.parse_args()
 
     if args.tiny or jax.default_backend() != "tpu":
@@ -59,11 +62,13 @@ def main():
     if args.paged:
         page = 32 if cfg.max_seq_len < 512 else 128
         eng = PagedEngine(params, cfg, num_slots=args.slots, steps_per_round=8,
+                          prefill_chunk=args.chunk,
                           page_size=page)
         print(f"paged pool: {eng.num_pages} pages x {eng.page_size} tokens, "
               f"allocator={type(eng.pool).__name__}")
     else:
-        eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8)
+        eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8,
+                     prefill_chunk=args.chunk)
     t0 = time.time()
     outputs = eng.generate(prompts, max_new_tokens=args.new_tokens)
     dt = time.time() - t0

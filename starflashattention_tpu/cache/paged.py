@@ -248,6 +248,28 @@ def scatter_prefill_chunk(
     return pages.at[layer, :, phys_f, slot_f, :].set(flat, mode="drop")
 
 
+def gather_prefix(
+    pages: jax.Array,  # (L, Hkv, P, page_size, D) pool (one table)
+    layer: jax.Array | int,
+    page_table: jax.Array,  # (B, pages_per_seq) int32
+    prefix_len: int,  # STATIC — tokens of already-pooled prefix to read
+) -> jax.Array:
+    """Gather each sequence's first ``prefix_len`` pooled tokens back into a
+    contiguous (B, Hkv, prefix_len, D) buffer (chunked prefill: continuation
+    chunks attend prefix + chunk; the prefix lives only in the pool).
+    ``prefix_len`` is static — the serving engine's chunk loop advances all
+    active rows in lockstep, so chunk index i needs exactly i·chunk tokens.
+    Usable inside scan-over-layers with a traced ``layer``."""
+    l, hkv, num_pages, ps, d = pages.shape
+    b, pages_per_seq = page_table.shape
+    n_pages = -(-prefix_len // ps)
+    ids = page_table[:, :n_pages]  # (B, n)
+    lp = jax.lax.dynamic_index_in_dim(pages, layer, 0, keepdims=False)
+    g = jnp.take(lp, ids.reshape(-1), axis=1)  # (Hkv, B*n, ps, D)
+    g = g.reshape(hkv, b, n_pages * ps, d).transpose(1, 0, 2, 3)
+    return g[:, :, :prefix_len]
+
+
 def append_prefill_paged(
     cache: PagedKVCache,
     layer: int,

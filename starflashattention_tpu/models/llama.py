@@ -470,16 +470,20 @@ def _prefill_serving_core(
     tokens: jax.Array,  # (B, Sq)
     new_lengths: jax.Array,  # (B,)
     active: jax.Array,  # (B,) bool — slots being (re)filled
+    reset: jax.Array,  # (B,) bool — slots starting a NEW prompt this call
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
     axis_name: str | None = None,
 ) -> tuple[jax.Array, contiguous.KVCache]:
-    """Masked prefill for admission: resets active slots' lengths to 0, fills
-    their prompts, leaves every other slot untouched, and returns each active
-    row's first sampled-from logits."""
+    """Masked prefill for admission: ``reset`` slots restart their cache
+    window at 0 before filling; ``active`` slots append this call's tokens.
+    Whole-prompt admission passes reset == active; CHUNKED prefill
+    (serving/engine.py) resets only on a prompt's first chunk — continuation
+    chunks must append at the already-filled length. Inactive slots are
+    untouched. Returns each active row's last-valid-position logits."""
     cache = dataclasses.replace(
-        cache, lengths=jnp.where(active, 0, cache.lengths)
+        cache, lengths=jnp.where(reset, 0, cache.lengths)
     )
     return _prefill_core(
         params, cache, tokens, new_lengths, cos, sin, cfg,
@@ -494,13 +498,14 @@ def prefill_serving(
     tokens: jax.Array,  # (B, Sq)
     new_lengths: jax.Array,  # (B,)
     active: jax.Array,  # (B,) bool — slots being (re)filled
+    reset: jax.Array,  # (B,) bool — slots starting a new prompt
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Single-chip jitted admission prefill."""
     return _prefill_serving_core(
-        params, cache, tokens, new_lengths, active, cos, sin, cfg
+        params, cache, tokens, new_lengths, active, reset, cos, sin, cfg
     )
 
 
@@ -602,14 +607,19 @@ def _prefill_core_paged(
     cfg: ModelConfig,
     axis_name: str | None = None,
     active: jax.Array | None = None,
+    prefix_len: int = 0,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
-    """Prompt ingestion into the paged pool — FRESH slots only (start = 0).
+    """Prompt ingestion into the paged pool.
 
-    The serving engine admits only into retired slots, so the chunk being
-    prefilled IS the whole sequence: attention runs directly on the
-    in-register chunk K/V (never touching the pool), and the chunk is
-    scattered across the slot's pages for the decode rounds that follow.
-    Inactive rows scatter nothing and their logits row is unused."""
+    ``prefix_len == 0`` (whole-prompt admission into fresh slots): the chunk
+    being prefilled IS the whole sequence, so attention runs directly on the
+    in-register chunk K/V (never touching the pool). ``prefix_len > 0``
+    (CHUNKED continuation): every active row has exactly ``prefix_len``
+    tokens already scattered in the pool; they are gathered back contiguous
+    (paged.gather_prefix — static size, the engine's chunk loop is lockstep)
+    and attention runs on [prefix | chunk]. Either way the chunk is scattered
+    across the slot's pages for the rounds that follow. Inactive rows scatter
+    nothing and their logits row is unused."""
     b, sq = tokens.shape
     x = params["embed"][tokens]
     start = cache.lengths  # 0 for rows being admitted
@@ -643,6 +653,20 @@ def _prefill_core_paged(
         else:
             k_q, v_q = k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)
             k_att, v_att = k_q, v_q
+
+        if prefix_len > 0:
+            # Gather BEFORE this chunk's scatter lands (same values either
+            # way — the windows are disjoint — but keep the read clean).
+            k_pre = paged.gather_prefix(k_pages, lidx, page_tbl, prefix_len)
+            v_pre = paged.gather_prefix(v_pages, lidx, page_tbl, prefix_len)
+            if cache.k_scales is not None:
+                k_pre = (k_pre.astype(jnp.float32) * ks[None, :, None, None]).astype(q.dtype)
+                v_pre = (v_pre.astype(jnp.float32) * vs[None, :, None, None]).astype(q.dtype)
+            else:
+                k_pre = k_pre.astype(q.dtype)
+                v_pre = v_pre.astype(q.dtype)
+            k_att = jnp.concatenate([k_pre, k_att], axis=2)
+            v_att = jnp.concatenate([v_pre, v_att], axis=2)
 
         k_pages = paged.scatter_prefill_chunk(
             k_pages, lidx, k_q, page_tbl, start, new_lengths
@@ -725,34 +749,42 @@ def _prefill_serving_core_paged(
     tokens: jax.Array,  # (B, Sq)
     new_lengths: jax.Array,  # (B,)
     active: jax.Array,  # (B,) bool
+    reset: jax.Array,  # (B,) bool — new-prompt slots (see _prefill_serving_core)
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
     axis_name: str | None = None,
+    prefix_len: int = 0,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     cache = dataclasses.replace(
-        cache, lengths=jnp.where(active, 0, cache.lengths)
+        cache, lengths=jnp.where(reset, 0, cache.lengths)
     )
     return _prefill_core_paged(
         params, cache, tokens, new_lengths, cos, sin, cfg,
-        axis_name=axis_name, active=active,
+        axis_name=axis_name, active=active, prefix_len=prefix_len,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "prefix_len"), donate_argnums=(1,)
+)
 def prefill_serving_paged(
     params: Params,
     cache: paged.PagedKVCache,
     tokens: jax.Array,  # (B, Sq)
     new_lengths: jax.Array,  # (B,)
     active: jax.Array,  # (B,) bool
+    reset: jax.Array,  # (B,) bool — slots starting a new prompt
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
+    prefix_len: int = 0,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
-    """Paged analog of :func:`prefill_serving` (admission into fresh slots)."""
+    """Paged analog of :func:`prefill_serving`; ``prefix_len`` > 0 is the
+    chunked-prefill continuation path (see _prefill_core_paged)."""
     return _prefill_serving_core_paged(
-        params, cache, tokens, new_lengths, active, cos, sin, cfg
+        params, cache, tokens, new_lengths, active, reset, cos, sin, cfg,
+        prefix_len=prefix_len,
     )
 
 

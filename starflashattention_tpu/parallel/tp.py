@@ -259,7 +259,7 @@ def make_tp_prefill_serving(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
 ):
     """Sharded admission prefill: ``fn(params, cache, tokens, new_lengths,
-    active, cos, sin)`` — TP+DP analog of llama.prefill_serving."""
+    active, reset, cos, sin)`` — TP+DP analog of llama.prefill_serving."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
@@ -267,16 +267,16 @@ def make_tp_prefill_serving(
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
 
-    def core(params, cache, tokens, new_lengths, active, cos, sin):
+    def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
         return llama._prefill_serving_core(
-            params, cache, tokens, new_lengths, active, cos, sin, scfg,
+            params, cache, tokens, new_lengths, active, reset, cos, sin, scfg,
             axis_name=MODEL,
         )
 
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(), P()),
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P()),
         out_specs=(P(DATA), c_specs),
         check_vma=False,
     )
@@ -348,24 +348,26 @@ def make_tp_decode_multi_paged(
 
 
 def make_tp_prefill_serving_paged(
-    mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False
+    mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False, prefix_len: int = 0
 ):
-    """Sharded paged admission prefill."""
+    """Sharded paged admission prefill. ``prefix_len`` > 0 builds the
+    chunked-prefill continuation program (prefix gathered per shard from its
+    own pool partition — the gather is local, no collective)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = _paged_specs_for(cfg)
 
-    def core(params, cache, tokens, new_lengths, active, cos, sin):
+    def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
         return llama._prefill_serving_core_paged(
-            params, cache, tokens, new_lengths, active, cos, sin, scfg,
-            axis_name=MODEL,
+            params, cache, tokens, new_lengths, active, reset, cos, sin, scfg,
+            axis_name=MODEL, prefix_len=prefix_len,
         )
 
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(), P()),
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P()),
         out_specs=(P(DATA), c_specs),
         check_vma=False,
     )

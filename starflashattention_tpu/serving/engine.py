@@ -90,6 +90,7 @@ class Engine:
         num_slots: int = 8,
         steps_per_round: int = 8,
         prefill_pad: int = 64,
+        prefill_chunk: int | None = None,
         mesh=None,
         debug_validate: bool = False,
     ):
@@ -97,6 +98,15 @@ class Engine:
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
+        # Chunked prefill: admitted prompts are ingested in fixed
+        # (num_slots, prefill_chunk) slices — ONE compiled prefill shape ever
+        # (the pad-bucket path compiles one program per distinct bucket, and
+        # a 7B remote compile is ~minutes), and a long prompt can no longer
+        # monopolize a round. Output-identical to whole-prompt prefill: the
+        # serving prefill always attends the full cache table, so each row's
+        # KV-tile reduction order is unchanged by where the chunk boundary
+        # falls (tests/test_serving.py::test_chunked_prefill_matches).
+        self.prefill_chunk = prefill_chunk
         self.mesh = mesh
         # Sanitizer mode (utils/sanitize.py): per-round host-side invariant
         # checks + a finite-check on prefill logits. Debug only — never in
@@ -172,16 +182,18 @@ class Engine:
     def _on_retired(self, slot: int) -> None:
         """Backend hook: release per-slot resources."""
 
-    def _prefill_call(self, toks, new_lengths, admit_mask):
+    def _prefill_call(self, toks, new_lengths, admit_mask, reset_mask, prefix_len=0):
+        # contiguous prefill attends the full cache table; prefix_len (the
+        # chunked-continuation hint) only matters for the paged backend
         if self.mesh is not None:
             logits, self.cache = self._tp_prefill(
                 self.params, self.cache, toks, new_lengths, admit_mask,
-                self.cos, self.sin,
+                reset_mask, self.cos, self.sin,
             )
             return logits
         logits, self.cache = llama.prefill_serving(
             self.params, self.cache, toks, new_lengths, admit_mask,
-            self.cos, self.sin, self.cfg,
+            reset_mask, self.cos, self.sin, self.cfg,
         )
         return logits
 
@@ -220,6 +232,9 @@ class Engine:
             return
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
+        if self.prefill_chunk is not None:
+            self._prefill_chunked(texts)
+            return
         pad = max(len(t) for _, _, t in texts)
         pad = -(-pad // self.prefill_pad) * self.prefill_pad  # quantize shapes
         toks = np.zeros((self.num_slots, pad), np.int32)
@@ -231,7 +246,8 @@ class Engine:
             admit_mask[slot] = True
 
         logits = self._prefill_call(
-            jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask)
+            jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask),
+            jnp.asarray(admit_mask),
         )
         if self.debug_validate:
             from starflashattention_tpu.utils import sanitize
@@ -247,6 +263,55 @@ class Engine:
         first_host = np.asarray(first)  # the single readback
         for slot, _req, _text in texts:
             self._record(slot, [int(first_host[slot])])
+
+    def _prefill_chunked(self, texts) -> None:
+        """Ingest admitted prompts in fixed-width chunks (see __init__).
+
+        Each call is the same (num_slots, chunk) program; a slot goes
+        inactive once its prompt is exhausted, and its first token is taken
+        from the chunk that consumed its final prompt token (the serving
+        prefill returns logits at each row's last valid position). Readback
+        happens only on chunks where some slot finishes."""
+        chunk = self.prefill_chunk
+        longest = max(len(t) for _, _, t in texts)
+        for lo in range(0, longest, chunk):
+            toks = np.zeros((self.num_slots, chunk), np.int32)
+            new_lengths = np.zeros((self.num_slots,), np.int32)
+            admit_mask = np.zeros((self.num_slots,), bool)
+            finishing = []
+            for slot, _req, text in texts:
+                if lo >= len(text):
+                    continue
+                n = min(chunk, len(text) - lo)
+                toks[slot, :n] = text[lo : lo + n]
+                new_lengths[slot] = n
+                admit_mask[slot] = True
+                if lo + n == len(text):
+                    finishing.append(slot)
+            reset_mask = admit_mask if lo == 0 else np.zeros((self.num_slots,), bool)
+            logits = self._prefill_call(
+                jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask),
+                jnp.asarray(reset_mask), prefix_len=lo,
+            )
+            if self.debug_validate:
+                from starflashattention_tpu.utils import sanitize
+
+                sanitize.check_finite(
+                    {"prefill_logits": logits[np.nonzero(admit_mask)[0]]},
+                    f"prefill_chunk@{lo}",
+                )
+            self.stats.prefill_rounds += 1
+            if not finishing:
+                continue
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            fin_mask = np.zeros((self.num_slots,), bool)
+            fin_mask[finishing] = True
+            self.pending_tok = jnp.where(
+                jnp.asarray(fin_mask), first, self.pending_tok
+            )
+            first_host = np.asarray(first)  # one readback per finishing chunk
+            for slot in finishing:
+                self._record(slot, [int(first_host[slot])])
 
     def _decode_round(self) -> None:
         active = np.asarray(self.sched.active_mask())
@@ -341,6 +406,7 @@ class PagedEngine(Engine):
         num_slots: int = 8,
         steps_per_round: int = 8,
         prefill_pad: int = 64,
+        prefill_chunk: int | None = None,
         page_size: int = 128,
         num_pages: int | None = None,
         native: bool | None = None,
@@ -369,7 +435,7 @@ class PagedEngine(Engine):
         self._table_dirty = False
         super().__init__(
             params, cfg, num_slots, steps_per_round, prefill_pad,
-            mesh=mesh, debug_validate=debug_validate,
+            prefill_chunk=prefill_chunk, mesh=mesh, debug_validate=debug_validate,
         )
 
     @property
@@ -399,9 +465,20 @@ class PagedEngine(Engine):
         self._tp_decode_multi = tp.make_tp_decode_multi_paged(
             self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant
         )
-        self._tp_prefill = tp.make_tp_prefill_serving_paged(
-            self.mesh, self.cfg, weight_quant=weight_quant
-        )
+        # one shard_map program per chunk index (prefix_len is a static
+        # shape), built lazily and memoized — bounded by max_seq/chunk
+        fns = {}
+
+        def tp_prefill_for(prefix_len: int):
+            fn = fns.get(prefix_len)
+            if fn is None:
+                fn = fns[prefix_len] = tp.make_tp_prefill_serving_paged(
+                    self.mesh, self.cfg, weight_quant=weight_quant,
+                    prefix_len=prefix_len,
+                )
+            return fn
+
+        self._tp_prefill = tp_prefill_for
         self._shard_cache_fn = tp.shard_paged_cache
 
     def _init_cache(self):
@@ -555,17 +632,17 @@ class PagedEngine(Engine):
             pre, self.steps_per_round, self.pages_per_seq * self.page_size
         )
 
-    def _prefill_call(self, toks, new_lengths, admit_mask):
+    def _prefill_call(self, toks, new_lengths, admit_mask, reset_mask, prefix_len=0):
         self._sync_table()
         if self.mesh is not None:
-            logits, self.cache = self._tp_prefill(
+            logits, self.cache = self._tp_prefill(prefix_len)(
                 self.params, self.cache, toks, new_lengths, admit_mask,
-                self.cos, self.sin,
+                reset_mask, self.cos, self.sin,
             )
             return logits
         logits, self.cache = llama.prefill_serving_paged(
             self.params, self.cache, toks, new_lengths, admit_mask,
-            self.cos, self.sin, self.cfg,
+            reset_mask, self.cos, self.sin, self.cfg, prefix_len=prefix_len,
         )
         return logits
 

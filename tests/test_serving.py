@@ -70,3 +70,36 @@ def test_engine_eos_stops_early():
     eng = Engine(params, CFG, num_slots=1, steps_per_round=4)
     out = eng.generate([prompt], max_new_tokens=8, eos_token=eos)[0]
     assert out == full[: stop + 1]
+
+
+def test_chunked_prefill_matches_whole_prompt():
+    """Chunked prefill is output-identical to whole-prompt prefill: the
+    serving prefill attends the full cache table, so each row's KV-tile
+    reduction order does not depend on where the chunk boundary falls."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    # lengths straddle the chunk width (4): below, at, just above, multiple
+    prompts = [
+        [int(t) for t in rng.integers(0, CFG.vocab_size, n)] for n in (3, 4, 5, 11)
+    ]
+    ref = Engine(params, CFG, num_slots=2, steps_per_round=3)
+    expected = ref.generate(prompts, max_new_tokens=5)
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=3, prefill_chunk=4)
+    outputs = eng.generate(prompts, max_new_tokens=5)
+    assert outputs == expected
+    # the 11-token prompt alone needs 3 chunk calls
+    assert eng.stats.prefill_rounds > ref.stats.prefill_rounds
+    assert eng.stats.finished == 4
+    assert len(eng.stats.ttfts_s) == 4
+
+
+def test_chunked_prefill_single_call_for_short_prompts():
+    """Prompts shorter than the chunk take exactly one prefill call each
+    admission round (no degenerate empty chunks)."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(5))
+    prompts = [[1, 2], [3]]
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2, prefill_chunk=8)
+    outs = eng.generate(prompts, max_new_tokens=3)
+    assert eng.stats.prefill_rounds == 1
+    assert all(len(o) == 3 for o in outs)

@@ -102,3 +102,26 @@ def test_paged_engine_native_pool_backed():
     expected = [reference_generate(params, p, 4) for p in prompts]
     assert eng.generate(prompts, max_new_tokens=4) == expected
     assert eng.pool.free_pages == eng.num_pages - 1
+
+
+def test_paged_chunked_prefill_matches():
+    """Chunked prefill on the PAGED engine: identical outputs, pages fully
+    recycled (admission allocates the whole prompt up front, chunks write
+    into the already-backed windows)."""
+    import numpy as np
+
+    cfg = ModelConfig.tiny(dtype="float32", pages_per_compute_block=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(6)
+    prompts = [
+        [int(t) for t in rng.integers(0, cfg.vocab_size, n)] for n in (3, 9, 17, 5)
+    ]
+    ref = PagedEngine(params, cfg, num_slots=2, steps_per_round=2, page_size=16)
+    expected = ref.generate(prompts, max_new_tokens=4)
+
+    eng = PagedEngine(
+        params, cfg, num_slots=2, steps_per_round=2, page_size=16, prefill_chunk=8
+    )
+    outputs = eng.generate(prompts, max_new_tokens=4)
+    assert outputs == expected
+    assert eng.pool.free_pages == eng.num_pages - 1

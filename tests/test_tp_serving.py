@@ -124,3 +124,33 @@ def test_tp_paged_engine_per_shard_preemption(mesh8):
     outputs = eng.generate(prompts, max_new_tokens=n_new)
     assert outputs == expected
     assert eng.stats.preemptions > 0
+
+
+def test_tp_chunked_prefill_matches(mesh8):
+    """Chunked prefill composes with sharding, both cache backends."""
+    from starflashattention_tpu.serving import PagedEngine
+
+    params = llama.init_params(CFG, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(7)
+    prompts = [[int(t) for t in rng.integers(0, CFG.vocab_size, n)] for n in (3, 9, 6)]
+
+    expected = Engine(params, CFG, num_slots=2, steps_per_round=2).generate(
+        prompts, max_new_tokens=4
+    )
+    eng = Engine(
+        params, CFG, num_slots=2, steps_per_round=2, prefill_chunk=4, mesh=mesh8
+    )
+    assert eng.generate(prompts, max_new_tokens=4) == expected
+
+    cfg_p = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32", pages_per_compute_block=2
+    )
+    params_p = llama.init_params(cfg_p, jax.random.PRNGKey(8))
+    expected_p = PagedEngine(
+        params_p, cfg_p, num_slots=2, steps_per_round=2, page_size=16
+    ).generate(prompts, max_new_tokens=4)
+    eng_p = PagedEngine(
+        params_p, cfg_p, num_slots=2, steps_per_round=2, page_size=16,
+        prefill_chunk=4, mesh=mesh8,
+    )
+    assert eng_p.generate(prompts, max_new_tokens=4) == expected_p
