@@ -293,9 +293,12 @@ def prefill_ttft_bench(quick: bool = False):
 
     import time as _t
 
-    for scheme in ("bf16", "int8w"):
-        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-        if scheme == "int8w":
+    import dataclasses as _dc
+
+    for scheme in ("bf16", "int8w", "int8w_w8a8"):
+        run_cfg = cfg if scheme != "int8w_w8a8" else _dc.replace(cfg, w8a8_prefill=True)
+        params = llama.init_params(run_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        if scheme.startswith("int8w"):
             params = llama.quantize_model_weights(params, "int8", consume=True)
         n_params = sum(
             p.size for p in jax.tree.leaves(params)
@@ -313,7 +316,7 @@ def prefill_ttft_bench(quick: bool = False):
                     cfg.head_dim, dtype=jnp.bfloat16,
                 )
                 t0 = _t.time()
-                logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, cfg)
+                logits, cache = llama.prefill(params, cache, toks, plens, cos, sin, run_cfg)
                 _ = np.asarray(logits[:1, :1])
                 return _t.time() - t0
 

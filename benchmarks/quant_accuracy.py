@@ -49,6 +49,10 @@ BOUNDS = {
     "int8": {"max_abs_err": 0.5, "delta_ce_nats": 0.02},
     "fp8_kv": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
     "fp8_weights": {"max_abs_err": 8.0, "delta_ce_nats": 0.8},
+    # W8A8 prefill adds dynamic per-token activation quant (~0.4% relative
+    # per matmul) on top of weight-only INT8 — roughly doubled compounded
+    # damage vs weight-only, still far inside fp8 territory.
+    "int8_w8a8": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
 }
 
 
@@ -85,6 +89,8 @@ def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
         bounds = BOUNDS["fp8_weights"]
     elif "fp8" in name:
         bounds = BOUNDS["fp8_kv"]
+    elif "w8a8" in name:
+        bounds = BOUNDS["int8_w8a8"]
     else:
         bounds = BOUNDS["int8"]
     err = np.abs(got - ref)
@@ -135,14 +141,21 @@ def main() -> None:
     ref = run_model(cfg, weight_quant=None, prompts=prompts, plens=plens, forced=forced)
 
     results = []
-    for wq, kv in [
-        ("int8", None), (None, "int8"), ("int8", "int8"),
-        ("fp8", None), (None, "fp8"), ("fp8", "fp8"),
+    for wq, kv, w8a8 in [
+        ("int8", None, False), (None, "int8", False), ("int8", "int8", False),
+        ("fp8", None, False), (None, "fp8", False), ("fp8", "fp8", False),
+        ("int8", None, True),  # W8A8 prefill (int8 x int8 MXU path)
     ]:
-        c = ModelConfig.llama_7b_gqa(**cfg_kw, quant_mode=kv) if kv else cfg
+        kw = dict(cfg_kw)
+        if kv:
+            kw["quant_mode"] = kv
+        if w8a8:
+            kw["w8a8_prefill"] = True
+        c = ModelConfig.llama_7b_gqa(**kw) if (kv or w8a8) else cfg
         got = run_model(c, weight_quant=wq, prompts=prompts, plens=plens, forced=forced)
         name = "+".join(filter(None, [f"{wq}_weights" if wq else None,
-                                      f"{kv}_kv" if kv else None]))
+                                      f"{kv}_kv" if kv else None,
+                                      "w8a8_prefill" if w8a8 else None]))
         results.append(compare(name, ref, got))
     out = Path(__file__).parent / "artifacts" / "quant_accuracy.json"
     out.write_text(json.dumps({"bounds": BOUNDS, "results": results}, indent=1))

@@ -34,7 +34,7 @@ from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
 from starflashattention_tpu.ops.paged_decode import paged_flash_decode
-from starflashattention_tpu.ops.quant_matmul import quant_matmul
+from starflashattention_tpu.ops.quant_matmul import quant_matmul, quant_matmul_w8a8
 from starflashattention_tpu.runtime.params import ModelConfig
 
 Params = dict[str, Any]
@@ -42,13 +42,23 @@ Params = dict[str, Any]
 _QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
 
 
-def _make_proj(layers: Params, lp: Params, lidx):
+def _make_proj(layers: Params, lp: Params, lidx, cfg: "ModelConfig | None" = None):
     """Projection closure for one scan iteration → fp32 outputs.
 
     Dense weights arrive pre-sliced via the scan xs (``lp``); QUANTIZED
     weights stay stacked in ``layers`` and the kernel selects the layer via
     ``lidx`` — an XLA dynamic-slice feeding a Pallas operand would
-    materialize a full per-layer copy (measured 2.8x slower)."""
+    materialize a full per-layer copy (measured 2.8x slower).
+
+    W8A8 routes ONLY the column-parallel projections (wqkv, gate_up) — the
+    row-parallel ones (w_down, wo) see a shard-local slice of each
+    activation row under TP, so dynamic per-row scales there would diverge
+    from the single-chip run; routing them identically in both worlds keeps
+    the sharded-equals-single-chip bit-match contract that every serving
+    test relies on. (Measured: wqkv+gate_up carry ~75% of the prefill
+    matmul time anyway.)"""
+    w8a8 = cfg is not None and cfg.w8a8_prefill
+    w8a8_names = ("wqkv", "w_gate_up")
 
     def proj(x: jax.Array, name: str, out_dtype=None) -> jax.Array:
         """``out_dtype`` narrows the QUANT kernel's output write in-kernel.
@@ -59,9 +69,21 @@ def _make_proj(layers: Params, lp: Params, lidx):
         w = layers[name]
         if isinstance(w, dict):
             flat = x.reshape(-1, x.shape[-1])
-            out = quant_matmul(
-                flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
-            )
+            # W8A8 only at prefill row counts (compute-bound) and only for
+            # int8 weights; decode rows (B ~ 16) stay weight-only — the
+            # int8 MXU rate buys nothing when the matmul is weight-read
+            # bound, and dynamic activation quant would only add error.
+            if (
+                w8a8 and name in w8a8_names
+                and flat.shape[0] >= 1024 and w["w"].dtype == jnp.int8
+            ):
+                out = quant_matmul_w8a8(
+                    flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
+                )
+            else:
+                out = quant_matmul(
+                    flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
+                )
             return out.reshape(*x.shape[:-1], out.shape[-1])
         return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
@@ -234,7 +256,7 @@ def _decode_core(
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx)
+        proj = _make_proj(layers, lp, lidx, cfg)
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
@@ -339,7 +361,7 @@ def _prefill_core(
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx)
+        proj = _make_proj(layers, lp, lidx, cfg)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
@@ -548,7 +570,7 @@ def _decode_core_paged(
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx)
+        proj = _make_proj(layers, lp, lidx, cfg)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
@@ -634,7 +656,7 @@ def _prefill_core_paged(
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx)
+        proj = _make_proj(layers, lp, lidx, cfg)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)

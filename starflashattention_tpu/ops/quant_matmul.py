@@ -158,3 +158,144 @@ def quant_matmul(
         interpret=interpret,
     )(layer_arr, x, w, scale.reshape(L, 1, o).astype(jnp.float32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic per-row activation quant + int8 x int8 MXU matmul
+# ---------------------------------------------------------------------------
+
+
+def _qmm_w8a8_kernel(
+    layer_ref, x_ref, rs_ref, w_ref, s_ref, o_ref, acc_ref, *, n_h_blocks: int
+):
+    hi = pl.program_id(2)
+
+    @pl.when(hi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0],  # int8 x int8 — the MXU's 2x-rate path
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(hi == n_h_blocks - 1)
+    def _emit():
+        # dual dequant: per-row activation scale x per-column weight scale
+        o = acc_ref[...].astype(jnp.float32) * rs_ref[...] * s_ref[0]
+        o_ref[...] = o.astype(o_ref.dtype)
+
+
+def quantize_rows(x: jax.Array, eps: float = 1e-6) -> tuple[jax.Array, jax.Array]:
+    """Per-row (per-token) symmetric int8 quantization of activations.
+
+    Returns (x_int8 (B, H), row_scale (B, 1) f32). Dynamic: scales follow
+    each token's own absmax, so no calibration pass is needed — the standard
+    dynamic-W8A8 activation scheme."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    rs = jnp.maximum(absmax, eps) / 127.0
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / rs), -127, 127).astype(jnp.int8)
+    return x8, rs
+
+
+def quant_matmul_w8a8(
+    x: jax.Array,  # (B, H) activations (bf16/f32) — quantized per row here
+    w: jax.Array,  # (H, O) or (L, H, O) int8 weights
+    scale: jax.Array,  # (O,) or (L, O) f32 per-output-channel scales
+    *,
+    layer: jax.Array | int | None = None,
+    block_h: int = 512,
+    block_o: int = 4096,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """W8A8 matmul: dynamic per-row activation int8 + int8 weights on the
+    MXU's int8 path → (B, O) in ``out_dtype`` (default fp32).
+
+    The int8 x int8 → int32 dot runs at 2x the bf16 MXU rate on v5e
+    (measured through Pallas: 1.43x the bf16 PEAK at the 7B gate_up shape,
+    vs 0.95x for the upcast-to-bf16 weight-only kernel). Worth it exactly
+    where the matmul is COMPUTE-bound — prefill (B·Sq rows) — and pointless
+    at decode, which is weight-read bound. Accuracy: adds per-token
+    activation quant error on top of weight-only INT8 (measured at 7B by
+    benchmarks/quant_accuracy.py, scheme "int8_w8a8_prefill").
+    """
+    b, h = x.shape
+    if w.ndim == 2:
+        w = w[None]
+        scale = scale[None]
+        layer = 0
+    assert layer is not None, "layer index required for stacked (L, H, O) weights"
+    assert w.dtype == jnp.int8, "W8A8 requires int8 weights (fp8 MXU is not v5e)"
+    L, _, o = w.shape
+    if interpret is None:
+        interpret = _use_interpret()
+
+    x8, rs = quantize_rows(x)
+
+    def best_block(dim: int, cap: int) -> int:
+        for d in range(min(cap, dim) - min(cap, dim) % 128, 127, -128):
+            if dim % d == 0:
+                return d
+        return dim
+
+    block_h = best_block(h, block_h)
+    exact_o = best_block(o, block_o)
+    block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
+    # same row-block economics as quant_matmul (weight re-streamed per row
+    # block), same out+acc VMEM budget — int32 acc is f32-sized
+    row_cap = 512 if b <= 1024 else 4096
+    block_b = b
+    for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
+        if b % d == 0:
+            block_b = d
+            break
+    if block_b > 512:
+        cap = max(512, (4 * 1024 * 1024 // block_b) // 128 * 128)
+        block_o = min(block_o, cap)
+    n_h = h // block_h
+    grid = (b // block_b, pl.cdiv(o, block_o), n_h)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, block_h), lambda bi, oi, hi, lr: (bi, hi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, 1), lambda bi, oi, hi, lr: (bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_h, block_o),
+                lambda bi, oi, hi, lr: (lr[0], hi, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_o),
+                lambda bi, oi, hi, lr: (lr[0], 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_o), lambda bi, oi, hi, lr: (bi, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.int32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_w8a8_kernel, n_h_blocks=n_h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, o), out_dtype or jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(layer_arr, x8, rs, w, scale.reshape(L, 1, o).astype(jnp.float32))
+    return out

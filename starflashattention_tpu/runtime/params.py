@@ -81,6 +81,13 @@ class ModelConfig:
     batch_block: int | None = None
     pages_per_compute_block: int = 4
     tie_embeddings: bool = False
+    # W8A8 prefill: INT8-weight projections quantize activations per token
+    # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
+    # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
+    # (ops/quant_matmul.quant_matmul_w8a8). Decode always stays weight-only
+    # (HBM-bound; the int8 rate buys nothing). Opt-in: adds per-token
+    # activation quant error (measured at 7B by benchmarks/quant_accuracy.py).
+    w8a8_prefill: bool = False
 
     def attention(self) -> AttentionConfig:
         return AttentionConfig(

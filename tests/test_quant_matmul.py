@@ -72,3 +72,46 @@ def test_quant_matmul_prefill_row_count(rng):
     got = quant_matmul(x, q["w"], q["scale"])
     want = (x @ q["w"].astype(jnp.float32)) * q["scale"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
+
+
+def test_w8a8_matches_dequant_reference():
+    """Dynamic per-row activation quant + int8 weights: error bounded by the
+    two quantization steps (~1% relative at unit-variance inputs)."""
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_w8a8
+
+    key = jax.random.PRNGKey(0)
+    b, h, o = 24, 256, 384
+    x = jax.random.normal(key, (b, h), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (h, o), jnp.float32) * 0.05
+    d = quant.quantize_weight(w, "int8")
+
+    got = quant_matmul_w8a8(x, d["w"], d["scale"])
+    want = x @ (d["w"].astype(jnp.float32) * d["scale"][None, :])
+    denom = jnp.abs(want).max()
+    assert float(jnp.abs(got - want).max()) / float(denom) < 0.02
+
+
+def test_w8a8_stacked_layer_and_out_dtype():
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_w8a8
+
+    b, h, o, L = 16, 128, 256, 3
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, h), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (L, h, o), jnp.float32) * 0.1
+    d = quant.quantize_weight(w, "int8")
+    got = quant_matmul_w8a8(
+        x, d["w"], d["scale"], layer=jnp.asarray(1), out_dtype=jnp.bfloat16
+    )
+    assert got.dtype == jnp.bfloat16
+    want = x @ (d["w"][1].astype(jnp.float32) * d["scale"][1][None, :])
+    rel = float(jnp.abs(got.astype(jnp.float32) - want).max()) / float(jnp.abs(want).max())
+    assert rel < 0.03
+
+
+def test_w8a8_rejects_fp8_weights():
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_w8a8
+
+    x = jnp.ones((8, 128), jnp.float32)
+    w = jnp.ones((128, 128), jnp.float8_e4m3fn)
+    s = jnp.ones((128,), jnp.float32)
+    with pytest.raises(AssertionError, match="int8"):
+        quant_matmul_w8a8(x, w, s)
