@@ -230,6 +230,9 @@ def paged_serving_bench(quick: bool = False):
     cfg = ModelConfig.llama_7b_gqa(
         max_seq_len=max_seq, num_splits=1, block_k=128,
         batch_block=8, pages_per_compute_block=4,
+        # admission prefill is slots x pad rows >= 1024 — the W8A8 int8-MXU
+        # path engages (accuracy == weight-only at 7B, quant_accuracy.json)
+        w8a8_prefill=True,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = llama.quantize_model_weights(params, "int8", consume=True)
