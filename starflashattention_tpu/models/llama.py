@@ -42,7 +42,10 @@ Params = dict[str, Any]
 _QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
 
 
-def _make_proj(layers: Params, lp: Params, lidx, cfg: "ModelConfig | None" = None):
+def _make_proj(
+    layers: Params, lp: Params, lidx, cfg: "ModelConfig | None" = None,
+    axis_name: str | None = None,
+):
     """Projection closure for one scan iteration → fp32 outputs.
 
     Dense weights arrive pre-sliced via the scan xs (``lp``); QUANTIZED
@@ -50,15 +53,15 @@ def _make_proj(layers: Params, lp: Params, lidx, cfg: "ModelConfig | None" = Non
     ``lidx`` — an XLA dynamic-slice feeding a Pallas operand would
     materialize a full per-layer copy (measured 2.8x slower).
 
-    W8A8 routes ONLY the column-parallel projections (wqkv, gate_up) — the
-    row-parallel ones (w_down, wo) see a shard-local slice of each
-    activation row under TP, so dynamic per-row scales there would diverge
-    from the single-chip run; routing them identically in both worlds keeps
-    the sharded-equals-single-chip bit-match contract that every serving
-    test relies on. (Measured: wqkv+gate_up carry ~75% of the prefill
-    matmul time anyway.)"""
+    W8A8 covers all four projections. The row-parallel ones (w_down, wo)
+    see only a shard-local slice of each activation row under TP, so their
+    dynamic row scales are pmax'd over the model axis (quantize_rows
+    axis_name) — every shard then quantizes with exactly the full-row scale
+    the single-chip run computes, preserving the sharded-equals-single-chip
+    bit-match contract at the cost of one tiny (rows, 1) collective per
+    projection."""
     w8a8 = cfg is not None and cfg.w8a8_prefill
-    w8a8_names = ("wqkv", "w_gate_up")
+    _ROW_PARALLEL = ("w_down", "wo")
 
     def proj(x: jax.Array, name: str, out_dtype=None) -> jax.Array:
         """``out_dtype`` narrows the QUANT kernel's output write in-kernel.
@@ -73,12 +76,15 @@ def _make_proj(layers: Params, lp: Params, lidx, cfg: "ModelConfig | None" = Non
             # int8 weights; decode rows (B ~ 16) stay weight-only — the
             # int8 MXU rate buys nothing when the matmul is weight-read
             # bound, and dynamic activation quant would only add error.
+            # Threshold is on LOCAL rows (under shard_map the batch is
+            # data-sharded), so it must sit well below one shard's prefill
+            # rows while staying above any realistic decode batch: 256.
             if (
-                w8a8 and name in w8a8_names
-                and flat.shape[0] >= 1024 and w["w"].dtype == jnp.int8
+                w8a8 and flat.shape[0] >= 256 and w["w"].dtype == jnp.int8
             ):
                 out = quant_matmul_w8a8(
-                    flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
+                    flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype,
+                    axis_name=axis_name if name in _ROW_PARALLEL else None,
                 )
             else:
                 out = quant_matmul(
@@ -256,7 +262,7 @@ def _decode_core(
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx, cfg)
+        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
@@ -361,7 +367,7 @@ def _prefill_core(
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx, cfg)
+        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
@@ -570,7 +576,7 @@ def _decode_core_paged(
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx, cfg)
+        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
@@ -656,7 +662,7 @@ def _prefill_core_paged(
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx, cfg)
+        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)

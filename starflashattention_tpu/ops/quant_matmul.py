@@ -187,13 +187,24 @@ def _qmm_w8a8_kernel(
         o_ref[...] = o.astype(o_ref.dtype)
 
 
-def quantize_rows(x: jax.Array, eps: float = 1e-6) -> tuple[jax.Array, jax.Array]:
+def quantize_rows(
+    x: jax.Array, eps: float = 1e-6, axis_name: str | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Per-row (per-token) symmetric int8 quantization of activations.
 
     Returns (x_int8 (B, H), row_scale (B, 1) f32). Dynamic: scales follow
     each token's own absmax, so no calibration pass is needed — the standard
-    dynamic-W8A8 activation scheme."""
+    dynamic-W8A8 activation scheme.
+
+    ``axis_name``: set when ``x`` is a shard-local slice of each row under
+    shard_map (row-parallel projections: w_down, wo). The local absmax is
+    pmax'd over the axis so every shard quantizes with the FULL row's scale
+    — bitwise the same scale the single-chip run computes (max is exact),
+    which preserves the sharded-equals-single-chip contract. Costs one tiny
+    (rows, 1) collective."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    if axis_name is not None:
+        absmax = jax.lax.pmax(absmax, axis_name)
     rs = jnp.maximum(absmax, eps) / 127.0
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / rs), -127, 127).astype(jnp.int8)
     return x8, rs
@@ -208,10 +219,12 @@ def quant_matmul_w8a8(
     block_h: int = 512,
     block_o: int = 4096,
     out_dtype=None,
+    axis_name: str | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """W8A8 matmul: dynamic per-row activation int8 + int8 weights on the
-    MXU's int8 path → (B, O) in ``out_dtype`` (default fp32).
+    MXU's int8 path → (B, O) in ``out_dtype`` (default fp32). ``axis_name``:
+    see quantize_rows — required for row-parallel projections under TP.
 
     The int8 x int8 → int32 dot runs at 2x the bf16 MXU rate on v5e
     (measured through Pallas: 1.43x the bf16 PEAK at the 7B gate_up shape,
@@ -232,7 +245,7 @@ def quant_matmul_w8a8(
     if interpret is None:
         interpret = _use_interpret()
 
-    x8, rs = quantize_rows(x)
+    x8, rs = quantize_rows(x, axis_name=axis_name)
 
     def best_block(dim: int, cap: int) -> int:
         for d in range(min(cap, dim) - min(cap, dim) % 128, 127, -128):

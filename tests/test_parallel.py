@@ -186,3 +186,36 @@ def test_tp_decode_quantized(mesh24, rng):
     step = make_tp_decode_step(mesh24, cfg, quantized=True)
     logits_n, _ = step(shard_params(params, mesh24, cfg), shard_cache(fresh(), mesh24), toks, cos, sin)
     np.testing.assert_allclose(np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+
+
+def test_tp_prefill_w8a8_bitmatch(mesh24, rng):
+    """W8A8 prefill under TP must equal single-chip: column-parallel
+    projections quantize identical full rows, and the row-parallel ones
+    (w_down, wo) pmax their shard-local absmax over the model axis so every
+    shard uses exactly the single-chip full-row scale. Needs >= 1024 rows
+    for the W8A8 route to engage (B*Sq = 4*256)."""
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32",
+        max_seq_len=512, w8a8_prefill=True,
+    )
+    b, sp = 4, 256
+    params_q = llama.quantize_model_weights(llama.init_params(cfg, jax.random.PRNGKey(9)))
+    cos, sin = llama.rope_tables(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.asarray([sp, 100, sp, 37], jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.float32,
+        )
+
+    logits_1, _ = llama.prefill(params_q, fresh(), toks, plens, cos, sin, cfg)
+    pre = make_tp_prefill(mesh24, cfg, weight_quant=True)
+    logits_n, _ = pre(
+        shard_params(params_q, mesh24, cfg), shard_cache(fresh(), mesh24),
+        toks, plens, cos, sin,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4
+    )
