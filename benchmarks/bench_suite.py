@@ -76,6 +76,106 @@ def decode_kernel_sweep(quick: bool = False):
             )
 
 
+def prefill_attention_tflops_bench(quick: bool = False):
+    """Attention TFLOP/s (the BASELINE metric's first clause) on the prefill
+    kernel at 7B shapes: causal GQA flash_prefill, B=1, Hq=32, Hkv=8, D=128.
+
+    FLOPs = 2 matmuls x 2 ops x Hq x Sq x (Sq/2 causal average) x D. Decode
+    attention is bandwidth-bound (its FLOP rate is the trivial product of
+    the GBps lines and arithmetic intensity ~1), so the compute-bound
+    prefill kernel is where a TFLOP/s number is meaningful.
+    """
+    from starflashattention_tpu.ops.flash_prefill import flash_prefill
+
+    if jax.default_backend() != "tpu":
+        return
+    v5e_bf16 = 394.5e12 / 2
+    b, hq, hkv, d = 1, 32, 8, 128
+    for sq in [2048] if quick else [2048, 4096, 8192]:
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (b, hq, sq, d), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, hkv, sq, d), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, hkv, sq, d), jnp.bfloat16)
+        lengths = jnp.full((b,), sq, jnp.int32)
+
+        def step(q, k, v, lengths):
+            o = flash_prefill(q, k, v, lengths=lengths, causal=True)
+            return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+        per, _ = time_scanned(step, q, k, v, lengths, iters=32)
+        flops = 4.0 * b * hq * sq * (sq / 2) * d
+        _emit(
+            f"prefill_attention_kernel_seq{sq}",
+            per,
+            {
+                "TFLOPs": round(flops / per / 1e12, 1),
+                "mxu_frac": round(flops / per / v5e_bf16, 3),
+            },
+        )
+
+
+def sampling_overhead_bench(quick: bool = False):
+    """Cost of the sampled decode program vs the greedy one (core/sampling):
+    the sampled variant adds a (B, V) descending sort + gumbel draw per step.
+    Measured as whole-step time on the 7B INT8-weight headline shape."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.core import sampling
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    batch, ctx = 16, 1024
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=ctx, num_splits=1, block_k=64, batch_block=16
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = llama.quantize_model_weights(params, "int8", consume=True)
+    cos, sin = llama.rope_tables(cfg)
+    state = {
+        k: jnp.asarray(v)
+        for k, v in sampling.state_arrays(
+            [sampling.SamplingParams(temperature=0.8, top_k=50, top_p=0.95, seed=i)
+             for i in range(batch)]
+        ).items()
+    }
+    times = {}
+    for mode in ("greedy", "sampled"):
+        def step(carry, params, cos, sin, mode=mode):
+            cache, tok = carry
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            if mode == "greedy":
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            else:
+                nxt = sampling.sample_tokens(logits, state, cache.lengths)
+            return cache, nxt
+
+        cache = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, ctx, cfg.head_dim,
+            dtype=jnp.bfloat16,
+        )
+        cache = contiguous.advance(cache, jnp.full((batch,), ctx // 2, jnp.int32))
+        tok = jnp.zeros((batch,), jnp.int32)
+        per, out = time_scanned(
+            step, (cache, tok), params, cos, sin,
+            iters=32 if quick else 128, repeats=3, donate_carry=True,
+        )
+        del out, cache
+        times[mode] = per
+    _emit(
+        "sampled_decode_overhead_7b_b16",
+        times["sampled"],
+        {
+            "greedy_ms": round(times["greedy"] * 1e3, 4),
+            "overhead_pct": round(
+                100 * (times["sampled"] - times["greedy"]) / times["greedy"], 2
+            ),
+            "note": "temperature+top_k+top_p on all 16 slots vs argmax",
+        },
+    )
+    del params
+
+
 def paged_decode_bench(quick: bool = False):
     """BASELINE config 3: GQA paged-KV decode, batch=32, seq=4k (split-KV)."""
     from starflashattention_tpu.ops.paged_decode import paged_flash_decode
@@ -351,6 +451,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     decode_kernel_sweep(quick=args.quick)
+    prefill_attention_tflops_bench(quick=args.quick)
+    sampling_overhead_bench(quick=args.quick)
     paged_decode_bench(quick=args.quick)
     int8_kv_decode_bench(quick=args.quick)
     model_int8_decode_bench(quick=args.quick)

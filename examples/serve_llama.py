@@ -21,7 +21,7 @@ import numpy as np
 
 from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
-from starflashattention_tpu.serving import Engine, PagedEngine
+from starflashattention_tpu.serving import Engine, PagedEngine, SamplingParams
 
 
 def main():
@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=None,
                     help="chunked prefill width (one compiled prefill shape; "
                     "long prompts no longer monopolize a round)")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature (0 = greedy)")
+    ap.add_argument("--top-k", type=int, default=0, help="top-k cut (0 = off)")
+    ap.add_argument("--top-p", type=float, default=1.0, help="nucleus cut (1 = off)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="sampling seed (trajectories are deterministic per seed)")
     args = ap.parse_args()
 
     if args.tiny or jax.default_backend() != "tpu":
@@ -59,18 +65,23 @@ def main():
         for _ in range(args.requests)
     ]
 
+    sampled = args.temperature > 0.0
+    samp = SamplingParams(
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        seed=args.seed,
+    ) if sampled else None
     if args.paged:
         page = 32 if cfg.max_seq_len < 512 else 128
         eng = PagedEngine(params, cfg, num_slots=args.slots, steps_per_round=8,
-                          prefill_chunk=args.chunk,
+                          prefill_chunk=args.chunk, enable_sampling=sampled,
                           page_size=page)
         print(f"paged pool: {eng.num_pages} pages x {eng.page_size} tokens, "
               f"allocator={type(eng.pool).__name__}")
     else:
         eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8,
-                     prefill_chunk=args.chunk)
+                     prefill_chunk=args.chunk, enable_sampling=sampled)
     t0 = time.time()
-    outputs = eng.generate(prompts, max_new_tokens=args.new_tokens)
+    outputs = eng.generate(prompts, max_new_tokens=args.new_tokens, sampling=samp)
     dt = time.time() - t0
     total = sum(len(o) for o in outputs)
     print(f"{len(outputs)} requests, {total} tokens in {dt:.2f}s "

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from starflashattention_tpu.cache import contiguous, paged
 from starflashattention_tpu.core import quant
+from starflashattention_tpu.core import sampling as core_sampling
 from starflashattention_tpu.ops import cache_append
 from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode
@@ -456,17 +457,25 @@ def _decode_multi_core(
     cfg: ModelConfig,
     n_steps: int,
     axis_name: str | None = None,
+    sampling: dict | None = None,
 ) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
-    """``n_steps`` greedy decode steps in ONE program → (tokens (B, n),
+    """``n_steps`` decode steps in ONE program → (tokens (B, n),
     next pending token, cache). ``axis_name`` set = running per-shard under
-    shard_map (parallel/tp.py serving path)."""
+    shard_map (parallel/tp.py serving path). ``sampling`` (core/sampling.py
+    state arrays) switches token selection from argmax to per-slot
+    temperature/top-k/top-p sampling, keyed by (seed, absolute position) so
+    trajectories are replay-deterministic."""
 
     def step(carry, _):
         tok, cache = carry
         logits, cache = _decode_core(
             params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sampling is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            # post-step cache.lengths IS the new token's absolute position
+            nxt = core_sampling.sample_tokens(logits, sampling, cache.lengths)
         return (nxt, cache), nxt
 
     (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
@@ -483,13 +492,18 @@ def decode_multi(
     active: jax.Array,  # (B,) bool
     cfg: ModelConfig,
     n_steps: int,
+    sampling: dict | None = None,
 ) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
     """Single-chip jitted ``n_steps`` decode rounds.
 
     Serving uses this to amortize host↔device round-trips (the tunnel costs
     ~25 ms per readback): one dispatch + one readback per n tokens.
+    ``sampling=None`` compiles the argmax-only program (the benched path);
+    passing state arrays compiles the sampled variant once.
     """
-    return _decode_multi_core(params, cache, tok, cos, sin, active, cfg, n_steps)
+    return _decode_multi_core(
+        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling
+    )
 
 
 def _prefill_serving_core(
@@ -741,15 +755,21 @@ def _decode_multi_core_paged(
     cfg: ModelConfig,
     n_steps: int,
     axis_name: str | None = None,
+    sampling: dict | None = None,
 ) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
-    """n greedy decode steps against the paged pool in ONE program."""
+    """n decode steps against the paged pool in ONE program (argmax, or
+    per-slot sampling when ``sampling`` state arrays are passed — see
+    :func:`_decode_multi_core`)."""
 
     def step(carry, _):
         tok, cache = carry
         logits, cache = _decode_core_paged(
             params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sampling is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = core_sampling.sample_tokens(logits, sampling, cache.lengths)
         return (nxt, cache), nxt
 
     (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
@@ -766,9 +786,12 @@ def decode_multi_paged(
     active: jax.Array,  # (B,) bool
     cfg: ModelConfig,
     n_steps: int,
+    sampling: dict | None = None,
 ) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
-    """Paged analog of :func:`decode_multi`: n greedy steps, one program."""
-    return _decode_multi_core_paged(params, cache, tok, cos, sin, active, cfg, n_steps)
+    """Paged analog of :func:`decode_multi`: n steps, one program."""
+    return _decode_multi_core_paged(
+        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling
+    )
 
 
 def _prefill_serving_core_paged(

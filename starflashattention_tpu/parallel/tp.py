@@ -228,31 +228,47 @@ def make_tp_decode_multi(
     n_steps: int,
     quantized: bool = False,
     weight_quant: bool = False,
+    sampling: bool = False,
 ):
     """Sharded serving decode round: ``fn(params, cache, tok, cos, sin,
     active) -> (tokens (B, n), pending tok, cache)`` — the TP+DP analog of
     llama.decode_multi, used by the Engine when given a mesh. The whole
-    n-step scan (including the 2 psums/layer) is one program per round."""
+    n-step scan (including the 2 psums/layer) is one program per round.
+    ``sampling=True`` builds the sampled-token variant: the fn takes a
+    trailing core/sampling state-array dict, sharded over ``data`` like the
+    slot axis it indexes (each data shard samples its own rows — logits are
+    already full-vocab per shard after the model-axis psums)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+    s_specs = _sampling_specs() if sampling else None
 
-    def core(params, cache, tok, cos, sin, active):
+    def core(params, cache, tok, cos, sin, active, *samp):
         return llama._decode_multi_core(
-            params, cache, tok, cos, sin, active, scfg, n_steps, axis_name=MODEL
+            params, cache, tok, cos, sin, active, scfg, n_steps,
+            axis_name=MODEL, sampling=samp[0] if samp else None,
         )
 
+    in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
+    if sampling:
+        in_specs = in_specs + (s_specs,)
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(), P(), P(DATA)),
+        in_specs=in_specs,
         out_specs=(P(DATA), P(DATA), c_specs),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))
+
+
+def _sampling_specs():
+    """Specs for the core/sampling state-array dict: per-slot vectors ride
+    the data axis with the batch they parameterize."""
+    return {"temperature": P(DATA), "top_k": P(DATA), "top_p": P(DATA), "seed": P(DATA)}
 
 
 def make_tp_prefill_serving(
@@ -323,24 +339,29 @@ def _paged_specs_for(cfg: ModelConfig):
 
 
 def make_tp_decode_multi_paged(
-    mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False
+    mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False,
+    sampling: bool = False,
 ):
     """Sharded paged serving decode round — the paged analog of
-    :func:`make_tp_decode_multi`."""
+    :func:`make_tp_decode_multi` (incl. the ``sampling=True`` variant)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
     c_specs = _paged_specs_for(cfg)
 
-    def core(params, cache, tok, cos, sin, active):
+    def core(params, cache, tok, cos, sin, active, *samp):
         return llama._decode_multi_core_paged(
-            params, cache, tok, cos, sin, active, scfg, n_steps, axis_name=MODEL
+            params, cache, tok, cos, sin, active, scfg, n_steps,
+            axis_name=MODEL, sampling=samp[0] if samp else None,
         )
 
+    in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
+    if sampling:
+        in_specs = in_specs + (_sampling_specs(),)
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(), P(), P(DATA)),
+        in_specs=in_specs,
         out_specs=(P(DATA), P(DATA), c_specs),
         check_vma=False,
     )

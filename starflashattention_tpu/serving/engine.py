@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from starflashattention_tpu.cache import contiguous, paged
+from starflashattention_tpu.core import sampling as core_sampling
 from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
 from starflashattention_tpu.serving.scheduler import Request, Scheduler
@@ -92,12 +93,19 @@ class Engine:
         prefill_pad: int = 64,
         prefill_chunk: int | None = None,
         mesh=None,
+        enable_sampling: bool = False,
         debug_validate: bool = False,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
+        # Per-request temperature/top-k/top-p sampling (core/sampling.py).
+        # A constructor flag — not per-round — so exactly one decode program
+        # shape exists either way; the greedy program carries no sampling
+        # operands and is identical to the benched hot path.
+        self.enable_sampling = enable_sampling
+        self._slot_sampling = [core_sampling.GREEDY] * num_slots
         # Chunked prefill: admitted prompts are ingested in fixed
         # (num_slots, prefill_chunk) slices — ONE compiled prefill shape ever
         # (the pad-bucket path compiles one program per distinct bucket, and
@@ -146,6 +154,7 @@ class Engine:
         self._tp_decode_multi = tp.make_tp_decode_multi(
             self.mesh, self.cfg, self.steps_per_round,
             quantized=quantized, weight_quant=weight_quant,
+            sampling=self.enable_sampling,
         )
         self._tp_prefill = tp.make_tp_prefill_serving(
             self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant
@@ -199,16 +208,40 @@ class Engine:
 
     def _decode_call(self, active, n):
         if self.mesh is not None:
-            toks, self.pending_tok, self.cache = self._tp_decode_multi(
-                self.params, self.cache, self.pending_tok,
-                self.cos, self.sin, active,
-            )
+            args = (self.params, self.cache, self.pending_tok,
+                    self.cos, self.sin, active)
+            if self.enable_sampling:
+                args = args + (self._sampling_state(),)
+            toks, self.pending_tok, self.cache = self._tp_decode_multi(*args)
             return toks
         toks, self.pending_tok, self.cache = llama.decode_multi(
             self.params, self.cache, self.pending_tok,
             self.cos, self.sin, active, self.cfg, n,
+            sampling=self._sampling_state(),
         )
         return toks
+
+    # -- sampling -------------------------------------------------------------
+
+    def _sampling_state(self) -> dict | None:
+        """Per-slot sampling operand arrays, or None for the greedy program."""
+        if not self.enable_sampling:
+            return None
+        return {
+            k: jnp.asarray(v)
+            for k, v in core_sampling.state_arrays(self._slot_sampling).items()
+        }
+
+    def _first_tokens(self, logits, positions: np.ndarray) -> jax.Array:
+        """Token choice on prefill logits; ``positions`` is each slot's
+        post-prefill length (= the drawn token's absolute position, matching
+        the decode loop's fold-in so trajectories are replay-stable)."""
+        state = self._sampling_state()
+        if state is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return core_sampling.sample_tokens_jit(
+            logits, state, jnp.asarray(positions, jnp.int32)
+        )
 
     # -- one scheduling round -------------------------------------------------
 
@@ -230,6 +263,8 @@ class Engine:
         admitted = self._prepare_admit(self.sched.admit())
         if not admitted:
             return
+        for slot, req in admitted:
+            self._slot_sampling[slot] = req.sampling
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
         if self.prefill_chunk is not None:
@@ -258,7 +293,10 @@ class Engine:
                 {"prefill_logits": logits[np.nonzero(admit_mask)[0]]}, "prefill"
             )
         self.stats.prefill_rounds += 1
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        positions = np.zeros((self.num_slots,), np.int32)
+        for slot, _req, text in texts:
+            positions[slot] = len(text)
+        first = self._first_tokens(logits, positions)
         self.pending_tok = jnp.where(jnp.asarray(admit_mask), first, self.pending_tok)
         first_host = np.asarray(first)  # the single readback
         for slot, _req, _text in texts:
@@ -303,7 +341,10 @@ class Engine:
             self.stats.prefill_rounds += 1
             if not finishing:
                 continue
-            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            positions = np.zeros((self.num_slots,), np.int32)
+            for slot, _req, text in texts:
+                positions[slot] = len(text)
+            first = self._first_tokens(logits, positions)
             fin_mask = np.zeros((self.num_slots,), bool)
             fin_mask[finishing] = True
             self.pending_tok = jnp.where(
@@ -371,6 +412,12 @@ class Engine:
         self._first_token_seen.clear()
 
     def submit(self, req: Request) -> None:
+        if not req.sampling.is_greedy and not self.enable_sampling:
+            raise ValueError(
+                f"request {req.uid} asks for sampling "
+                f"(temperature={req.sampling.temperature}) but the engine was "
+                "built with enable_sampling=False (greedy-only program)"
+            )
         self.sched.submit(req)
         self._submit_time[req.uid] = time.time()
 
@@ -380,11 +427,22 @@ class Engine:
             self._admit_and_prefill()
             self._decode_round()
 
-    def generate(self, prompts: list[list[int]], max_new_tokens: int, eos_token=None):
-        """Convenience: submit + run + collect outputs in order."""
+    def generate(
+        self, prompts: list[list[int]], max_new_tokens: int, eos_token=None,
+        sampling: core_sampling.SamplingParams | list | None = None,
+    ):
+        """Convenience: submit + run + collect outputs in order. ``sampling``
+        is one SamplingParams for all prompts or a per-prompt list."""
+        if sampling is None:
+            samp = [core_sampling.GREEDY] * len(prompts)
+        elif isinstance(sampling, core_sampling.SamplingParams):
+            samp = [sampling] * len(prompts)
+        else:
+            samp = list(sampling)
         reqs = [
-            Request(uid=i, prompt=p, max_new_tokens=max_new_tokens, eos_token=eos_token)
-            for i, p in enumerate(prompts)
+            Request(uid=i, prompt=p, max_new_tokens=max_new_tokens,
+                    eos_token=eos_token, sampling=s)
+            for i, (p, s) in enumerate(zip(prompts, samp))
         ]
         for r in reqs:
             self.submit(r)
@@ -411,6 +469,7 @@ class PagedEngine(Engine):
         num_pages: int | None = None,
         native: bool | None = None,
         mesh=None,
+        enable_sampling: bool = False,
         debug_validate: bool = False,
     ):
         """With ``mesh`` set, the page pool shards its KV-head axis over the
@@ -435,7 +494,8 @@ class PagedEngine(Engine):
         self._table_dirty = False
         super().__init__(
             params, cfg, num_slots, steps_per_round, prefill_pad,
-            prefill_chunk=prefill_chunk, mesh=mesh, debug_validate=debug_validate,
+            prefill_chunk=prefill_chunk, mesh=mesh,
+            enable_sampling=enable_sampling, debug_validate=debug_validate,
         )
 
     @property
@@ -463,7 +523,8 @@ class PagedEngine(Engine):
 
     def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
         self._tp_decode_multi = tp.make_tp_decode_multi_paged(
-            self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant
+            self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant,
+            sampling=self.enable_sampling,
         )
         # one shard_map program per chunk index (prefix_len is a static
         # shape), built lazily and memoized — bounded by max_seq/chunk
@@ -648,13 +709,15 @@ class PagedEngine(Engine):
 
     def _decode_call(self, active, n):
         if self.mesh is not None:
-            toks, self.pending_tok, self.cache = self._tp_decode_multi(
-                self.params, self.cache, self.pending_tok,
-                self.cos, self.sin, active,
-            )
+            args = (self.params, self.cache, self.pending_tok,
+                    self.cos, self.sin, active)
+            if self.enable_sampling:
+                args = args + (self._sampling_state(),)
+            toks, self.pending_tok, self.cache = self._tp_decode_multi(*args)
             return toks
         toks, self.pending_tok, self.cache = llama.decode_multi_paged(
             self.params, self.cache, self.pending_tok,
             self.cos, self.sin, active, self.cfg, n,
+            sampling=self._sampling_state(),
         )
         return toks

@@ -28,11 +28,13 @@ Two layers:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from pathlib import Path
 from typing import Callable
 
+from starflashattention_tpu.core.sampling import GREEDY, SamplingParams
 from starflashattention_tpu.serving.scheduler import Request
 from starflashattention_tpu.utils.sanitize import NumericFault, PageTableRace
 
@@ -43,7 +45,7 @@ RECOVERABLE = (RuntimeError,)
 
 
 def _req_to_dict(req: Request) -> dict:
-    return {
+    d = {
         "uid": req.uid,
         "prompt": list(req.prompt),
         "max_new_tokens": req.max_new_tokens,
@@ -51,6 +53,11 @@ def _req_to_dict(req: Request) -> dict:
         "output": list(req.output),
         "done": req.done,
     }
+    if req.sampling != GREEDY:
+        # Sampled trajectories resume deterministically too: the key is
+        # (seed, position), both of which the ledger reconstructs.
+        d["sampling"] = dataclasses.asdict(req.sampling)
+    return d
 
 
 def _req_from_dict(d: dict) -> Request:
@@ -59,6 +66,7 @@ def _req_from_dict(d: dict) -> Request:
         prompt=list(d["prompt"]),
         max_new_tokens=d["max_new_tokens"],
         eos_token=d["eos_token"],
+        sampling=SamplingParams(**d["sampling"]) if "sampling" in d else GREEDY,
         output=list(d["output"]),
         done=d["done"],
     )

@@ -12,6 +12,8 @@ import dataclasses
 from collections import deque
 from typing import Optional
 
+from starflashattention_tpu.core.sampling import GREEDY, SamplingParams
+
 
 @dataclasses.dataclass
 class Request:
@@ -21,6 +23,9 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     eos_token: Optional[int] = None
+    # Per-request sampling controls (core/sampling.py). GREEDY by default;
+    # sampled requests need an engine built with enable_sampling=True.
+    sampling: SamplingParams = GREEDY
 
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
@@ -75,9 +80,10 @@ class Scheduler:
 
     def preempt(self, slot_idx: int) -> Request:
         """Evict a running request back to the FRONT of the queue (paged
-        engine under pool pressure). Greedy decoding is deterministic, so
-        re-prefilling ``prompt + output`` on re-admission reproduces the
-        evicted KV state exactly — no state is saved."""
+        engine under pool pressure). Decoding is deterministic — greedy
+        trivially, sampled because keys derive from (seed, position)
+        (core/sampling.py) — so re-prefilling ``prompt + output`` on
+        re-admission reproduces the evicted state exactly; nothing is saved."""
         slot = self.slots[slot_idx]
         req = slot.request
         assert req is not None, f"slot {slot_idx} is free"
