@@ -218,10 +218,18 @@ def _split_heads_prefill(qkv: jax.Array, cfg: ModelConfig):
     return qkv[:, :hq], qkv[:, hq : hq + hkv], qkv[:, hq + hkv :]
 
 
-def _logits(x: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
+def _logits(
+    x: jax.Array, params: Params, cfg: ModelConfig, axis_name: str | None = None
+) -> jax.Array:
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    local = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if axis_name is not None and cfg.lm_head_sharded:
+        # vocab-sharded lm_head (parallel/tp.py): gather the (.., V/T) logit
+        # slices back to full vocab — exact concatenation, bit-identical to
+        # the replicated matmul, at 1/T the per-chip lm_head HBM read.
+        local = jax.lax.all_gather(local, axis_name, axis=x.ndim - 1, tiled=True)
+    return local
 
 
 def rope_tables(cfg: ModelConfig, dtype=jnp.float32):
@@ -315,7 +323,7 @@ def _decode_core(
         layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
-    return _logits(x, params, cfg), cache
+    return _logits(x, params, cfg, axis_name=axis_name), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -430,7 +438,7 @@ def _prefill_core(
     # Logits at the last valid token of each row.
     last = jnp.maximum(new_lengths - 1, 0)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    return _logits(x_last, params, cfg), cache
+    return _logits(x_last, params, cfg, axis_name=axis_name), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -636,7 +644,7 @@ def _decode_core_paged(
     cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages, lengths=lengths_now
     )
-    return _logits(x, params, cfg), cache
+    return _logits(x, params, cfg, axis_name=axis_name), cache
 
 
 def _prefill_core_paged(
@@ -742,7 +750,7 @@ def _prefill_core_paged(
     )
     last = jnp.maximum(new_lengths - 1, 0)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    return _logits(x_last, params, cfg), cache
+    return _logits(x_last, params, cfg, axis_name=axis_name), cache
 
 
 def _decode_multi_core_paged(

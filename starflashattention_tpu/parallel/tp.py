@@ -115,7 +115,11 @@ def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
             "w_down": P(None, MODEL, None),  # row-parallel
         },
         "final_norm": P(),
-        "lm_head": P(),
+        # vocab-sharded: each chip holds (H, V/T) and computes its logit
+        # slice; llama._logits all-gathers the slices (bit-identical to the
+        # replicated matmul, 1/T the lm_head HBM read — at 7B the replicated
+        # head was the TP step's largest remaining stream, 262 MB/step)
+        "lm_head": P(None, MODEL),
     }
     if weight_quant:
         for name in ("wqkv", "w_gate_up"):
@@ -175,6 +179,11 @@ def _check(cfg: ModelConfig, mesh: Mesh) -> None:
         raise ValueError(
             f"intermediate_size {cfg.intermediate_size} not divisible by {tp}"
         )
+    if not cfg.tie_embeddings and cfg.vocab_size % tp:
+        raise ValueError(
+            f"vocab_size {cfg.vocab_size} not divisible by model-axis size {tp} "
+            "(lm_head is vocab-sharded)"
+        )
 
 
 def make_tp_decode_step(
@@ -212,13 +221,15 @@ def make_tp_decode_step(
 
 def _shard_cfg(cfg: ModelConfig, mesh: Mesh) -> ModelConfig:
     """Per-shard model geometry: each chip runs the single-chip program at
-    1/T width (its heads, its MLP slice)."""
+    1/T width (its heads, its MLP slice, its vocab slice of lm_head)."""
     tp = mesh.shape[MODEL]
     return dataclasses.replace(
         cfg,
         num_q_heads=cfg.num_q_heads // tp,
         num_kv_heads=cfg.num_kv_heads // tp,
         intermediate_size=cfg.intermediate_size // tp,
+        # tied embeddings keep the (replicated) gather table as the head
+        lm_head_sharded=not cfg.tie_embeddings,
     )
 
 

@@ -81,6 +81,15 @@ class ModelConfig:
     batch_block: int | None = None
     pages_per_compute_block: int = 4
     tie_embeddings: bool = False
+    # Under TP (parallel/tp.py) the lm_head is VOCAB-SHARDED over the model
+    # axis: each shard computes its (B, V/T) logit slice and the slices are
+    # all-gathered — bit-identical to the replicated matmul but the per-chip
+    # lm_head read drops T-fold (at 7B it is 262 MB/step, the largest
+    # replicated stream in the TP decode step; the gathered logits are only
+    # B·V·4 bytes). Set by tp._shard_cfg on the per-shard config; meaningless
+    # (and ignored) without an axis_name. Tied embeddings keep the gather
+    # path replicated, so the flag stays False there.
+    lm_head_sharded: bool = False
     # W8A8 prefill: INT8-weight projections quantize activations per token
     # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
     # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
