@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--top-p", type=float, default=1.0, help="nucleus cut (1 = off)")
     ap.add_argument("--seed", type=int, default=0,
                     help="sampling seed (trajectories are deterministic per seed)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching (paged engine): admissions "
+                    "reuse full KV pages of previously-seen prompt prefixes")
+    ap.add_argument("--system-prompt", type=int, default=0,
+                    help="prepend N shared tokens to every prompt (shows the "
+                    "prefix cache working)")
     args = ap.parse_args()
 
     if args.tiny or jax.default_backend() != "tpu":
@@ -60,11 +66,14 @@ def main():
           f"{cfg.num_layers}L {cfg.num_q_heads}/{cfg.num_kv_heads} heads")
 
     rng = np.random.default_rng(0)
+    system = [int(t) for t in rng.integers(0, cfg.vocab_size, args.system_prompt)]
     prompts = [
-        [int(t) for t in rng.integers(0, cfg.vocab_size, rng.integers(4, 64))]
+        system + [int(t) for t in rng.integers(0, cfg.vocab_size, rng.integers(4, 64))]
         for _ in range(args.requests)
     ]
 
+    if args.prefix_cache and not args.paged:
+        ap.error("--prefix-cache requires --paged (it shares pool pages)")
     sampled = args.temperature > 0.0
     samp = SamplingParams(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
@@ -74,7 +83,7 @@ def main():
         page = 32 if cfg.max_seq_len < 512 else 128
         eng = PagedEngine(params, cfg, num_slots=args.slots, steps_per_round=8,
                           prefill_chunk=args.chunk, enable_sampling=sampled,
-                          page_size=page)
+                          prefix_cache=args.prefix_cache, page_size=page)
         print(f"paged pool: {eng.num_pages} pages x {eng.page_size} tokens, "
               f"allocator={type(eng.pool).__name__}")
     else:

@@ -92,6 +92,28 @@ void sfa_pool_seq_free(void* h, int handle) {
   p->seqs.erase(it);
 }
 
+// Detach the handle's first n pages WITHOUT freeing them (ownership moves to
+// the caller — the prefix-cache store, serving/prefix_cache.py). Writes the
+// detached ids into out; returns n, or -1 if the handle owns fewer pages.
+int sfa_pool_seq_release_prefix(void* h, int handle, int n, int* out) {
+  auto* p = static_cast<PagePool*>(h);
+  auto it = p->seqs.find(handle);
+  if (it == p->seqs.end()) return -1;
+  auto& pages = it->second;
+  if (n > static_cast<int>(pages.size())) return -1;
+  std::memcpy(out, pages.data(), n * sizeof(int));
+  pages.erase(pages.begin(), pages.begin() + n);
+  return n;
+}
+
+// Return loose pages (previously detached, now evicted from the prefix
+// store) straight to the free list. The null page 0 is never enqueued.
+void sfa_pool_free_raw(void* h, const int* pages, int n) {
+  auto* p = static_cast<PagePool*>(h);
+  for (int i = 0; i < n; ++i)
+    if (pages[i] != 0) p->free_list.push_back(pages[i]);
+}
+
 // ---------------------------------------------------------------------------
 // Continuous-batching scheduler core: FCFS queue + fixed decode slots.
 // Mirrors serving/scheduler.py's semantics exactly (asserted by tests).

@@ -180,6 +180,22 @@ class SeqPagePool:
     def seq_free(self, handle: int) -> None:
         self._alloc.free(self._seqs.pop(handle))
 
+    def seq_release_prefix(self, handle: int, n: int) -> list[int]:
+        """Detach the handle's first ``n`` pages WITHOUT freeing them —
+        ownership transfers to the caller (serving/prefix_cache.py moves
+        full prompt pages into the content-addressed prefix store). The
+        handle keeps only its remaining tail pages."""
+        pages = self._seqs[handle]
+        if n > len(pages):
+            raise ValueError(f"handle owns {len(pages)} pages, cannot release {n}")
+        head, self._seqs[handle] = pages[:n], pages[n:]
+        return head
+
+    def free_raw(self, pages) -> None:
+        """Return loose pages (detached via seq_release_prefix, later evicted
+        from the prefix store) straight to the allocator."""
+        self._alloc.free(pages)
+
 
 def _quantize_new(x: jax.Array, scales: jax.Array | None, dtype) -> jax.Array:
     if scales is None:

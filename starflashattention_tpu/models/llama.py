@@ -664,12 +664,17 @@ def _prefill_core_paged(
     ``prefix_len == 0`` (whole-prompt admission into fresh slots): the chunk
     being prefilled IS the whole sequence, so attention runs directly on the
     in-register chunk K/V (never touching the pool). ``prefix_len > 0``
-    (CHUNKED continuation): every active row has exactly ``prefix_len``
-    tokens already scattered in the pool; they are gathered back contiguous
-    (paged.gather_prefix — static size, the engine's chunk loop is lockstep)
-    and attention runs on [prefix | chunk]. Either way the chunk is scattered
-    across the slot's pages for the rounds that follow. Inactive rows scatter
-    nothing and their logits row is unused."""
+    (continuation — chunked prefill AND prefix-cache admission): each active
+    row has UP TO ``prefix_len`` tokens already in the pool (its own
+    ``cache.lengths`` row says how many; rows may differ — prefix-cache hits
+    land mid-batch with per-row matched lengths). The chunk is scattered
+    FIRST, then the leading ``prefix_len + Sq`` pooled tokens are gathered
+    back contiguous (paged.gather_prefix — static size), so KV buffer index
+    == absolute position for every row and the causal mask needs only the
+    per-row ``q_offsets``/``lengths`` it already has. Bit-identical to the
+    old [gather(prefix) | in-register chunk] concat in the lockstep case
+    (the gather reads back exactly the bytes the scatter wrote). Inactive
+    rows scatter nothing and their logits row is unused."""
     b, sq = tokens.shape
     x = params["embed"][tokens]
     start = cache.lengths  # 0 for rows being admitted
@@ -704,26 +709,27 @@ def _prefill_core_paged(
             k_q, v_q = k_new.astype(k_pages.dtype), v_new.astype(v_pages.dtype)
             k_att, v_att = k_q, v_q
 
-        if prefix_len > 0:
-            # Gather BEFORE this chunk's scatter lands (same values either
-            # way — the windows are disjoint — but keep the read clean).
-            k_pre = paged.gather_prefix(k_pages, lidx, page_tbl, prefix_len)
-            v_pre = paged.gather_prefix(v_pages, lidx, page_tbl, prefix_len)
-            if cache.k_scales is not None:
-                k_pre = (k_pre.astype(jnp.float32) * ks[None, :, None, None]).astype(q.dtype)
-                v_pre = (v_pre.astype(jnp.float32) * vs[None, :, None, None]).astype(q.dtype)
-            else:
-                k_pre = k_pre.astype(q.dtype)
-                v_pre = v_pre.astype(q.dtype)
-            k_att = jnp.concatenate([k_pre, k_att], axis=2)
-            v_att = jnp.concatenate([v_pre, v_att], axis=2)
-
         k_pages = paged.scatter_prefill_chunk(
             k_pages, lidx, k_q, page_tbl, start, new_lengths
         )
         v_pages = paged.scatter_prefill_chunk(
             v_pages, lidx, v_q, page_tbl, start, new_lengths
         )
+
+        if prefix_len > 0:
+            # Scatter landed above; read [0 .. prefix_len + Sq) back so the
+            # attention buffer is position-aligned for EVERY row (per-row
+            # starts — see docstring). Clamped to the table's capacity; the
+            # clamp never cuts a live row (start + new <= capacity).
+            span = min(prefix_len + sq, page_tbl.shape[1] * k_pages.shape[3])
+            k_att = paged.gather_prefix(k_pages, lidx, page_tbl, span)
+            v_att = paged.gather_prefix(v_pages, lidx, page_tbl, span)
+            if cache.k_scales is not None:
+                k_att = (k_att.astype(jnp.float32) * ks[None, :, None, None]).astype(q.dtype)
+                v_att = (v_att.astype(jnp.float32) * vs[None, :, None, None]).astype(q.dtype)
+            else:
+                k_att = k_att.astype(q.dtype)
+                v_att = v_att.astype(q.dtype)
 
         o = flash_prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start

@@ -11,6 +11,7 @@ every device step stays a single jitted program.
 from starflashattention_tpu.core.sampling import GREEDY, SamplingParams  # noqa: F401
 from starflashattention_tpu.serving.scheduler import Request, Scheduler  # noqa: F401
 from starflashattention_tpu.serving.engine import Engine, EngineStats, PagedEngine  # noqa: F401
+from starflashattention_tpu.serving.prefix_cache import PrefixCache  # noqa: F401
 from starflashattention_tpu.serving.recovery import (  # noqa: F401
     load_state,
     run_resilient,

@@ -50,6 +50,9 @@ class EngineStats:
     decode_rounds: int = 0
     preemptions: int = 0
     finished: int = 0
+    # prefix cache (paged engine, serving/prefix_cache.py)
+    prefix_hits: int = 0
+    prefix_tokens_reused: int = 0
 
     def p50_ttft_ms(self) -> float:
         return float(np.median(self.ttfts_s) * 1e3) if self.ttfts_s else 0.0
@@ -70,6 +73,8 @@ class EngineStats:
             "decode_rounds": self.decode_rounds,
             "preemptions": self.preemptions,
             "finished": self.finished,
+            "prefix_hits": self.prefix_hits,
+            "prefix_tokens_reused": self.prefix_tokens_reused,
         }
 
 
@@ -183,6 +188,16 @@ class Engine:
         (rejected entries must be returned to the scheduler by the override)."""
         return admitted
 
+    def _admission_offsets(self, texts) -> np.ndarray:
+        """Per-slot count of tokens ALREADY in the cache for each admitted
+        text (prefix-cache hits, paged backend) — those tokens are skipped by
+        the admission prefill. Base engine: always 0 (full prefill)."""
+        return np.zeros((self.num_slots,), np.int32)
+
+    def _after_prefill(self, texts) -> None:
+        """Backend hook: admitted prompts are fully ingested (e.g. publish
+        their full pages to the prefix cache)."""
+
     def _before_decode(self, active: np.ndarray) -> np.ndarray:
         """Ensure backend capacity for one decode round; returns the possibly
         reduced active mask (paged backend may preempt under pressure)."""
@@ -267,22 +282,32 @@ class Engine:
             self._slot_sampling[slot] = req.sampling
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
+        # offs[slot] tokens are already cached (prefix-cache hits): those
+        # slots prefill only their SUFFIX and must NOT reset their (pre-set)
+        # cache length; the program's static prefix bound covers the largest
+        # offset, quantized to the pad grid to bound compile count.
+        offs = self._admission_offsets(texts)
         if self.prefill_chunk is not None:
-            self._prefill_chunked(texts)
+            self._prefill_chunked(texts, offs)
             return
-        pad = max(len(t) for _, _, t in texts)
+        pad = max(len(t) - offs[slot] for slot, _, t in texts)
         pad = -(-pad // self.prefill_pad) * self.prefill_pad  # quantize shapes
         toks = np.zeros((self.num_slots, pad), np.int32)
         new_lengths = np.zeros((self.num_slots,), np.int32)
         admit_mask = np.zeros((self.num_slots,), bool)
+        reset_mask = np.zeros((self.num_slots,), bool)
         for slot, _req, text in texts:
-            toks[slot, : len(text)] = text
-            new_lengths[slot] = len(text)
+            suffix = text[int(offs[slot]) :]
+            toks[slot, : len(suffix)] = suffix
+            new_lengths[slot] = len(suffix)
             admit_mask[slot] = True
+            reset_mask[slot] = offs[slot] == 0
+        max_off = int(offs.max()) if len(texts) else 0
+        prefix_bound = -(-max_off // self.prefill_pad) * self.prefill_pad
 
         logits = self._prefill_call(
             jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask),
-            jnp.asarray(admit_mask),
+            jnp.asarray(reset_mask), prefix_len=prefix_bound,
         )
         if self.debug_validate:
             from starflashattention_tpu.utils import sanitize
@@ -293,6 +318,7 @@ class Engine:
                 {"prefill_logits": logits[np.nonzero(admit_mask)[0]]}, "prefill"
             )
         self.stats.prefill_rounds += 1
+        self._after_prefill(texts)
         positions = np.zeros((self.num_slots,), np.int32)
         for slot, _req, text in texts:
             positions[slot] = len(text)
@@ -302,34 +328,45 @@ class Engine:
         for slot, _req, _text in texts:
             self._record(slot, [int(first_host[slot])])
 
-    def _prefill_chunked(self, texts) -> None:
+    def _prefill_chunked(self, texts, offs=None) -> None:
         """Ingest admitted prompts in fixed-width chunks (see __init__).
 
         Each call is the same (num_slots, chunk) program; a slot goes
         inactive once its prompt is exhausted, and its first token is taken
         from the chunk that consumed its final prompt token (the serving
         prefill returns logits at each row's last valid position). Readback
-        happens only on chunks where some slot finishes."""
+        happens only on chunks where some slot finishes. ``offs[slot]``
+        tokens are already cached (prefix-cache hits): that slot's chunk
+        windows walk only its suffix, and the per-call static prefix bound
+        covers the deepest row position, quantized to the chunk grid."""
         chunk = self.prefill_chunk
-        longest = max(len(t) for _, _, t in texts)
+        if offs is None:
+            offs = np.zeros((self.num_slots,), np.int32)
+        longest = max(len(t) - offs[slot] for slot, _, t in texts)
+        max_off = max(int(offs[slot]) for slot, _, t in texts)
         for lo in range(0, longest, chunk):
             toks = np.zeros((self.num_slots, chunk), np.int32)
             new_lengths = np.zeros((self.num_slots,), np.int32)
             admit_mask = np.zeros((self.num_slots,), bool)
+            reset_mask = np.zeros((self.num_slots,), bool)
             finishing = []
             for slot, _req, text in texts:
-                if lo >= len(text):
+                suffix = text[int(offs[slot]) :]
+                if lo >= len(suffix):
                     continue
-                n = min(chunk, len(text) - lo)
-                toks[slot, :n] = text[lo : lo + n]
+                n = min(chunk, len(suffix) - lo)
+                toks[slot, :n] = suffix[lo : lo + n]
                 new_lengths[slot] = n
                 admit_mask[slot] = True
-                if lo + n == len(text):
+                reset_mask[slot] = lo == 0 and offs[slot] == 0
+                if lo + n == len(suffix):
                     finishing.append(slot)
-            reset_mask = admit_mask if lo == 0 else np.zeros((self.num_slots,), bool)
+            # deepest row position this call = max_off + lo; quantize to the
+            # chunk grid (same program lattice as the no-cache loop)
+            prefix_bound = -(-(max_off + lo) // chunk) * chunk if (max_off or lo) else 0
             logits = self._prefill_call(
                 jnp.asarray(toks), jnp.asarray(new_lengths), jnp.asarray(admit_mask),
-                jnp.asarray(reset_mask), prefix_len=lo,
+                jnp.asarray(reset_mask), prefix_len=prefix_bound,
             )
             if self.debug_validate:
                 from starflashattention_tpu.utils import sanitize
@@ -339,6 +376,8 @@ class Engine:
                     f"prefill_chunk@{lo}",
                 )
             self.stats.prefill_rounds += 1
+            if lo + chunk >= longest:
+                self._after_prefill(texts)
             if not finishing:
                 continue
             positions = np.zeros((self.num_slots,), np.int32)
@@ -470,6 +509,7 @@ class PagedEngine(Engine):
         native: bool | None = None,
         mesh=None,
         enable_sampling: bool = False,
+        prefix_cache: bool = False,
         debug_validate: bool = False,
     ):
         """With ``mesh`` set, the page pool shards its KV-head axis over the
@@ -477,7 +517,19 @@ class PagedEngine(Engine):
         a private pool partition with its own host allocator, and page-table
         ids are LOCAL to the shard (each shard's kernels index only its
         slice). ``num_pages`` is then the PER-DATA-SHARD pool size, and slots
-        map to shards by contiguous blocks (slot // slots_per_shard)."""
+        map to shards by contiguous blocks (slot // slots_per_shard).
+
+        ``prefix_cache=True`` enables automatic prefix caching
+        (serving/prefix_cache.py): admissions whose prompt prefix matches
+        full pages already in the pool reuse those pages and prefill only
+        the suffix — outputs stay bit-identical (greedy and sampled).
+        Refcount-0 cached pages stay warm and are evicted (LRU) only under
+        pool pressure, before any preemption. Single-pool engines only."""
+        if prefix_cache and mesh is not None:
+            raise ValueError(
+                "prefix_cache is not supported on sharded engines yet "
+                "(per-data-shard pools use local page ids)"
+            )
         self.page_size = page_size
         self.pages_per_seq = -(-cfg.max_seq_len // page_size)
         self._data_shards = 1 if mesh is None else int(mesh.shape["data"])
@@ -492,6 +544,16 @@ class PagedEngine(Engine):
         self._host_table = np.zeros((num_slots, self.pages_per_seq), np.int32)
         self._host_len = np.zeros((num_slots,), np.int64)
         self._table_dirty = False
+        if prefix_cache:
+            from starflashattention_tpu.serving.prefix_cache import PrefixCache
+
+            self._prefix = PrefixCache(page_size)
+        else:
+            self._prefix = None
+        # pages the slot references but the PREFIX STORE owns (refcounted);
+        # they precede the slot's private (handle-owned) pages in its table
+        self._cached_pages: list[list[int]] = [[] for _ in range(num_slots)]
+        self._cached_len = np.zeros((num_slots,), np.int64)
         super().__init__(
             params, cfg, num_slots, steps_per_round, prefill_pad,
             prefill_chunk=prefill_chunk, mesh=mesh,
@@ -576,19 +638,33 @@ class PagedEngine(Engine):
 
     def _write_row(self, slot: int) -> None:
         row = np.zeros((self.pages_per_seq,), np.int32)
+        shared = self._cached_pages[slot]
+        row[: len(shared)] = shared
         if slot in self._handles:
             pages = self._pool_for(slot).seq_pages(self._handles[slot])
-            row[: len(pages)] = pages
+            row[len(shared) : len(shared) + len(pages)] = pages
         self._host_table[slot] = row
         self._table_dirty = True
 
     def _grow(self, slot: int, new_len: int) -> bool:
         """Extend the slot's page list to cover ``new_len`` tokens; False on
-        pool exhaustion (caller decides who to preempt)."""
-        try:
-            self._pool_for(slot).seq_extend(self._handles[slot], new_len, self.page_size)
-        except MemoryError:
-            return False
+        pool exhaustion (caller decides who to preempt). Prefix-cache pages
+        already cover the slot's first ``_cached_len`` tokens, so only the
+        private tail grows; under pressure, warm (refcount-0) cached pages
+        are evicted back to the allocator BEFORE giving up."""
+        private = max(int(new_len) - int(self._cached_len[slot]), 0)
+        pool = self._pool_for(slot)
+        while True:
+            try:
+                pool.seq_extend(self._handles[slot], private, self.page_size)
+                break
+            except MemoryError:
+                if self._prefix is None:
+                    return False
+                evicted = self._prefix.evict_lru(8)
+                if not evicted:
+                    return False
+                pool.free_raw(evicted)
         self._write_row(slot)
         return True
 
@@ -596,6 +672,10 @@ class PagedEngine(Engine):
         handle = self._handles.pop(slot, None)
         if handle is not None:
             self._pool_for(slot).seq_free(handle)
+        if self._prefix is not None and self._cached_pages[slot]:
+            self._prefix.release(self._cached_pages[slot])
+        self._cached_pages[slot] = []
+        self._cached_len[slot] = 0
         if slot in self._admit_order:
             self._admit_order.remove(slot)
         self._host_len[slot] = 0
@@ -627,24 +707,83 @@ class PagedEngine(Engine):
     def _prepare_admit(self, admitted):
         """Allocate pages for each admitted prompt; on the first miss, THIS
         and every later admission goes back to the queue front in FCFS order
-        (preempted in reverse so appendleft restores the original order)."""
+        (preempted in reverse so appendleft restores the original order).
+        With the prefix cache on, each prompt first reuses its longest run
+        of already-resident full pages and allocates only the remainder."""
         accepted, rejected = [], []
         exhausted = False
         for slot, req in admitted:
             if not exhausted:
+                text = req.prompt + req.output
+                if self._prefix is not None:
+                    pages, matched = self._prefix.match(text)
+                    self._cached_pages[slot] = pages
+                    self._cached_len[slot] = matched
                 self._handles[slot] = self._pool_for(slot).seq_new()
-                need = len(req.prompt) + len(req.output)
+                need = len(text)
                 if self._grow(slot, need):
                     self._admit_order.append(slot)
                     self._host_len[slot] = need
                     accepted.append((slot, req))
                     continue
                 self._pool_for(slot).seq_free(self._handles.pop(slot))
+                if self._prefix is not None and self._cached_pages[slot]:
+                    self._prefix.release(self._cached_pages[slot])
+                self._cached_pages[slot] = []
+                self._cached_len[slot] = 0
                 exhausted = True
             rejected.append(slot)
         for slot in reversed(rejected):
             self.sched.preempt(slot)  # back to queue front, slot freed
+        self.stats.prefix_hits = self._prefix.hits if self._prefix else 0
+        self.stats.prefix_tokens_reused = (
+            self._prefix.tokens_reused if self._prefix else 0
+        )
         return accepted
+
+    def _admission_offsets(self, texts) -> np.ndarray:
+        """Prefix-cache hits skip their cached tokens at prefill; their
+        device cache length must equal the cached token count BEFORE the
+        (reset=False) suffix prefill reads it as the write offset."""
+        offs = np.zeros((self.num_slots,), np.int32)
+        if self._prefix is None:
+            return offs
+        mask = np.zeros((self.num_slots,), bool)
+        for slot, _req, _text in texts:
+            offs[slot] = int(self._cached_len[slot])
+            mask[slot] = offs[slot] > 0
+        if mask.any():
+            self.cache = dataclasses.replace(
+                self.cache,
+                lengths=jnp.where(
+                    jnp.asarray(mask), jnp.asarray(offs), self.cache.lengths
+                ),
+            )
+        return offs
+
+    def _after_prefill(self, texts) -> None:
+        """Publish each admitted prompt's freshly-written full pages to the
+        prefix store (ownership moves out of the slot's handle; the slot
+        keeps a reference). Chain keys cover PROMPT tokens only — generated
+        tokens never enter the store."""
+        if self._prefix is None:
+            return
+        for slot, req, _text in texts:
+            if slot not in self._handles:
+                continue  # already retired this round (can't happen today)
+            have = len(self._cached_pages[slot])
+            n_full = len(req.prompt) // self.page_size
+            run = self._prefix.insert_run(req.prompt, have, n_full - have)
+            if run <= 0:
+                continue
+            pool = self._pool_for(slot)
+            transfer = pool.seq_release_prefix(self._handles[slot], run)
+            adopted = self._prefix.insert(req.prompt, have, transfer)
+            assert len(adopted) == run, "insert_run promised these keys were new"
+            self._cached_pages[slot].extend(adopted)
+            self._cached_len[slot] += run * self.page_size
+            # table row contents are unchanged (same physical ids, same
+            # order) — no _write_row needed
 
     def _before_decode(self, active: np.ndarray) -> np.ndarray:
         """Grow every active slot to cover this round's appends; preempt the
@@ -687,6 +826,7 @@ class PagedEngine(Engine):
         sanitize.check_page_table(
             self._host_table, self._host_len, self.page_size, self.num_pages,
             active=active, shard_of=shard_of,
+            shared_ok=self._prefix.resident_set() if self._prefix else None,
         )
         pre = np.where(active, self._host_len - self.steps_per_round, 0)
         sanitize.check_append_window(

@@ -62,6 +62,18 @@ def load(build_if_missing: bool = True):
         ctypes.c_int,
     ]
     lib.sfa_pool_seq_free.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sfa_pool_seq_release_prefix.restype = ctypes.c_int
+    lib.sfa_pool_seq_release_prefix.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sfa_pool_free_raw.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
 
     lib.sfa_sched_create.restype = ctypes.c_void_p
     lib.sfa_sched_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
@@ -140,6 +152,18 @@ class NativePagePool:
 
     def seq_free(self, handle: int) -> None:
         self._lib.sfa_pool_seq_free(self._h, handle)
+
+    def seq_release_prefix(self, handle: int, n: int) -> list[int]:
+        buf = (ctypes.c_int * max(n, 1))()
+        got = self._lib.sfa_pool_seq_release_prefix(self._h, handle, n, buf)
+        if got < 0:
+            raise ValueError(f"handle {handle} owns fewer than {n} pages")
+        return list(buf[:got])
+
+    def free_raw(self, pages) -> None:
+        pages = list(pages)
+        buf = (ctypes.c_int * max(len(pages), 1))(*pages)
+        self._lib.sfa_pool_free_raw(self._h, buf, len(pages))
 
 
 class NativeSchedCore:

@@ -63,6 +63,7 @@ def check_page_table(
     num_pages: int,
     active: np.ndarray | None = None,
     shard_of: np.ndarray | None = None,
+    shared_ok: set[int] | frozenset[int] | None = None,
 ) -> None:
     """Validate a host page table against the allocator's invariants.
 
@@ -74,7 +75,12 @@ def check_page_table(
       paged analog of a wild pointer store),
     - globally unique across live slots *within one pool shard*
       (``shard_of[slot]`` maps slots to allocator shards; sharded engines
-      use LOCAL page ids, so the same id on two different shards is fine).
+      use LOCAL page ids, so the same id on two different shards is fine),
+    - EXCEPT pages in ``shared_ok``: full, immutable prefix-cache pages
+      (serving/prefix_cache.py) are refcounted and legitimately referenced
+      by several live sequences — they are never appended into (appends land
+      at ``lengths``, beyond every full shared page), so aliasing them is
+      the design, not a race.
 
     Raises :class:`PageTableRace` listing every violation.
     """
@@ -107,6 +113,8 @@ def check_page_table(
                     f"slot {slot}: entry {j} = {page} out of range [1, {num_pages})"
                 )
                 continue
+            if shared_ok is not None and page in shared_ok:
+                continue  # immutable refcounted prefix page — sharing is legal
             key = (int(shard_of[slot]), page)
             if key in owner and owner[key] != slot:
                 violations.append(

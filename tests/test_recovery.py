@@ -92,11 +92,11 @@ def test_fault_during_prefill_recovers():
     inner = eng._prefill_call
     state = {"calls": 0}
 
-    def flaky_prefill(toks, new_lengths, admit_mask, reset_mask):
+    def flaky_prefill(toks, new_lengths, admit_mask, reset_mask, prefix_len=0):
         state["calls"] += 1
         if state["calls"] == 1:
             raise RuntimeError("injected fault during prefill")
-        return inner(toks, new_lengths, admit_mask, reset_mask)
+        return inner(toks, new_lengths, admit_mask, reset_mask, prefix_len=prefix_len)
 
     eng._prefill_call = flaky_prefill
     run_resilient(eng, max_faults=1)
