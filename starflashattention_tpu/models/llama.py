@@ -466,13 +466,17 @@ def _decode_multi_core(
     n_steps: int,
     axis_name: str | None = None,
     sampling: dict | None = None,
-) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
+    with_logprobs: bool = False,
+) -> tuple:
     """``n_steps`` decode steps in ONE program → (tokens (B, n),
-    next pending token, cache). ``axis_name`` set = running per-shard under
-    shard_map (parallel/tp.py serving path). ``sampling`` (core/sampling.py
-    state arrays) switches token selection from argmax to per-slot
-    temperature/top-k/top-p sampling, keyed by (seed, absolute position) so
-    trajectories are replay-deterministic."""
+    next pending token, cache[, logprobs (B, n) f32]). ``axis_name`` set =
+    running per-shard under shard_map (parallel/tp.py serving path).
+    ``sampling`` (core/sampling.py state arrays) switches token selection
+    from argmax to per-slot temperature/top-k/top-p sampling, keyed by
+    (seed, absolute position) so trajectories are replay-deterministic.
+    ``with_logprobs`` additionally emits each chosen token's log-probability
+    under the UNMODIFIED distribution (log_softmax of the raw logits —
+    temperature/cuts change what is chosen, not what is reported)."""
 
     def step(carry, _):
         tok, cache = carry
@@ -484,13 +488,26 @@ def _decode_multi_core(
         else:
             # post-step cache.lengths IS the new token's absolute position
             nxt = core_sampling.sample_tokens(logits, sampling, cache.lengths)
-        return (nxt, cache), nxt
+        out = (nxt,)
+        if with_logprobs:
+            out = out + (token_logprob(logits, nxt),)
+        return (nxt, cache), out
 
-    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
-    return toks.T, tok, cache  # (B, n), (B,), cache
+    (tok, cache), outs = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    if with_logprobs:
+        return outs[0].T, tok, cache, outs[1].T  # (B, n), (B,), cache, (B, n)
+    return outs[0].T, tok, cache  # (B, n), (B,), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
+    """log P(tok) under log_softmax(logits) → (B,) f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "with_logprobs"), donate_argnums=(1,)
+)
 def decode_multi(
     params: Params,
     cache: contiguous.KVCache,
@@ -501,7 +518,8 @@ def decode_multi(
     cfg: ModelConfig,
     n_steps: int,
     sampling: dict | None = None,
-) -> tuple[jax.Array, jax.Array, contiguous.KVCache]:
+    with_logprobs: bool = False,
+) -> tuple:
     """Single-chip jitted ``n_steps`` decode rounds.
 
     Serving uses this to amortize host↔device round-trips (the tunnel costs
@@ -510,7 +528,8 @@ def decode_multi(
     passing state arrays compiles the sampled variant once.
     """
     return _decode_multi_core(
-        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling
+        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
+        with_logprobs=with_logprobs,
     )
 
 
@@ -770,10 +789,11 @@ def _decode_multi_core_paged(
     n_steps: int,
     axis_name: str | None = None,
     sampling: dict | None = None,
-) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
+    with_logprobs: bool = False,
+) -> tuple:
     """n decode steps against the paged pool in ONE program (argmax, or
-    per-slot sampling when ``sampling`` state arrays are passed — see
-    :func:`_decode_multi_core`)."""
+    per-slot sampling when ``sampling`` state arrays are passed; optional
+    chosen-token logprobs — see :func:`_decode_multi_core`)."""
 
     def step(carry, _):
         tok, cache = carry
@@ -784,13 +804,20 @@ def _decode_multi_core_paged(
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
             nxt = core_sampling.sample_tokens(logits, sampling, cache.lengths)
-        return (nxt, cache), nxt
+        out = (nxt,)
+        if with_logprobs:
+            out = out + (token_logprob(logits, nxt),)
+        return (nxt, cache), out
 
-    (tok, cache), toks = jax.lax.scan(step, (tok, cache), None, length=n_steps)
-    return toks.T, tok, cache
+    (tok, cache), outs = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    if with_logprobs:
+        return outs[0].T, tok, cache, outs[1].T
+    return outs[0].T, tok, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "with_logprobs"), donate_argnums=(1,)
+)
 def decode_multi_paged(
     params: Params,
     cache: paged.PagedKVCache,
@@ -801,10 +828,12 @@ def decode_multi_paged(
     cfg: ModelConfig,
     n_steps: int,
     sampling: dict | None = None,
-) -> tuple[jax.Array, jax.Array, paged.PagedKVCache]:
+    with_logprobs: bool = False,
+) -> tuple:
     """Paged analog of :func:`decode_multi`: n steps, one program."""
     return _decode_multi_core_paged(
-        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling
+        params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
+        with_logprobs=with_logprobs,
     )
 
 

@@ -240,11 +240,12 @@ def make_tp_decode_multi(
     quantized: bool = False,
     weight_quant: bool = False,
     sampling: bool = False,
+    with_logprobs: bool = False,
 ):
     """Sharded serving decode round: ``fn(params, cache, tok, cos, sin,
-    active) -> (tokens (B, n), pending tok, cache)`` — the TP+DP analog of
-    llama.decode_multi, used by the Engine when given a mesh. The whole
-    n-step scan (including the 2 psums/layer) is one program per round.
+    active) -> (tokens (B, n), pending tok, cache[, logprobs])`` — the TP+DP
+    analog of llama.decode_multi, used by the Engine when given a mesh. The
+    whole n-step scan (including the 2 psums/layer) is one program per round.
     ``sampling=True`` builds the sampled-token variant: the fn takes a
     trailing core/sampling state-array dict, sharded over ``data`` like the
     slot axis it indexes (each data shard samples its own rows — logits are
@@ -261,16 +262,20 @@ def make_tp_decode_multi(
         return llama._decode_multi_core(
             params, cache, tok, cos, sin, active, scfg, n_steps,
             axis_name=MODEL, sampling=samp[0] if samp else None,
+            with_logprobs=with_logprobs,
         )
 
     in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
     if sampling:
         in_specs = in_specs + (s_specs,)
+    out_specs = (P(DATA), P(DATA), c_specs)
+    if with_logprobs:
+        out_specs = out_specs + (P(DATA),)
     sharded = jax.shard_map(
         core,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(DATA), P(DATA), c_specs),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))
@@ -351,10 +356,11 @@ def _paged_specs_for(cfg: ModelConfig):
 
 def make_tp_decode_multi_paged(
     mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False,
-    sampling: bool = False,
+    sampling: bool = False, with_logprobs: bool = False,
 ):
     """Sharded paged serving decode round — the paged analog of
-    :func:`make_tp_decode_multi` (incl. the ``sampling=True`` variant)."""
+    :func:`make_tp_decode_multi` (incl. the ``sampling``/``with_logprobs``
+    variants)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant)
@@ -364,16 +370,20 @@ def make_tp_decode_multi_paged(
         return llama._decode_multi_core_paged(
             params, cache, tok, cos, sin, active, scfg, n_steps,
             axis_name=MODEL, sampling=samp[0] if samp else None,
+            with_logprobs=with_logprobs,
         )
 
     in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
     if sampling:
         in_specs = in_specs + (_sampling_specs(),)
+    out_specs = (P(DATA), P(DATA), c_specs)
+    if with_logprobs:
+        out_specs = out_specs + (P(DATA),)
     sharded = jax.shard_map(
         core,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(DATA), P(DATA), c_specs),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))

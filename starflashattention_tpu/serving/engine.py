@@ -38,6 +38,8 @@ from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
 from starflashattention_tpu.serving.scheduler import Request, Scheduler
 
+_token_logprob_jit = jax.jit(llama.token_logprob)
+
 
 @dataclasses.dataclass
 class EngineStats:
@@ -99,6 +101,7 @@ class Engine:
         prefill_chunk: int | None = None,
         mesh=None,
         enable_sampling: bool = False,
+        return_logprobs: bool = False,
         debug_validate: bool = False,
     ):
         self.cfg = cfg
@@ -111,6 +114,10 @@ class Engine:
         # operands and is identical to the benched hot path.
         self.enable_sampling = enable_sampling
         self._slot_sampling = [core_sampling.GREEDY] * num_slots
+        # Chosen-token log-probabilities (Request.logprobs). Also a
+        # constructor flag: the decode program gains one (B, n) f32 output.
+        self.return_logprobs = return_logprobs
+        self._last_logprobs = None  # (B, n) host array of the latest round
         # Chunked prefill: admitted prompts are ingested in fixed
         # (num_slots, prefill_chunk) slices — ONE compiled prefill shape ever
         # (the pad-bucket path compiles one program per distinct bucket, and
@@ -159,7 +166,7 @@ class Engine:
         self._tp_decode_multi = tp.make_tp_decode_multi(
             self.mesh, self.cfg, self.steps_per_round,
             quantized=quantized, weight_quant=weight_quant,
-            sampling=self.enable_sampling,
+            sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
         )
         self._tp_prefill = tp.make_tp_prefill_serving(
             self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant
@@ -227,13 +234,19 @@ class Engine:
                     self.cos, self.sin, active)
             if self.enable_sampling:
                 args = args + (self._sampling_state(),)
-            toks, self.pending_tok, self.cache = self._tp_decode_multi(*args)
-            return toks
-        toks, self.pending_tok, self.cache = llama.decode_multi(
-            self.params, self.cache, self.pending_tok,
-            self.cos, self.sin, active, self.cfg, n,
-            sampling=self._sampling_state(),
-        )
+            out = self._tp_decode_multi(*args)
+        else:
+            out = llama.decode_multi(
+                self.params, self.cache, self.pending_tok,
+                self.cos, self.sin, active, self.cfg, n,
+                sampling=self._sampling_state(),
+                with_logprobs=self.return_logprobs,
+            )
+        return self._unpack_decode(out)
+
+    def _unpack_decode(self, out):
+        toks, self.pending_tok, self.cache = out[:3]
+        self._last_logprobs = np.asarray(out[3]) if self.return_logprobs else None
         return toks
 
     # -- sampling -------------------------------------------------------------
@@ -246,6 +259,12 @@ class Engine:
             k: jnp.asarray(v)
             for k, v in core_sampling.state_arrays(self._slot_sampling).items()
         }
+
+    def _first_logprobs(self, logits, first) -> np.ndarray | None:
+        """Chosen-token logprobs on prefill logits (None unless enabled)."""
+        if not self.return_logprobs:
+            return None
+        return np.asarray(_token_logprob_jit(logits, first))
 
     def _first_tokens(self, logits, positions: np.ndarray) -> jax.Array:
         """Token choice on prefill logits; ``positions`` is each slot's
@@ -260,14 +279,20 @@ class Engine:
 
     # -- one scheduling round -------------------------------------------------
 
-    def _record(self, slot: int, tokens: list[int]) -> None:
+    def _record(self, slot: int, tokens: list[int], logprobs=None) -> None:
         req = self.sched.slots[slot].request
         uid = req.uid if req is not None else None
+        before = len(req.output) if req is not None else 0
         if self.sched.record_tokens(slot, tokens):
             self.stats.finished += 1
             if req is not None:
                 self._finished_requests.append(req)
             self._on_retired(slot)
+        if req is not None and logprobs is not None:
+            # record_tokens may have capped at the budget / EOS — keep the
+            # logprob list aligned with the tokens actually kept
+            kept = len(req.output) - before
+            req.logprobs.extend(float(l) for l in logprobs[:kept])
         if uid is not None and uid not in self._first_token_seen:
             self._first_token_seen.add(uid)
             t0 = self._submit_time.get(uid)
@@ -325,8 +350,12 @@ class Engine:
         first = self._first_tokens(logits, positions)
         self.pending_tok = jnp.where(jnp.asarray(admit_mask), first, self.pending_tok)
         first_host = np.asarray(first)  # the single readback
+        first_lp = self._first_logprobs(logits, first)
         for slot, _req, _text in texts:
-            self._record(slot, [int(first_host[slot])])
+            self._record(
+                slot, [int(first_host[slot])],
+                logprobs=None if first_lp is None else [first_lp[slot]],
+            )
 
     def _prefill_chunked(self, texts, offs=None) -> None:
         """Ingest admitted prompts in fixed-width chunks (see __init__).
@@ -390,8 +419,12 @@ class Engine:
                 jnp.asarray(fin_mask), first, self.pending_tok
             )
             first_host = np.asarray(first)  # one readback per finishing chunk
+            first_lp = self._first_logprobs(logits, first)
             for slot in finishing:
-                self._record(slot, [int(first_host[slot])])
+                self._record(
+                    slot, [int(first_host[slot])],
+                    logprobs=None if first_lp is None else [first_lp[slot]],
+                )
 
     def _decode_round(self) -> None:
         active = np.asarray(self.sched.active_mask())
@@ -412,7 +445,11 @@ class Engine:
                 # record_tokens caps at the slot's remaining budget; any
                 # overshoot tokens of the final round are discarded (their
                 # cache appends sit inside the reserved slack).
-                self._record(i, [int(t) for t in toks_host[i]])
+                self._record(
+                    i, [int(t) for t in toks_host[i]],
+                    logprobs=None if self._last_logprobs is None
+                    else self._last_logprobs[i],
+                )
 
     # -- failure recovery -------------------------------------------------------
 
@@ -509,6 +546,7 @@ class PagedEngine(Engine):
         native: bool | None = None,
         mesh=None,
         enable_sampling: bool = False,
+        return_logprobs: bool = False,
         prefix_cache: bool = False,
         debug_validate: bool = False,
     ):
@@ -557,7 +595,8 @@ class PagedEngine(Engine):
         super().__init__(
             params, cfg, num_slots, steps_per_round, prefill_pad,
             prefill_chunk=prefill_chunk, mesh=mesh,
-            enable_sampling=enable_sampling, debug_validate=debug_validate,
+            enable_sampling=enable_sampling, return_logprobs=return_logprobs,
+            debug_validate=debug_validate,
         )
 
     @property
@@ -586,7 +625,7 @@ class PagedEngine(Engine):
     def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
         self._tp_decode_multi = tp.make_tp_decode_multi_paged(
             self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant,
-            sampling=self.enable_sampling,
+            sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
         )
         # one shard_map program per chunk index (prefix_len is a static
         # shape), built lazily and memoized — bounded by max_seq/chunk
@@ -853,11 +892,12 @@ class PagedEngine(Engine):
                     self.cos, self.sin, active)
             if self.enable_sampling:
                 args = args + (self._sampling_state(),)
-            toks, self.pending_tok, self.cache = self._tp_decode_multi(*args)
-            return toks
-        toks, self.pending_tok, self.cache = llama.decode_multi_paged(
-            self.params, self.cache, self.pending_tok,
-            self.cos, self.sin, active, self.cfg, n,
-            sampling=self._sampling_state(),
-        )
-        return toks
+            out = self._tp_decode_multi(*args)
+        else:
+            out = llama.decode_multi_paged(
+                self.params, self.cache, self.pending_tok,
+                self.cos, self.sin, active, self.cfg, n,
+                sampling=self._sampling_state(),
+                with_logprobs=self.return_logprobs,
+            )
+        return self._unpack_decode(out)

@@ -57,6 +57,8 @@ def _req_to_dict(req: Request) -> dict:
         # Sampled trajectories resume deterministically too: the key is
         # (seed, position), both of which the ledger reconstructs.
         d["sampling"] = dataclasses.asdict(req.sampling)
+    if req.logprobs:
+        d["logprobs"] = list(req.logprobs)
     return d
 
 
@@ -68,6 +70,7 @@ def _req_from_dict(d: dict) -> Request:
         eos_token=d["eos_token"],
         sampling=SamplingParams(**d["sampling"]) if "sampling" in d else GREEDY,
         output=list(d["output"]),
+        logprobs=list(d.get("logprobs", [])),
         done=d["done"],
     )
 

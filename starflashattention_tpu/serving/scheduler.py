@@ -29,6 +29,9 @@ class Request:
 
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
+    # chosen-token log-probabilities, aligned with ``output`` — populated
+    # only by engines built with return_logprobs=True
+    logprobs: list[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
