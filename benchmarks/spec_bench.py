@@ -1,0 +1,188 @@
+"""Speculative decoding on the real chip: verify-step cost + end-to-end gain.
+
+Three measurements at the headline 7B-GQA INT8-weight shapes (bench.py):
+
+1. ``verify_step_cost`` — wall time of one T-token verify step vs one plain
+   decode step (scan-chain protocol). The speculative speedup model is
+   ``(1 + accepted) / cost_ratio``; decode is HBM-bound so the ratio should
+   be close to 1 even at T=4..8.
+2. ``spec_decode_equivalence`` — spec_decode_multi's emitted token stream
+   vs decode_multi's argmax stream on the same model (must be identical).
+3. ``spec_serving`` — Engine(spec_decode=k) vs plain Engine on a workload
+   with natural repetition (structured prompts), wall tokens/s.
+
+Usage: python benchmarks/spec_bench.py [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.models import llama
+from starflashattention_tpu.runtime.params import ModelConfig
+from starflashattention_tpu.utils.profiling import _force, _tunnel_rtt
+
+
+def build_model(cfg, quant=True):
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if quant:
+        params = llama.quantize_model_weights(params, "int8", consume=True)
+    return params
+
+
+def time_chain(fn, carry_fn, iters, repeats=4):
+    _force(fn(carry_fn()))
+    times = []
+    for _ in range(repeats):
+        c = carry_fn()
+        jax.block_until_ready(c)
+        t0 = time.time()
+        _force(fn(c))
+        times.append(time.time() - t0)
+    return (min(times) - _tunnel_rtt()) / iters
+
+
+def bench_step_cost(cfg, params, batch, ctx, iters, num_draft):
+    cos, sin = llama.rope_tables(cfg)
+    lens = jnp.full((batch,), ctx, jnp.int32)
+    active = jnp.ones((batch,), bool)
+
+    def fresh(with_history=False):
+        c = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.bfloat16,
+        )
+        c = contiguous.advance(c, lens)
+        out = [c, jnp.zeros((batch,), jnp.int32)]
+        if with_history:
+            out.append(jnp.zeros((batch, cfg.max_seq_len), jnp.int32))
+        return tuple(out)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def plain(carry):
+        def body(c, _):
+            cache, tok = c
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            return (cache, jnp.argmax(logits, -1).astype(jnp.int32)), None
+        return jax.lax.scan(body, carry, None, length=iters)[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def spec(carry):
+        def body(c, _):
+            cache, tok, hist = c
+            cache, hist, tok, _out, _n = llama._spec_step(
+                params, cache, hist, tok, cos, sin, active, cfg,
+                num_draft, 2,
+            )
+            return (cache, tok, hist), None
+        return jax.lax.scan(body, carry, None, length=iters)[0]
+
+    t_plain = time_chain(plain, fresh, iters)
+    t_spec = time_chain(spec, lambda: fresh(True), iters)
+    return t_plain, t_spec
+
+
+def bench_serving(cfg, params, num_draft, steps_per_round):
+    from starflashattention_tpu.serving.engine import Engine
+
+    rng = np.random.default_rng(0)
+    # structured workload: shared boilerplate + repeated field pattern, the
+    # regime prompt-lookup exists for (code/JSON/templated text)
+    big = cfg.max_seq_len >= 512
+    m, nb, max_new, slots = (24, 8, 96, 16) if big else (6, 2, 12, 4)
+    vocab_hi = min(2000, cfg.vocab_size - 1)
+    motif = list(rng.integers(100, vocab_hi, size=m))
+    prompts = []
+    for i in range(slots):
+        body = list(rng.integers(100, vocab_hi, size=nb))
+        prompts.append(motif + body + motif + body[: nb // 2] + motif)
+
+    results = {}
+    for name, k in (("plain", None), ("spec", num_draft)):
+        eng = Engine(
+            params, cfg, num_slots=slots, steps_per_round=steps_per_round,
+            spec_decode=k,
+        )
+        warm = [list(p) for p in prompts[:slots]]
+        eng.generate(warm, max_new_tokens=8)  # compile both programs
+        eng.reset_stats()
+        t0 = time.time()
+        outs = eng.generate([list(p) for p in prompts], max_new_tokens=max_new)
+        wall = time.time() - t0
+        total = sum(len(o) for o in outs)
+        results[name] = {
+            "outs": outs,
+            "wall_s": wall,
+            "tokens": total,
+            "tok_per_s": total / wall,
+            "stats": eng.stats.summary(),
+        }
+    assert results["plain"]["outs"] == results["spec"]["outs"], (
+        "spec output diverged from plain greedy"
+    )
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--draft", type=int, default=4)
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = ModelConfig.llama_7b_gqa(
+            max_seq_len=1024, num_splits=1, block_k=64, batch_block=16
+        )
+        batch, ctx = 16, 512
+    else:
+        cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+        batch, ctx = 4, 32
+    params = build_model(cfg, quant=on_tpu)
+
+    t_plain, t_spec = bench_step_cost(
+        cfg, params, batch, ctx, args.iters, args.draft
+    )
+    line = {
+        "bench": f"spec_verify_step_cost_k{args.draft}",
+        "decode_step_ms": round(t_plain * 1e3, 4),
+        "verify_step_ms": round(t_spec * 1e3, 4),
+        "cost_ratio": round(t_spec / t_plain, 3),
+        "breakeven_accept": round(t_spec / t_plain - 1.0, 3),
+        "note": f"b{batch} ctx{ctx} int8w; verify = draft+verify+accept, T={args.draft + 1}",
+    }
+    print(json.dumps(line))
+
+    serving = bench_serving(cfg, params, args.draft, steps_per_round=4)
+    line2 = {
+        "bench": f"spec_serving_7b_int8w_k{args.draft}",
+        "plain_tok_per_s": round(serving["plain"]["tok_per_s"], 1),
+        "spec_tok_per_s": round(serving["spec"]["tok_per_s"], 1),
+        "speedup": round(
+            serving["spec"]["tok_per_s"] / serving["plain"]["tok_per_s"], 3
+        ),
+        "accept_per_step": serving["spec"]["stats"]["spec_accept_per_step"],
+        "outputs_identical": True,
+        "note": "structured (templated) prompts, wall incl tunnel RTT",
+    }
+    print(json.dumps(line2))
+    if on_tpu:
+        with open("benchmarks/artifacts/results_round2.jsonl", "a") as f:
+            f.write(json.dumps(line) + "\n")
+            f.write(json.dumps(line2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,11 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from starflashattention_tpu.cache import contiguous, paged
-from starflashattention_tpu.core import quant
+from starflashattention_tpu.core import drafting, quant
 from starflashattention_tpu.core import sampling as core_sampling
 from starflashattention_tpu.ops import cache_append
 from starflashattention_tpu.core.rope import apply_rope, rope_table
-from starflashattention_tpu.ops.flash_decode import flash_decode
+from starflashattention_tpu.ops.flash_decode import flash_decode, flash_verify
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
 from starflashattention_tpu.ops.paged_decode import paged_flash_decode
 from starflashattention_tpu.ops.quant_matmul import quant_matmul, quant_matmul_w8a8
@@ -575,6 +575,223 @@ def prefill_serving(
     """Single-chip jitted admission prefill."""
     return _prefill_serving_core(
         params, cache, tokens, new_lengths, active, reset, cos, sin, cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup drafts + multi-token verify)
+# ---------------------------------------------------------------------------
+
+
+def _verify_core(
+    params: Params,
+    cache: contiguous.KVCache,
+    tokens: jax.Array,  # (B, T) int32 — [pending, draft_1 .. draft_{T-1}]
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+    active: jax.Array | None = None,
+) -> tuple[jax.Array, contiguous.KVCache]:
+    """Process T consecutive tokens per sequence in one step → logits at
+    EVERY position (B, T, V) + cache advanced by T (active rows).
+
+    This is the speculative-decoding verify step: structurally a decode step
+    (weights streamed once, KV appended via the windowed-RMW block kernel,
+    attention via the multi-query staircase-mask decode kernel
+    ops/flash_decode.flash_verify) — NOT a prefill step (whose functional
+    per-layer cache update moves ~134 MB/layer). A T-token verify therefore
+    costs ≈ one decode step of HBM traffic; T·B stays far below the W8A8
+    threshold so projections take the same weight-only path decode does.
+
+    The caller rolls ``cache.lengths`` back to the accepted prefix; rows past
+    the rollback are dead (masked by ``lengths``) and are fully overwritten
+    by the next step's T-row append, since every step emits >= 1 token.
+    """
+    b, t = tokens.shape
+    x = params["embed"][tokens]  # (B, T, H)
+    start = cache.lengths
+    pos = start[:, None] + jnp.arange(t)[None, :]  # (B, T)
+    if active is None:
+        n_valid = jnp.full((b,), t, jnp.int32)
+    else:
+        n_valid = jnp.where(active, t, 0).astype(jnp.int32)
+    lengths_now = start + n_valid
+
+    layers = params["layers"]
+
+    def layer_body(carry, layer_in):
+        x, k_all, v_all = carry
+        lp, lidx = layer_in
+        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, T, D)
+        q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
+
+        if cache.k_scales is not None:
+            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
+            k_q = contiguous._quantize_new(k_new, ks, k_all.dtype)
+            v_q = contiguous._quantize_new(v_new, vs, v_all.dtype)
+        else:
+            ks = vs = None
+            k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
+
+        pos_w = jnp.minimum(start, k_all.shape[3] - t)
+        k_all, v_all = cache_append.append_block_kv(
+            k_all, v_all, k_q, v_q, lidx, pos_w, n_valid
+        )
+
+        o = flash_verify(
+            q, k_all, v_all, start + 1, layer=lidx,
+            block_k=cfg.block_k, batch_block=cfg.batch_block,
+            k_scales=ks, v_scales=vs,
+        )  # (B, Hq, T, D)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
+        attn_out = proj(o, "wo")
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        x = x + attn_out.astype(x.dtype)
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        mlp_out = _swiglu(h, proj)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out.astype(x.dtype)
+        return (x, k_all, v_all), None
+
+    layer_idx = jnp.arange(cfg.num_layers)
+    (x, k_all, v_all), _ = jax.lax.scan(
+        layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
+    )
+    cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
+    return _logits(x, params, cfg, axis_name=axis_name), cache
+
+
+def _spec_step(
+    params: Params,
+    cache: contiguous.KVCache,
+    history: jax.Array,  # (B, S_hist) int32 token history
+    pending: jax.Array,  # (B,) int32
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    num_draft: int,
+    ngram: int,
+    axis_name: str | None = None,
+) -> tuple:
+    """One speculative round: draft → verify → accept-longest-prefix.
+
+    Emits ``accepted + 1`` tokens per active row (>= 1 — the "bonus" token is
+    the model's own greedy choice at the first divergence, so a round is
+    never wasted). Greedy outputs are bit-identical to plain decoding: a
+    draft token is only kept when it EQUALS the argmax the plain loop would
+    have produced, and the verify attention evaluates the exact same masked
+    softmax a sequence of single-token steps would.
+    """
+    t = num_draft + 1
+    start = cache.lengths
+    history0 = history
+    history = drafting.write_token(history, start, pending)
+    draft = drafting.propose_drafts(
+        history, start, pending, num_draft=num_draft, ngram=ngram
+    )  # (B, k)
+    tokens = jnp.concatenate([pending[:, None], draft], axis=1)  # (B, T)
+
+    logits, cache = _verify_core(
+        params, cache, tokens, cos, sin, cfg, axis_name=axis_name, active=active
+    )
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    match = (preds[:, :-1] == draft).astype(jnp.int32)
+    acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) longest prefix
+    acc = jnp.where(active, acc, 0)
+    bonus = jnp.take_along_axis(preds, acc[:, None], axis=1)[:, 0]
+    n_emit = jnp.where(active, acc + 1, 0).astype(jnp.int32)
+
+    # Roll back to the accepted prefix (+ the bonus token's own row, which
+    # was computed from fully-verified context).
+    cache = dataclasses.replace(cache, lengths=start + n_emit)
+
+    hist_new = drafting.write_block(history, start + 1, draft)
+    hist_new = drafting.write_token(hist_new, start + acc + 1, bonus)
+    history = jnp.where(active[:, None], hist_new, history0)
+
+    cols = jnp.arange(t, dtype=jnp.int32)[None, :]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1
+    )
+    out = jnp.where(
+        cols < acc[:, None],
+        draft_pad,
+        jnp.where(cols == acc[:, None], bonus[:, None], 0),
+    )  # (B, T); row b's first n_emit[b] entries are this round's tokens
+    pending = jnp.where(active, bonus, pending)
+    return cache, history, pending, out, n_emit
+
+
+def _spec_decode_multi_core(
+    params: Params,
+    cache: contiguous.KVCache,
+    history: jax.Array,
+    tok: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,
+    cfg: ModelConfig,
+    n_steps: int,
+    num_draft: int,
+    ngram: int,
+    axis_name: str | None = None,
+) -> tuple:
+    def step(carry, _):
+        cache, history, pending = carry
+        cache, history, pending, out, n_emit = _spec_step(
+            params, cache, history, pending, cos, sin, active, cfg,
+            num_draft, ngram, axis_name=axis_name,
+        )
+        return (cache, history, pending), (out, n_emit)
+
+    (cache, history, tok), (outs, counts) = jax.lax.scan(
+        step, (cache, history, tok), None, length=n_steps
+    )
+    # (n, B, T) → (B, n, T); (n, B) → (B, n)
+    return outs.transpose(1, 0, 2), counts.T, tok, cache, history
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "num_draft", "ngram"),
+    donate_argnums=(1, 2),
+)
+def spec_decode_multi(
+    params: Params,
+    cache: contiguous.KVCache,
+    history: jax.Array,  # (B, S_hist) int32 — prompt+generated token ids
+    tok: jax.Array,  # (B,) pending token per slot
+    cos: jax.Array,
+    sin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    n_steps: int,
+    num_draft: int = 4,
+    ngram: int = 2,
+) -> tuple:
+    """``n_steps`` speculative rounds in ONE program → (tokens (B, n, k+1),
+    counts (B, n), next pending, cache, history).
+
+    Row b of round i emitted ``counts[b, i]`` tokens: ``tokens[b, i,
+    :counts[b, i]]`` (1 to k+1 of them — up to k accepted prompt-lookup
+    drafts plus the model's own next token). Greedy-only by construction;
+    outputs are bit-identical to :func:`decode_multi`'s argmax stream while
+    emitting up to (k+1)x more tokens per weight/KV pass. The reference
+    decodes strictly one token per launch (flash_attn.cu:554-586).
+    """
+    return _spec_decode_multi_core(
+        params, cache, history, tok, cos, sin, active, cfg,
+        n_steps, num_draft, ngram,
     )
 
 

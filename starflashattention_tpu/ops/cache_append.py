@@ -324,6 +324,167 @@ def append_rows_paged_kv(
     )
 
 
+def _append_block_kernel_kv(
+    # scalar prefetch
+    layer_ref,  # (1,) int32
+    pos_ref,  # (B,) int32 — first write position per sequence
+    nval_ref,  # (B,) int32 — rows to blend per sequence (0 = no-op row)
+    # inputs (pre-shifted to slab-local offsets, see append_block_kv)
+    k_new_ref,  # (B, Hkv, SLAB, D) VMEM
+    v_new_ref,
+    k_hbm,  # (L, B, Hkv, S, D) ANY — aliased to output 0
+    v_hbm,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    k_win,  # (B, Hkv, SLAB, D) VMEM
+    v_win,
+    sem,
+    *,
+    batch: int,
+    window: int,
+    slab: int,
+    s_total: int,
+):
+    lidx = layer_ref[0]
+    outs = (k_out, v_out)
+    news = (k_new_ref, v_new_ref)
+    wins = (k_win, v_win)
+
+    def slab_start(b):
+        return pl.multiple_of(
+            jnp.minimum((pos_ref[b] // window) * window, s_total - slab), window
+        )
+
+    def win_copy(t, b, direction):
+        hbm = outs[t].at[lidx, b, :, pl.ds(slab_start(b), slab), :]
+        vmem = wins[t].at[b]
+        if direction == "read":
+            return pltpu.make_async_copy(hbm, vmem, sem)
+        return pltpu.make_async_copy(vmem, hbm, sem)
+
+    reads = [win_copy(t, b, "read") for t in range(2) for b in range(batch)]
+    for c in reads:
+        c.start()
+    for c in reads:
+        c.wait()
+
+    for t in range(2):
+        for b in range(batch):
+            off = pos_ref[b] - slab_start(b)
+            slab_v = wins[t][b]  # (Hkv, SLAB, D)
+            row = jax.lax.broadcasted_iota(jnp.int32, slab_v.shape, 1)
+            sel = jnp.logical_and(row >= off, row < off + nval_ref[b])
+            wins[t][b] = jnp.where(sel, news[t][b], slab_v)
+
+    writes = [win_copy(t, b, "write") for t in range(2) for b in range(batch)]
+    for c in writes:
+        c.start()
+    for c in writes:
+        c.wait()
+
+
+def append_block_kv(
+    k_table: jax.Array,  # (L, B, Hkv, S, D)
+    v_table: jax.Array,
+    k_new: jax.Array,  # (B, Hkv, T, D), same dtype as table
+    v_new: jax.Array,
+    layer: jax.Array | int,
+    pos: jax.Array,  # (B,) int32 — first write position; caller clamps pos+T <= S
+    n_valid: jax.Array | None = None,  # (B,) rows to write (None = all T)
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """``table[layer, b, :, pos[b]+j, :] = new[b, :, j, :]`` for
+    ``j < n_valid[b]`` — in place (aliased), both tables in one kernel.
+
+    The multi-row form of :func:`append_rows_kv` for speculative-decoding
+    VERIFY steps (models/llama._verify_core): the T new rows of a sequence
+    can straddle one WINDOW boundary, so the RMW slab is 2 windows wide and
+    the blend selects ``[off, off + n_valid)`` inside it. Requires
+    ``T <= window`` (32 rows on real caches — drafts are ≤ ~16 tokens).
+    Traffic: B·Hkv·3·SLAB·D bytes per table per call (~4 MB/layer at 7B
+    shapes) vs the ~134 MB/layer functional layer-slice update the prefill
+    path uses — the reason verify steps cost ≈ one decode step.
+    """
+    l, b, hkv, s, d = k_table.shape
+    t = k_new.shape[2]
+    assert v_table.shape == k_table.shape, (v_table.shape, k_table.shape)
+    assert k_new.shape == (b, hkv, t, d), (k_new.shape, k_table.shape)
+    assert k_new.dtype == k_table.dtype, (k_new.dtype, k_table.dtype)
+    if interpret is None:
+        interpret = _use_interpret()
+    _check_lane_dim(d, interpret)
+    window = _window_for(s)
+    slab = min(2 * window, s)
+    if t > window:
+        raise ValueError(
+            f"append_block_kv span {t} exceeds the RMW window {window} "
+            f"(cache length {s}); use fewer draft tokens or a longer cache"
+        )
+    pos = pos.astype(jnp.int32)
+    if n_valid is None:
+        n_valid = jnp.full((b,), t, jnp.int32)
+    n_valid = n_valid.astype(jnp.int32)
+
+    # Pre-shift the new rows to their slab-local offset (XLA-side: the
+    # per-sequence dynamic_update_slice into a (Hkv, SLAB, D) zero block is
+    # tiny). The kernel recomputes the same slab start from `pos`.
+    start = jnp.minimum((pos // window) * window, s - slab)
+    off = pos - start
+
+    def shift(new_b, off_b):
+        z = jnp.zeros((hkv, slab, d), new_b.dtype)
+        return jax.lax.dynamic_update_slice(z, new_b, (0, off_b, 0))
+
+    k_shift = jax.vmap(shift)(k_new, off)
+    v_shift = jax.vmap(shift)(v_new, off)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hkv, slab, d), k_table.dtype),
+            pltpu.VMEM((b, hkv, slab, d), v_table.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _append_block_kernel_kv,
+            batch=b, window=window, slab=slab, s_total=s,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_table.shape, k_table.dtype),
+            jax.ShapeDtypeStruct(v_table.shape, v_table.dtype),
+        ],
+        # operand index counts scalar-prefetch args:
+        # (layer, pos, nval, kn, vn, k, v)
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos,
+        n_valid,
+        k_shift,
+        v_shift,
+        k_table,
+        v_table,
+    )
+
+
 def append_rows(
     table: jax.Array,  # (L, B, Hkv, S, D)
     new: jax.Array,  # (B, Hkv, D), same dtype as table

@@ -52,9 +52,16 @@ def _use_interpret() -> bool:
 
 def _attend_block(
     lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
-    *, group, block_start, lens, nb,
+    *, group, block_start, lens, nb, qspan=1,
 ):
-    """One KV block's online-softmax update into the (m, l, acc) scratch."""
+    """One KV block's online-softmax update into the (m, l, acc) scratch.
+
+    ``qspan > 1`` is the VERIFY mode (speculative decoding): the row dim of
+    ``q`` is (G, qspan) flattened and row (g, j) is the query at absolute
+    position ``lengths[b] - 1 + j`` — each successive draft token may attend
+    one more KV row than the previous (a staircase causal mask, evaluated as
+    ``kv_pos < length + j`` with the same vector compare the ragged mask
+    already does)."""
     q = q_ref[...]  # (NB, Hkv, G, D)
     k = k_ref[0]  # (NB, Hkv, Bk, D)
     v = v_ref[0]
@@ -83,6 +90,12 @@ def _attend_block(
     len_b = jnp.full(s.shape, lens[0], jnp.int32)
     for j in range(1, nb):
         len_b = jnp.where(seq_idx == j, lens[j], len_b)
+    if qspan > 1:
+        # staircase mask: query row (g, j) sees j extra KV rows
+        row_off = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 2), qspan
+        )
+        len_b = len_b + row_off
     s = jnp.where(kv_pos < len_b, s, NEG_INF)
 
     m_prev = m_s[...]  # (NB, Hkv, G, LANES), lanes equal
@@ -172,6 +185,7 @@ def _decode_kernel_fused(
     block_k: int,
     blocks_per_split: int,
     batch_block: int,
+    qspan: int = 1,
 ):
     blk = pl.program_id(1)  # grid = (groups, blocks)
     group = pl.program_id(0)
@@ -184,7 +198,7 @@ def _decode_kernel_fused(
         acc_s[...] = jnp.zeros_like(acc_s)
 
     lens = [lengths_ref[group * nb + j] for j in range(nb)]
-    group_max = functools.reduce(jnp.maximum, lens)
+    group_max = functools.reduce(jnp.maximum, lens) + (qspan - 1)
     block_start = blk * block_k
 
     @pl.when(block_start < group_max)
@@ -192,6 +206,7 @@ def _decode_kernel_fused(
         _attend_block(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
+            qspan=qspan,
         )
 
     @pl.when(blk == blocks_per_split - 1)
@@ -410,9 +425,16 @@ def lse_combine_splits(
 def _flash_decode_fused(
     q, k_cache, v_cache, lengths, *,
     layer, sm_scale, block_k, batch_block, k_scales, v_scales, interpret,
+    qspan: int = 1,
 ) -> jax.Array:
-    """Single-split decode with the normalize epilogue fused in-kernel."""
-    b, hq, d = q.shape
+    """Single-split decode with the normalize epilogue fused in-kernel.
+
+    ``qspan > 1``: q is (B, Hq, qspan, D) — the verify mode (see
+    :func:`flash_verify`)."""
+    if qspan == 1:
+        b, hq, d = q.shape
+    else:
+        b, hq, _, d = q.shape
     if k_cache.ndim == 4:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
@@ -420,6 +442,7 @@ def _flash_decode_fused(
     assert layer is not None
     _, _, hkv, s, _ = k_cache.shape
     g = hq // hkv
+    ge = g * qspan  # row dim per KV head: (G, qspan) flattened
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
     quantized = k_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
@@ -432,7 +455,7 @@ def _flash_decode_fused(
     assert b % batch_block == 0, (b, batch_block)
     nb = batch_block
 
-    q4 = q.reshape(b, hkv, g, d)
+    q4 = q.reshape(b, hkv, ge, d)
     scale = jnp.asarray(sm_scale, jnp.float32)
     if quantized:
         scale = scale * k_scales.astype(jnp.float32)[None, :, None, None]
@@ -445,11 +468,13 @@ def _flash_decode_fused(
         block_k=block_k,
         blocks_per_split=blocks,
         batch_block=nb,
+        qspan=qspan,
     )
 
     def kv_index(gi, ki, lens, layer_ref):
         gmax = functools.reduce(jnp.maximum, [lens[gi * nb + j] for j in range(nb)])
-        last_valid = jnp.maximum((gmax + block_k - 1) // block_k - 1, 0)
+        # verify mode: the last query row attends qspan-1 rows past `lengths`
+        last_valid = jnp.maximum((gmax + qspan - 1 + block_k - 1) // block_k - 1, 0)
         blk = jnp.minimum(ki, last_valid)
         return (layer_ref[0], gi, 0, blk, 0)
 
@@ -458,27 +483,27 @@ def _flash_decode_fused(
         grid=(b // nb, blocks),
         in_specs=[
             pl.BlockSpec(
-                (nb, hkv, g, d), lambda gi, ki, *_: (gi, 0, 0, 0),
+                (nb, hkv, ge, d), lambda gi, ki, *_: (gi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nb, hkv, g, d), lambda gi, ki, *_: (gi, 0, 0, 0),
+            (nb, hkv, ge, d), lambda gi, ki, *_: (gi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
-            pltpu.VMEM((nb, hkv, g, LANES), jnp.float32),
-            pltpu.VMEM((nb, hkv, g, d), jnp.float32),
+            pltpu.VMEM((nb, hkv, ge, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, ge, LANES), jnp.float32),
+            pltpu.VMEM((nb, hkv, ge, d), jnp.float32),
         ],
     )
 
     o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, ge, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -491,7 +516,45 @@ def _flash_decode_fused(
         # final tensor instead of inside the kernel.
         o = (o.astype(jnp.float32) * v_scales.astype(jnp.float32)[None, :, None, None]
              ).astype(q.dtype)
-    return o.reshape(b, hq, d)
+    if qspan == 1:
+        return o.reshape(b, hq, d)
+    return o.reshape(b, hq, qspan, d)
+
+
+def flash_verify(
+    q: jax.Array,  # (B, Hq, T, D) — T consecutive query tokens per sequence
+    k_cache: jax.Array,  # (B, Hkv, S, D) or (L, B, Hkv, S, D) with `layer`
+    v_cache: jax.Array,
+    lengths: jax.Array,  # (B,) int32 — valid KV for query row 0 (incl. its row)
+    *,
+    layer: jax.Array | int | None = None,
+    sm_scale: float | None = None,
+    block_k: int = 256,
+    batch_block: int | None = None,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Multi-query decode attention for speculative-decoding VERIFY steps.
+
+    ``q[:, :, j]`` is the query at absolute position ``lengths[b] - 1 + j``
+    (token 0 = the pending token, tokens 1.. = draft tokens whose K/V rows
+    were just appended); row j attends KV positions ``< lengths[b] + j``
+    (the staircase causal mask). Returns (B, Hq, T, D).
+
+    Same memory behavior as :func:`flash_decode` — one KV stream over all
+    heads per grid cell — so a T-token verify step costs roughly one decode
+    step of HBM traffic: the basis of the speculative-decoding speedup
+    (models/llama.spec_decode_multi). The reference has no speculative or
+    multi-query path (SURVEY.md §2: one token per step, flash_attn.cu:554).
+    """
+    assert q.ndim == 4, q.shape
+    return _flash_decode_fused(
+        q, k_cache, v_cache, lengths,
+        layer=layer, sm_scale=sm_scale, block_k=block_k,
+        batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
+        interpret=interpret, qspan=q.shape[2],
+    )
 
 
 def flash_decode(

@@ -287,6 +287,47 @@ def _sampling_specs():
     return {"temperature": P(DATA), "top_k": P(DATA), "top_p": P(DATA), "seed": P(DATA)}
 
 
+def make_tp_spec_decode_multi(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    n_steps: int,
+    num_draft: int,
+    ngram: int = 2,
+    quantized: bool = False,
+    weight_quant: bool = False,
+):
+    """Sharded speculative decode round: ``fn(params, cache, history, tok,
+    cos, sin, active) -> (tokens (B, n, k+1), counts (B, n), pending, cache,
+    history)`` — the TP+DP analog of llama.spec_decode_multi.
+
+    Drafting, acceptance, and the token history are per-slot state and ride
+    the DATA axis with the batch; the verify step itself is the usual
+    Megatron-sharded layer stack (2 psums/layer over MODEL), so each data
+    shard's argmax sees full-vocab logits and the accept decision is
+    bit-identical to the single-chip program."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, history, tok, cos, sin, active):
+        return llama._spec_decode_multi_core(
+            params, cache, history, tok, cos, sin, active, scfg, n_steps,
+            num_draft, ngram, axis_name=MODEL,
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(), P(), P(DATA)),
+        out_specs=(P(DATA), P(DATA), P(DATA), c_specs, P(DATA)),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1, 2))
+
+
 def make_tp_prefill_serving(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
 ):

@@ -55,6 +55,9 @@ class EngineStats:
     # prefix cache (paged engine, serving/prefix_cache.py)
     prefix_hits: int = 0
     prefix_tokens_reused: int = 0
+    # speculative decoding (spec_decode engines): per-slot verify steps taken;
+    # decode_tokens / spec_steps - 1 = mean accepted drafts per step
+    spec_steps: int = 0
 
     def p50_ttft_ms(self) -> float:
         return float(np.median(self.ttfts_s) * 1e3) if self.ttfts_s else 0.0
@@ -77,6 +80,10 @@ class EngineStats:
             "finished": self.finished,
             "prefix_hits": self.prefix_hits,
             "prefix_tokens_reused": self.prefix_tokens_reused,
+            "spec_accept_per_step": (
+                round(self.decode_tokens / self.spec_steps - 1.0, 3)
+                if self.spec_steps else 0.0
+            ),
         }
 
 
@@ -102,12 +109,28 @@ class Engine:
         mesh=None,
         enable_sampling: bool = False,
         return_logprobs: bool = False,
+        spec_decode: int | None = None,
+        spec_ngram: int = 2,
         debug_validate: bool = False,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
+        # Speculative decoding (models/llama.spec_decode_multi): each decode
+        # round runs `steps_per_round` VERIFY steps, each proposing
+        # `spec_decode` prompt-lookup draft tokens and emitting 1..k+1 tokens
+        # per slot. Greedy-only (the acceptance rule is exact-argmax-match,
+        # so sampled distributions would be skewed) and the token stream is
+        # bit-identical to the plain argmax loop.
+        self.spec_decode = spec_decode
+        self.spec_ngram = spec_ngram
+        if spec_decode is not None:
+            if enable_sampling or return_logprobs:
+                raise ValueError(
+                    "spec_decode is greedy-only: it composes with neither "
+                    "enable_sampling nor return_logprobs"
+                )
         # Per-request temperature/top-k/top-p sampling (core/sampling.py).
         # A constructor flag — not per-round — so exactly one decode program
         # shape exists either way; the greedy program carries no sampling
@@ -137,9 +160,22 @@ class Engine:
         # round length would recompile per distinct value, which dominates
         # wall-clock through the remote compiler. The slack reserves cache
         # room for the final round's discarded overshoot tokens.
-        self.sched = Scheduler(num_slots, cfg.max_seq_len, capacity_slack=steps_per_round - 1)
+        # A spec round can append up to steps*(k+1) rows per slot; the slack
+        # reserves cache room for the final round's discarded overshoot.
+        round_append = steps_per_round * (
+            1 if spec_decode is None else spec_decode + 1
+        )
+        self.sched = Scheduler(
+            num_slots, cfg.max_seq_len, capacity_slack=round_append - 1
+        )
         self.cos, self.sin = llama.rope_tables(cfg)
         self.pending_tok = jnp.zeros((num_slots,), jnp.int32)
+        # token history for prompt-lookup drafting (prompt rows written at
+        # admission, generated tokens by the spec program itself)
+        self.history = (
+            jnp.zeros((num_slots, cfg.max_seq_len), jnp.int32)
+            if spec_decode is not None else None
+        )
         self.stats = EngineStats()
         self._submit_time: dict[int, float] = {}
         self._first_token_seen: set[int] = set()
@@ -163,6 +199,12 @@ class Engine:
 
     def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
         quantized = self.cfg.quant_mode != "none"
+        if self.spec_decode is not None:
+            self._tp_spec_decode = tp.make_tp_spec_decode_multi(
+                self.mesh, self.cfg, self.steps_per_round,
+                num_draft=self.spec_decode, ngram=self.spec_ngram,
+                quantized=quantized, weight_quant=weight_quant,
+            )
         self._tp_decode_multi = tp.make_tp_decode_multi(
             self.mesh, self.cfg, self.steps_per_round,
             quantized=quantized, weight_quant=weight_quant,
@@ -307,6 +349,7 @@ class Engine:
             self._slot_sampling[slot] = req.sampling
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
+        self._update_history(texts)
         # offs[slot] tokens are already cached (prefix-cache hits): those
         # slots prefill only their SUFFIX and must NOT reset their (pre-set)
         # cache length; the program's static prefix bound covers the largest
@@ -426,6 +469,55 @@ class Engine:
                     logprobs=None if first_lp is None else [first_lp[slot]],
                 )
 
+    def _update_history(self, texts) -> None:
+        """Write admitted prompts (+ resumed output) into the drafting
+        history (spec_decode engines only). One device scatter, no readback;
+        rows are rewritten whole so a reused slot carries no stale tokens
+        inside its new prompt span."""
+        if self.history is None:
+            return
+        s_hist = self.history.shape[1]
+        mask = np.zeros((self.num_slots,), bool)
+        rows = np.zeros((self.num_slots, s_hist), np.int32)
+        for slot, _req, text in texts:
+            mask[slot] = True
+            rows[slot, : min(len(text), s_hist)] = text[:s_hist]
+        self.history = jnp.where(
+            jnp.asarray(mask)[:, None], jnp.asarray(rows), self.history
+        )
+
+    def _spec_decode_round(self, active: np.ndarray, n: int) -> None:
+        t0 = time.time()
+        if self.mesh is not None:
+            toks, counts, self.pending_tok, self.cache, self.history = (
+                self._tp_spec_decode(
+                    self.params, self.cache, self.history, self.pending_tok,
+                    self.cos, self.sin, jnp.asarray(active),
+                )
+            )
+        else:
+            toks, counts, self.pending_tok, self.cache, self.history = (
+                llama.spec_decode_multi(
+                    self.params, self.cache, self.history, self.pending_tok,
+                    self.cos, self.sin, jnp.asarray(active), self.cfg, n,
+                    num_draft=self.spec_decode, ngram=self.spec_ngram,
+                )
+            )
+        toks_host = np.asarray(toks)  # (B, n, k+1)
+        counts_host = np.asarray(counts)  # (B, n) — same single readback
+        self.stats.decode_seconds += time.time() - t0
+        self.stats.decode_rounds += 1
+        self.stats.spec_steps += int(active.sum()) * n
+        for i in range(self.num_slots):
+            if active[i]:
+                emitted = [
+                    int(t)
+                    for s in range(n)
+                    for t in toks_host[i, s, : counts_host[i, s]]
+                ]
+                self.stats.decode_tokens += len(emitted)
+                self._record(i, emitted)
+
     def _decode_round(self) -> None:
         active = np.asarray(self.sched.active_mask())
         if not active.any():
@@ -434,6 +526,9 @@ class Engine:
         if not active.any():
             return
         n = self.steps_per_round  # FIXED — one compiled program, ever
+        if self.spec_decode is not None:
+            self._spec_decode_round(active, n)
+            return
         t0 = time.time()
         toks = self._decode_call(jnp.asarray(active), n)
         toks_host = np.asarray(toks)  # (B, n) — the single readback
@@ -470,6 +565,8 @@ class Engine:
             self.sched.preempt(slot)
             self._on_retired(slot)
         self.pending_tok = jnp.zeros_like(self.pending_tok)
+        if self.history is not None:
+            self.history = jnp.zeros_like(self.history)
         self.cache = self._init_cache()
 
     def run_resilient(self, **kwargs) -> int:
