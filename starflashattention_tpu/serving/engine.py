@@ -131,6 +131,17 @@ class Engine:
                     "spec_decode is greedy-only: it composes with neither "
                     "enable_sampling nor return_logprobs"
                 )
+            if cfg.num_splits != 1:
+                # _verify_core always runs the single-split fused kernel; the
+                # plain loop with num_splits>1 takes the split+LSE-combine
+                # path, whose last-ulp differences can flip argmax at ties —
+                # the bit-identical-to-plain-decoding guarantee needs both
+                # paths to be the same program.
+                raise ValueError(
+                    "spec_decode requires cfg.num_splits == 1: verify and "
+                    "plain decode must use the same (fused single-split) "
+                    "kernel for the accepted stream to be bit-identical"
+                )
         # Per-request temperature/top-k/top-p sampling (core/sampling.py).
         # A constructor flag — not per-round — so exactly one decode program
         # shape exists either way; the greedy program carries no sampling
@@ -507,7 +518,6 @@ class Engine:
         counts_host = np.asarray(counts)  # (B, n) — same single readback
         self.stats.decode_seconds += time.time() - t0
         self.stats.decode_rounds += 1
-        self.stats.spec_steps += int(active.sum()) * n
         for i in range(self.num_slots):
             if active[i]:
                 emitted = [
@@ -515,8 +525,23 @@ class Engine:
                     for s in range(n)
                     for t in toks_host[i, s, : counts_host[i, s]]
                 ]
-                self.stats.decode_tokens += len(emitted)
+                # count only tokens record_tokens actually keeps (a slot may
+                # hit its budget / EOS mid-round and discard the overshoot) so
+                # decode_tokens / spec_accept_per_step aren't inflated; a
+                # verify step likewise only counts if at least one of its
+                # tokens was kept (every counted step keeps >= 1 token, so
+                # accept-per-step >= 1 by construction and > 1 iff drafts land)
+                req = self.sched.slots[i].request
+                before = len(req.output) if req is not None else 0
                 self._record(i, emitted)
+                kept = len(req.output) - before if req is not None else 0
+                self.stats.decode_tokens += kept
+                remaining = kept
+                for s in range(n):
+                    if remaining <= 0:
+                        break
+                    self.stats.spec_steps += 1
+                    remaining -= int(counts_host[i, s])
 
     def _decode_round(self) -> None:
         active = np.asarray(self.sched.active_mask())

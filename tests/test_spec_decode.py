@@ -202,7 +202,10 @@ def test_spec_engine_matches_plain_engine():
 def test_tp_spec_engine_matches_single_chip(mesh8):
     from starflashattention_tpu.serving.engine import Engine
 
-    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    # mesh8's model axis is 4 — tiny()'s default num_kv_heads=2 can't shard
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32", num_splits=1
+    )
     params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
     prompts = [
         [7, 8, 9, 7, 8, 9],
