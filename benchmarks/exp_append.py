@@ -118,12 +118,12 @@ def _pallas_variant(mode: str, window: int):
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((B, HKV, window, D), k.dtype),
@@ -138,7 +138,7 @@ def _pallas_variant(mode: str, window: int):
                 jax.ShapeDtypeStruct(k.shape, k.dtype),
                 jax.ShapeDtypeStruct(v.shape, v.dtype),
             ],
-            input_output_aliases={2: 0, 3: 1},
+            input_output_aliases={4: 0, 5: 1},
         )(jnp.zeros((1,), jnp.int32), pos, kn, vn, k, v)
 
     return run
@@ -162,7 +162,7 @@ def _xla_variant(k, v, kn, vn, pos):
     return upd(k[0:1, :, :, :, :].reshape(1, B, HKV, S, D), kn).reshape(k[0:1].shape), v
 
 
-def bench(name, fn, k, v, kn, vn, pos, iters=256):
+def bench(name, fn, k, v, kn, vn, pos, iters=1024):
     @jax.jit
     def chain(k, v, kn, vn, pos):
         def body(c, _):
@@ -194,22 +194,33 @@ def main() -> None:
         np.r_[np.full(B // 2, 250), np.full(B // 2, 500)], jnp.int32)
     jax.block_until_ready((k, v, kn, vn))
 
-    print("== uniform positions ==")
-    bench("a0", None, k, v, kn, vn, pos_uniform)
-    for name, mode, w in (
-        ("a1_per_head", "per_head", WINDOW),
-        ("a2_window8", "per_seq", 8),
-        ("a4_common", "common", WINDOW),
-    ):
-        fn = _pallas_variant(mode, w)
-        bench(name, lambda k, v, kn, vn, pos, fn=fn: fn(k, v, kn, vn, pos),
-              k, v, kn, vn, pos_uniform)
+    # correctness probe for every variant (single call, vs reference blend)
+    def check(fn, pos):
+        k0 = jnp.zeros((2, B, HKV, S, D), dtype)
+        v0 = jnp.zeros_like(k0)
+        ko, vo = fn(k0, v0, kn, vn, pos)
+        ref = np.zeros((2, B, HKV, S, D), np.float32)
+        pn = np.asarray(pos)
+        for b in range(B):
+            ref[0, b, :, pn[b], :] = np.asarray(kn[b], np.float32)
+        refv = np.zeros_like(ref)
+        for b in range(B):
+            refv[0, b, :, pn[b], :] = np.asarray(vn[b], np.float32)
+        ok = bool(jnp.allclose(ko[0].astype(jnp.float32), jnp.asarray(ref[0])))
+        okv = bool(jnp.allclose(vo[0].astype(jnp.float32), jnp.asarray(refv[0])))
+        return ok and okv
 
-    print("== ragged positions ==")
-    bench("a0", None, k, v, kn, vn, pos_ragged)
-    fn = _pallas_variant("per_head", WINDOW)
-    bench("a1_per_head", lambda k, v, kn, vn, pos, fn=fn: fn(k, v, kn, vn, pos),
-          k, v, kn, vn, pos_ragged)
+    for tag, pos in (("uniform", pos_uniform), ("ragged", pos_ragged)):
+        print(f"== {tag} positions ==")
+        bench("a0", None, k, v, kn, vn, pos)
+        for mode in ("per_seq", "per_head"):
+            for w in (8, 16, 32):
+                fn = _pallas_variant(mode, w)
+                ok = check(fn, pos)
+                name = f"{mode}_w{w}" + ("" if ok else "_WRONG")
+                bench(name, lambda k, v, kn, vn, pos, fn=fn: fn(k, v, kn, vn, pos),
+                      k, v, kn, vn, pos)
+        print()
 
 
 if __name__ == "__main__":

@@ -125,10 +125,14 @@ def _append_kernel_one(layer_ref, pos_ref, new_ref, t_hbm, t_out, win, sem, *, b
               batch=batch, window=window, hbm_window=hbm_window)
 
 
-def _window_for(s: int) -> int:
-    """Largest power-of-two window ≤ WINDOW dividing S (tiny test caches use
-    S < 32; real caches are multiples of 512)."""
-    w = WINDOW
+def _window_for(s: int, dtype=None) -> int:
+    """Window rows for the RMW slab: the dtype's sublane tiling (f32: 8,
+    bf16: 16, int8/fp8: 32) so the DMA stays tile-aligned while moving the
+    fewest bytes — measured (benchmarks/exp_append.py, B=16/Hkv=8): the
+    bf16 16-row window runs ~1.7x faster than a fixed 32-row one (the RMW is
+    latency-bound; halving slab bytes shortens every burst). Reduced further
+    when S is smaller (tiny test caches)."""
+    w = WINDOW if dtype is None else max(32 // jnp.dtype(dtype).itemsize, 8)
     while w > 1 and s % w:
         w //= 2
     return w
@@ -171,7 +175,7 @@ def append_rows_kv(
     if interpret is None:
         interpret = _use_interpret()
     _check_lane_dim(d, interpret)
-    window = _window_for(s)
+    window = _window_for(s, k_table.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -277,7 +281,7 @@ def append_rows_paged_kv(
     if interpret is None:
         interpret = _use_interpret()
     _check_lane_dim(d, interpret)
-    window = _window_for(page_size)
+    window = _window_for(page_size, k_pages.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -416,7 +420,7 @@ def append_block_kv(
     if interpret is None:
         interpret = _use_interpret()
     _check_lane_dim(d, interpret)
-    window = _window_for(s)
+    window = _window_for(s, k_table.dtype)
     slab = min(2 * window, s)
     if t > window:
         raise ValueError(
@@ -500,7 +504,7 @@ def append_rows(
     if interpret is None:
         interpret = _use_interpret()
     _check_lane_dim(d, interpret)
-    window = _window_for(s)
+    window = _window_for(s, table.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -19,18 +19,27 @@ from 0.34x to 0.89x of roofline:
   epilogue is pure VPU overhead on >90% of tiles).
 - whole KV tiles above the diagonal are skipped before any matmul; running
   (m, l, acc) live in fp32 VMEM scratch across the kv_block loop.
+- MXU/VPU software pipelining: at D=128 each score element costs ~512 MXU
+  FLOPs and ~10 VPU ops — near-equal time on v5e — so a kernel that
+  serializes [QK -> softmax -> PV] per tile caps at ~0.5 of the MXU peak.
+  The q rows are split into up to 4 independent online-softmax CHAINS (each
+  with its own (m, l, acc) scratch) and the ops are issued
+  [QK(0), QK(1), softmax(0), PV(0), QK(2), softmax(1), ...] so Mosaic can
+  run chain c's softmax on the VPU while chain c+1's matmul occupies the
+  MXU. Measured (benchmarks/exp_prefill.py, v5e, B=1 Hq=32 Hkv=8 D=128):
+  0.53 -> 0.65 of MXU peak at seq 8192, 0.40 -> 0.44 at seq 2048.
+- base-2 softmax: sm_scale * log2(e) is folded into q OUTSIDE the kernel and
+  the online softmax runs in exp2/log2 units (the VPU's native
+  transcendental; saves the per-element scale multiply). The LSE math is
+  identical in any base.
 
 GQA head mapping (q head h -> KV head h // G) matches ops/flash_decode.py.
-Measured (v5e, B=1, Hq=32, Hkv=8, S=2048, D=128, bf16): per-q-head grid at
-block 128x128 ran 2.66 ms/layer (0.07 of MXU peak); this design at the
-512x1024 default runs ~0.35 ms (~0.5 of peak). Whole-model 7B TTFT at
-seq 2048: 244.5 -> 187.0 ms, step MXU fraction 0.49 -> 0.64
-(benchmarks/artifacts/results_round2.jsonl).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,39 +48,53 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = math.log2(math.e)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_chains(rows: int) -> int:
+    """Independent softmax chains: enough to overlap VPU with MXU, but keep
+    each chain's matmul >= 256 rows so the MXU stays well fed."""
+    for c in (4, 2):
+        if rows % c == 0 and rows // c >= 256:
+            return c
+    return 1
+
+
 def _prefill_kernel(
     lengths_ref,  # (B,) int32 SMEM — full array, indexed by program_id
     q_off_ref,  # (B,) int32 SMEM — absolute position of q row 0 per sequence
-    q_ref,  # (1, G, Bq, D)
+    q_ref,  # (1, G, Bq, D) — pre-scaled by sm_scale * log2(e)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
     o_ref,  # (1, G, Bq, D)
-    m_s,  # (G*Bq, LANES) f32
-    l_s,  # (G*Bq, LANES) f32
-    acc_s,  # (G*Bq, D) f32
-    *,
+    *scratch,  # per chain: m (rows_c, LANES) f32, l (rows_c, LANES) f32,
+    #            acc (rows_c, D) f32 — interleaved (m0, l0, acc0, m1, ...)
     group: int,
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
-    sm_scale: float,
     causal: bool,
+    chains: int,
 ):
+    m_ss = scratch[0::3]
+    l_ss = scratch[1::3]
+    acc_ss = scratch[2::3]
     batch = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    rows = group * block_q
+    sub = rows // chains
 
     @pl.when(ki == 0)
     def _init():
-        m_s[...] = jnp.full_like(m_s, NEG_INF)
-        l_s[...] = jnp.zeros_like(l_s)
-        acc_s[...] = jnp.zeros_like(acc_s)
+        for c in range(chains):
+            m_ss[c][...] = jnp.full_like(m_ss[c], NEG_INF)
+            l_ss[c][...] = jnp.zeros_like(l_ss[c])
+            acc_ss[c][...] = jnp.zeros_like(acc_ss[c])
 
     length = lengths_ref[batch]
     offset = q_off_ref[batch]
@@ -92,44 +115,62 @@ def _prefill_kernel(
         no_mask = jnp.logical_and(no_mask, kv_start + block_k - 1 <= q_row0)
 
     def _attend(masked: bool):
-        q = q_ref[0].reshape(group * block_q, q_ref.shape[-1])
+        d = q_ref.shape[-1]
+        q_all = q_ref[0].reshape(rows, d)
         k = k_ref[0, 0]  # (Bk, D)
         v = v_ref[0, 0]
 
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # (G*Bq, Bk)
+        def qk(c):
+            s = jax.lax.dot_general(
+                q_all[c * sub:(c + 1) * sub],
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (sub, Bk) — already in log2 units (q pre-scaled)
+            if masked:
+                col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                mask = col < length
+                if causal:
+                    # row position inside the q block; the flattened row
+                    # index is head-major so rem() recovers it for any chain
+                    # split
+                    row = q_row0 + jax.lax.rem(
+                        c * sub
+                        + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0),
+                        block_q,
+                    )
+                    mask = jnp.logical_and(mask, col <= row)
+                s = jnp.where(mask, s, NEG_INF)
+            return s
 
-        if masked:
-            col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = col < length
-            if causal:
-                # row index repeats per head within the group
-                row = q_row0 + jax.lax.rem(
-                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0),
-                    block_q,
-                )
-                mask = jnp.logical_and(mask, col <= row)
-            s = jnp.where(mask, s, NEG_INF)
+        def softmax(s, c):
+            m_prev = m_ss[c][...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_ss[c][...] = alpha * l_ss[c][...] + jnp.sum(p, axis=1, keepdims=True)
+            m_ss[c][...] = m_next
+            return p, alpha
 
-        m_prev = m_s[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=1, keepdims=True)
-        m_s[...] = m_next
+        def pv(p, alpha, c):
+            out = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ss[c][...] = acc_ss[c][...] * alpha[:, :1] + out
 
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_s[...] = acc_s[...] * alpha[:, :1] + pv
+        # software pipeline: issue chain c+1's QK before chain c's softmax
+        # so the MXU (matmuls) and VPU (softmax) overlap across chains
+        s_next = qk(0)
+        for c in range(chains):
+            s_cur = s_next
+            if c + 1 < chains:
+                s_next = qk(c + 1)
+            p, a = softmax(s_cur, c)
+            pv(p, a, c)
 
     @pl.when(jnp.logical_and(should_run, no_mask))
     def _attend_fast():
@@ -141,10 +182,16 @@ def _prefill_kernel(
 
     @pl.when(ki == num_kv_blocks - 1)
     def _emit():
-        l = l_s[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o = (acc_s[...] / l_safe).astype(o_ref.dtype)
-        o_ref[0] = o.reshape(group, block_q, o_ref.shape[-1])
+        # the wrapper guarantees sub % block_q == 0 (chain boundaries fall
+        # on whole heads of the output tile)
+        heads_per_chain = sub // block_q
+        for c in range(chains):
+            l = l_ss[c][:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o = (acc_ss[c][...] / l_safe).astype(o_ref.dtype)
+            o_ref[0, pl.dslice(c * heads_per_chain, heads_per_chain)] = (
+                o.reshape(heads_per_chain, block_q, o_ref.shape[-1])
+            )
 
 
 def flash_prefill(
@@ -182,6 +229,10 @@ def flash_prefill(
         q_offsets = jnp.zeros((b,), jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
 
+    # Fold sm_scale and the base-2 conversion into q once (f32 mul, then back
+    # to the compute dtype) — the kernel's softmax runs in exp2 units.
+    q = (q.astype(jnp.float32) * (float(sm_scale) * LOG2E)).astype(q.dtype)
+
     # Pad sequence dims up to tile multiples; padded KV is masked by
     # `lengths`, padded Q rows are sliced off the output.
     block_q = min(block_q, max(sq, 8))
@@ -198,15 +249,31 @@ def flash_prefill(
     num_kv_blocks = skv_p // block_k
     grid = (b, hkv, num_q_blocks, num_kv_blocks)
 
+    rows = g * block_q
+    chains = _pick_chains(rows)
+    # chain boundaries must fall on whole (head, block_q) rows for the
+    # output writeback slices
+    while chains > 1 and (rows // chains) % block_q:
+        chains //= 2
+    sub = rows // chains
+
     kernel = functools.partial(
         _prefill_kernel,
         group=g,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
-        sm_scale=float(sm_scale),
         causal=causal,
+        chains=chains,
     )
+
+    scratch = []
+    for _ in range(chains):
+        scratch += [
+            pltpu.VMEM((sub, LANES), jnp.float32),
+            pltpu.VMEM((sub, LANES), jnp.float32),
+            pltpu.VMEM((sub, d), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -236,11 +303,7 @@ def flash_prefill(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((g * block_q, LANES), jnp.float32),
-            pltpu.VMEM((g * block_q, LANES), jnp.float32),
-            pltpu.VMEM((g * block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=96 * 1024 * 1024,
