@@ -91,11 +91,20 @@ def main() -> None:
 
     import time as _time
 
+    # Static bound on lengths over the whole chain (start + iters appends):
+    # the serving engine derives the same per-round hint from host-known
+    # slot lengths (Engine._round_len_hint), so the benched program is the
+    # served program.
+    hint = int(lens.max()) + iters + 1
+    hint = None if hint >= cfg.max_seq_len else hint
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(carry, params, cos, sin):
         def body(c, _):
             cache, tok = c
-            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            logits, cache = llama._decode_core(
+                params, cache, tok, cos, sin, cfg, max_len_hint=hint
+            )
             return (cache, jnp.argmax(logits, -1).astype(jnp.int32)), None
         c, _ = jax.lax.scan(body, carry, None, length=iters)
         return c

@@ -250,6 +250,7 @@ def _decode_core(
     cfg: ModelConfig,
     axis_name: str | None = None,
     active: jax.Array | None = None,  # (B,) bool — slots that really decode
+    max_len_hint: int | None = None,  # static bound on lengths (see flash_decode)
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """One decode step: (B,) token ids → (B, V) fp32 logits + updated cache.
 
@@ -263,8 +264,14 @@ def _decode_core(
     pos = cache.lengths  # (B,)
     if active is None:
         lengths_now = cache.lengths + 1
+        att_lengths = lengths_now
     else:
         lengths_now = cache.lengths + active.astype(jnp.int32)
+        # Inactive slots (free / retired / preempted) keep their stale cache
+        # length until re-admission; attending with it would fetch their
+        # whole dead KV range every step AND force max_len_hint to cover it.
+        # Their attention output is discarded, so attend zero rows instead.
+        att_lengths = jnp.where(active, lengths_now, 0)
 
     layers = params["layers"]
 
@@ -299,10 +306,11 @@ def _decode_core(
         k_all, v_all = cache_append.append_rows_kv(k_all, v_all, k_q, v_q, lidx, pos_w)
 
         o = flash_decode(
-            q, k_all, v_all, lengths_now, layer=lidx,
+            q, k_all, v_all, att_lengths, layer=lidx,
             num_splits=cfg.num_splits, block_k=cfg.block_k,
             batch_block=cfg.batch_block,
             k_scales=ks, v_scales=vs,
+            max_len_hint=max_len_hint,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
@@ -467,6 +475,7 @@ def _decode_multi_core(
     axis_name: str | None = None,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """``n_steps`` decode steps in ONE program → (tokens (B, n),
     next pending token, cache[, logprobs (B, n) f32]). ``axis_name`` set =
@@ -481,7 +490,8 @@ def _decode_multi_core(
     def step(carry, _):
         tok, cache = carry
         logits, cache = _decode_core(
-            params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
+            params, cache, tok, cos, sin, cfg, axis_name=axis_name,
+            active=active, max_len_hint=max_len_hint,
         )
         if sampling is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -506,7 +516,9 @@ def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "with_logprobs"), donate_argnums=(1,)
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "with_logprobs", "max_len_hint"),
+    donate_argnums=(1,),
 )
 def decode_multi(
     params: Params,
@@ -519,6 +531,7 @@ def decode_multi(
     n_steps: int,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """Single-chip jitted ``n_steps`` decode rounds.
 
@@ -529,7 +542,7 @@ def decode_multi(
     """
     return _decode_multi_core(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
-        with_logprobs=with_logprobs,
+        with_logprobs=with_logprobs, max_len_hint=max_len_hint,
     )
 
 
@@ -809,6 +822,7 @@ def _decode_core_paged(
     cfg: ModelConfig,
     axis_name: str | None = None,
     active: jax.Array | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     """One decode step against the PAGED pool — same program structure as
     :func:`_decode_core` but the KV stream rides the page table: appends go
@@ -824,8 +838,11 @@ def _decode_core_paged(
     pos = cache.lengths
     if active is None:
         lengths_now = cache.lengths + 1
+        att_lengths = lengths_now
     else:
         lengths_now = cache.lengths + active.astype(jnp.int32)
+        # see _decode_core: stale inactive-slot lengths must not drive fetch
+        att_lengths = jnp.where(active, lengths_now, 0)
 
     layers = params["layers"]
     page_tbl = cache.page_table
@@ -856,9 +873,9 @@ def _decode_core_paged(
         )
 
         o = paged_flash_decode(
-            q, k_pages, v_pages, page_tbl, lengths_now, layer=lidx,
+            q, k_pages, v_pages, page_tbl, att_lengths, layer=lidx,
             pages_per_compute_block=cfg.pages_per_compute_block,
-            k_scales=ks, v_scales=vs,
+            k_scales=ks, v_scales=vs, max_len_hint=max_len_hint,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
@@ -1007,6 +1024,7 @@ def _decode_multi_core_paged(
     axis_name: str | None = None,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """n decode steps against the paged pool in ONE program (argmax, or
     per-slot sampling when ``sampling`` state arrays are passed; optional
@@ -1015,7 +1033,8 @@ def _decode_multi_core_paged(
     def step(carry, _):
         tok, cache = carry
         logits, cache = _decode_core_paged(
-            params, cache, tok, cos, sin, cfg, axis_name=axis_name, active=active
+            params, cache, tok, cos, sin, cfg, axis_name=axis_name,
+            active=active, max_len_hint=max_len_hint,
         )
         if sampling is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1033,7 +1052,9 @@ def _decode_multi_core_paged(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "with_logprobs"), donate_argnums=(1,)
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "with_logprobs", "max_len_hint"),
+    donate_argnums=(1,),
 )
 def decode_multi_paged(
     params: Params,
@@ -1046,11 +1067,12 @@ def decode_multi_paged(
     n_steps: int,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """Paged analog of :func:`decode_multi`: n steps, one program."""
     return _decode_multi_core_paged(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
-        with_logprobs=with_logprobs,
+        with_logprobs=with_logprobs, max_len_hint=max_len_hint,
     )
 
 

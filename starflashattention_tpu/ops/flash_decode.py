@@ -426,11 +426,21 @@ def _flash_decode_fused(
     q, k_cache, v_cache, lengths, *,
     layer, sm_scale, block_k, batch_block, k_scales, v_scales, interpret,
     qspan: int = 1,
+    max_len_hint: int | None = None,
 ) -> jax.Array:
     """Single-split decode with the normalize epilogue fused in-kernel.
 
     ``qspan > 1``: q is (B, Hq, qspan, D) — the verify mode (see
-    :func:`flash_verify`)."""
+    :func:`flash_verify`).
+
+    ``max_len_hint`` (static) caps the kv-block GRID at
+    ``ceil(hint / block_k)`` steps instead of the cache's full
+    ``S / block_k``: the cache is allocated at ``max_seq_len`` but a serving
+    round's sequences only occupy a prefix, and every surplus grid step
+    costs ~1 us of pipeline bookkeeping even when the index-map clamp
+    dedupes its fetch. CONTRACT: every ``lengths[b] (+ qspan - 1)`` must be
+    <= hint — rows past it are silently never attended. The engine derives
+    the hint from host-known slot lengths per round (serving/engine.py)."""
     if qspan == 1:
         b, hq, d = q.shape
     else:
@@ -450,6 +460,9 @@ def _flash_decode_fused(
         interpret = _use_interpret()
 
     _, block_k, blocks = _split_geometry(s, 1, block_k)
+    if max_len_hint is not None:
+        covered = min(max_len_hint + qspan - 1, s)
+        blocks = max(min(blocks, -(-covered // block_k)), 1)
     if batch_block is None:
         batch_block = _pick_batch_block(b, hkv, d, block_k, k_cache.dtype.itemsize)
     assert b % batch_block == 0, (b, batch_block)
@@ -534,6 +547,7 @@ def flash_verify(
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
+    max_len_hint: int | None = None,
 ) -> jax.Array:
     """Multi-query decode attention for speculative-decoding VERIFY steps.
 
@@ -553,7 +567,7 @@ def flash_verify(
         q, k_cache, v_cache, lengths,
         layer=layer, sm_scale=sm_scale, block_k=block_k,
         batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
-        interpret=interpret, qspan=q.shape[2],
+        interpret=interpret, qspan=q.shape[2], max_len_hint=max_len_hint,
     )
 
 
@@ -571,6 +585,7 @@ def flash_decode(
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
+    max_len_hint: int | None = None,
 ) -> jax.Array:
     """Decode attention: (B, Hq, D) query vs (B, Hkv, S, D) cache — or a
     whole (L, B, Hkv, S, D) table plus ``layer`` — → (B, Hq, D).
@@ -579,6 +594,10 @@ def flash_decode(
     (flash_api.cpp:42-68) with GQA, ragged ``lengths``, quantized caches, and
     in-kernel layer-table indexing. ``num_splits=1`` takes the fused-epilogue
     kernel: no f32 partials or (m, l) stats ever reach HBM.
+
+    ``max_len_hint`` (static, fused path only): caller-guaranteed upper
+    bound on ``lengths`` — shrinks the kv grid to ``ceil(hint/block_k)``
+    steps (see :func:`_flash_decode_fused`).
     """
     s = k_cache.shape[-2]
     eff_splits = _split_geometry(s, num_splits, block_k)[0]
@@ -587,8 +606,10 @@ def flash_decode(
             q, k_cache, v_cache, lengths,
             layer=layer, sm_scale=sm_scale, block_k=block_k,
             batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
-            interpret=interpret,
+            interpret=interpret, max_len_hint=max_len_hint,
         )
+    # the split path partitions the WHOLE cache across splits; the grid hint
+    # only applies to the fused single-split serving path
     o_parts, m_parts, l_parts = flash_decode_with_stats(
         q,
         k_cache,

@@ -208,8 +208,14 @@ def paged_flash_decode(
     k_scales: jax.Array | None = None,  # (Hkv,) f32
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
+    max_len_hint: int | None = None,
 ) -> jax.Array:
     """Paged decode attention → (B, Hq, D).
+
+    ``max_len_hint`` (static): caller-guaranteed bound on ``lengths`` —
+    shrinks the page-walk grid to ``ceil(ceil(hint/page_size)/ppcb)`` steps
+    instead of walking every allocatable page slot (the serving engine
+    derives it from host-known slot lengths; see ops/flash_decode).
 
     Stacked-layer mode: pass the whole (L, Hkv, P, ps, D) page pool plus a
     (traced) ``layer`` index; the DMA source is selected in-kernel — REQUIRED
@@ -238,6 +244,9 @@ def paged_flash_decode(
     while pages_per_seq % ppcb != 0:
         ppcb -= 1
     max_blocks = pages_per_seq // ppcb
+    if max_len_hint is not None:
+        hint_pages = -(-min(max_len_hint, pages_per_seq * page_size) // page_size)
+        max_blocks = max(min(max_blocks, -(-hint_pages // ppcb)), 1)
 
     # Fold sm_scale (and K dequant scale) into q; V scale into the output.
     q4 = q.reshape(b, hkv, g, d)

@@ -191,6 +191,13 @@ class Engine:
         self._submit_time: dict[int, float] = {}
         self._first_token_seen: set[int] = set()
         self._finished_requests: list[Request] = []  # for recovery snapshots
+        # Host mirror of each LIVE slot's cache length (set at admission,
+        # advanced per decode round). max over active slots feeds the decode
+        # grid's max_len_hint (ops/flash_decode): the kernel then walks only
+        # ceil(hint/block_k) kv blocks instead of the cache's full
+        # max_seq_len/block_k. Quantized to _HINT_QUANTUM so the number of
+        # compiled decode programs stays bounded (max_seq_len/quantum).
+        self._slot_len = np.zeros((num_slots,), np.int64)
         if mesh is not None:
             self.params = self._shard(params)
         else:
@@ -281,7 +288,7 @@ class Engine:
         )
         return logits
 
-    def _decode_call(self, active, n):
+    def _decode_call(self, active, n, max_len_hint=None):
         if self.mesh is not None:
             args = (self.params, self.cache, self.pending_tok,
                     self.cos, self.sin, active)
@@ -294,8 +301,23 @@ class Engine:
                 self.cos, self.sin, active, self.cfg, n,
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,
+                max_len_hint=max_len_hint,
             )
         return self._unpack_decode(out)
+
+    _HINT_QUANTUM = 512
+
+    def _round_len_hint(self, active: np.ndarray, n: int) -> int | None:
+        """Static bound on every active slot's cache length at the END of an
+        n-step round, quantized to bound compile count; None when the full
+        grid is needed anyway (then the unhinted program is reused) or on
+        the sharded path (whose programs are built once at engine init)."""
+        if self.mesh is not None or not active.any():
+            return None
+        mx = int(self._slot_len[active].max()) + n + 1
+        q = self._HINT_QUANTUM
+        bucket = -(-mx // q) * q
+        return bucket if bucket < self.cfg.max_seq_len else None
 
     def _unpack_decode(self, out):
         toks, self.pending_tok, self.cache = out[:3]
@@ -360,6 +382,8 @@ class Engine:
             self._slot_sampling[slot] = req.sampling
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
+        for slot, _r, text in texts:
+            self._slot_len[slot] = len(text)  # post-prefill cache length
         self._update_history(texts)
         # offs[slot] tokens are already cached (prefix-cache hits): those
         # slots prefill only their SUFFIX and must NOT reset their (pre-set)
@@ -517,6 +541,7 @@ class Engine:
         toks_host = np.asarray(toks)  # (B, n, k+1)
         counts_host = np.asarray(counts)  # (B, n) — same single readback
         self.stats.decode_seconds += time.time() - t0
+        self._slot_len[active] += counts_host[active].sum(axis=1)
         self.stats.decode_rounds += 1
         for i in range(self.num_slots):
             if active[i]:
@@ -555,9 +580,11 @@ class Engine:
             self._spec_decode_round(active, n)
             return
         t0 = time.time()
-        toks = self._decode_call(jnp.asarray(active), n)
+        hint = self._round_len_hint(active, n)
+        toks = self._decode_call(jnp.asarray(active), n, max_len_hint=hint)
         toks_host = np.asarray(toks)  # (B, n) — the single readback
         self.stats.decode_seconds += time.time() - t0
+        self._slot_len[active] += n
         self.stats.decode_rounds += 1
         self.stats.decode_tokens += int(active.sum()) * n
         for i in range(self.num_slots):
@@ -1008,7 +1035,7 @@ class PagedEngine(Engine):
         )
         return logits
 
-    def _decode_call(self, active, n):
+    def _decode_call(self, active, n, max_len_hint=None):
         if self.mesh is not None:
             args = (self.params, self.cache, self.pending_tok,
                     self.cos, self.sin, active)
@@ -1021,5 +1048,6 @@ class PagedEngine(Engine):
                 self.cos, self.sin, active, self.cfg, n,
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,
+                max_len_hint=max_len_hint,
             )
         return self._unpack_decode(out)

@@ -115,3 +115,59 @@ def test_jit_and_grad_free_path(rng):
     o = f(q, k, v, lengths)
     ref = decode_reference(q, k, v, lengths)
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_max_len_hint_matches_full_grid():
+    """flash_decode with a max_len_hint bounding lengths is bit-identical to
+    the full-grid program (the hint only removes grid steps the index-map
+    clamp already dedupes)."""
+    import numpy as np
+    from starflashattention_tpu.ops.flash_decode import flash_decode
+
+    rng = np.random.default_rng(0)
+    b, hq, hkv, s, d = 4, 8, 2, 512, 16
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    lengths = jnp.asarray([100, 63, 1, 128], jnp.int32)
+    full = flash_decode(q, k, v, lengths, num_splits=1, block_k=64)
+    hinted = flash_decode(
+        q, k, v, lengths, num_splits=1, block_k=64, max_len_hint=128
+    )
+    assert (np.asarray(full) == np.asarray(hinted)).all()
+
+
+def test_decode_multi_hint_and_inactive_mask():
+    """decode_multi with max_len_hint matches the unhinted program even when
+    an INACTIVE slot carries a stale length far beyond the hint (its
+    attention lengths are masked to zero; its outputs are unused)."""
+    import numpy as np
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1, max_seq_len=256)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cos, sin = llama.rope_tables(cfg)
+    b = 4
+
+    def mk_cache():
+        c = contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.float32,
+        )
+        # slot 2 is INACTIVE with a stale near-full length
+        return contiguous.advance(c, jnp.asarray([40, 10, 250, 7], jnp.int32))
+
+    tok = jnp.asarray([3, 5, 7, 9], jnp.int32)
+    active = jnp.asarray([True, True, False, True])
+    out_full = llama.decode_multi(
+        params, mk_cache(), tok, cos, sin, active, cfg, 4
+    )
+    out_hint = llama.decode_multi(
+        params, mk_cache(), tok, cos, sin, active, cfg, 4, max_len_hint=64
+    )
+    # active rows bit-match; the stale inactive row's tokens are unused
+    act = np.asarray(active)
+    assert (np.asarray(out_full[0])[act] == np.asarray(out_hint[0])[act]).all()
+    assert (np.asarray(out_full[1])[act] == np.asarray(out_hint[1])[act]).all()
