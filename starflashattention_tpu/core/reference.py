@@ -33,8 +33,14 @@ def mha_reference(
     causal: bool = False,
     q_offset: jax.Array | None = None,  # (B,) absolute position of q[:, :, 0]
     sm_scale: float | None = None,
+    sliding_window: int | None = None,  # row attends [row - W + 1, row]
 ) -> jax.Array:
-    """Full-softmax multi-head attention at fp32. Returns (B, Hq, Sq, D)."""
+    """Full-softmax multi-head attention at fp32. Returns (B, Hq, Sq, D).
+
+    ``sliding_window`` (Mistral-style local attention, a capability the
+    reference lacks): query at absolute position p attends only KV positions
+    in ``[p - W + 1, p]`` (plus the length/causal masks).
+    """
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     assert hq % hkv == 0, (hq, hkv)
@@ -54,11 +60,13 @@ def mha_reference(
     mask = jnp.ones((b, 1, sq, skv), dtype=bool)
     if lengths is not None:
         mask &= kv_pos < lengths[:, None, None, None]
+    q_pos = jnp.arange(sq)[None, None, :, None]
+    if q_offset is not None:
+        q_pos = q_pos + q_offset[:, None, None, None]
     if causal:
-        q_pos = jnp.arange(sq)[None, None, :, None]
-        if q_offset is not None:
-            q_pos = q_pos + q_offset[:, None, None, None]
         mask &= kv_pos <= q_pos
+    if sliding_window is not None:
+        mask &= kv_pos > q_pos - sliding_window
     s = jnp.where(mask, s, NEG_INF)
 
     p = jax.nn.softmax(s, axis=-1)
@@ -73,14 +81,18 @@ def decode_reference(
     lengths: jax.Array,  # (B,) — number of valid cache positions (incl. new token)
     *,
     sm_scale: float | None = None,
+    sliding_window: int | None = None,
 ) -> jax.Array:
     """Decode-phase attention: 1 query token vs the KV cache.
 
     The functional spec of the reference's flash_decoder + flash_combine pair
-    (flash_attn.cu:554-935) once the cache append has happened.
+    (flash_attn.cu:554-935) once the cache append has happened. The decode
+    query sits at position ``lengths - 1``, so ``sliding_window`` restricts
+    it to KV positions ``[lengths - W, lengths)``.
     """
     o = mha_reference(
-        q[:, :, None, :], k_cache, v_cache, lengths=lengths, sm_scale=sm_scale
+        q[:, :, None, :], k_cache, v_cache, lengths=lengths, sm_scale=sm_scale,
+        q_offset=lengths - 1, sliding_window=sliding_window,
     )
     return o[:, :, 0, :]
 

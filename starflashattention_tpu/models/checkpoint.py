@@ -38,7 +38,22 @@ def _to_np(t) -> np.ndarray:
 
 
 def config_from_hf(hf_config) -> ModelConfig:
-    """ModelConfig from a transformers LlamaConfig(-like) object."""
+    """ModelConfig from a transformers config for any supported family:
+    Llama/Llama-2/3 (``LlamaConfig``), Mistral (``MistralConfig`` — adds
+    ``sliding_window``), Qwen2 (``Qwen2Config`` — adds fused-QKV bias).
+    """
+    model_type = getattr(hf_config, "model_type", "llama")
+    # Qwen2 always carries q/k/v projection biases; Llama-family configs
+    # expose an explicit attention_bias flag (default False).
+    attention_bias = bool(
+        getattr(hf_config, "attention_bias", False) or model_type == "qwen2"
+    )
+    # Mistral: sliding_window is the window size (None disables). Qwen2 sets
+    # sliding_window in the config but gates it behind use_sliding_window
+    # (default False) — honor the gate.
+    window = getattr(hf_config, "sliding_window", None)
+    if not getattr(hf_config, "use_sliding_window", True):
+        window = None
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -47,11 +62,14 @@ def config_from_hf(hf_config) -> ModelConfig:
         num_q_heads=hf_config.num_attention_heads,
         num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
         or hf_config.num_attention_heads,
-        head_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+        head_dim=getattr(hf_config, "head_dim", None)
+        or hf_config.hidden_size // hf_config.num_attention_heads,
         rms_norm_eps=hf_config.rms_norm_eps,
         rope_base=getattr(hf_config, "rope_theta", 10000.0),
         max_seq_len=min(getattr(hf_config, "max_position_embeddings", 4096), 8192),
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        attention_bias=attention_bias,
+        sliding_window=window,
     )
 
 
@@ -69,7 +87,7 @@ def load_hf_state_dict(
         return _to_np(state[name])
 
     wqkv, wo, w_gate_up, w_down = [], [], [], []
-    attn_norm, mlp_norm = [], []
+    attn_norm, mlp_norm, bqkv = [], [], []
     for i in range(L):
         p = f"model.layers.{i}."
         # HF stores projections as (out, in); our matmuls are x @ W = (in, out).
@@ -77,6 +95,14 @@ def load_hf_state_dict(
         k = get(p + "self_attn.k_proj.weight").T  # (h, hkv*d)
         v = get(p + "self_attn.v_proj.weight").T
         wqkv.append(np.concatenate([q, k, v], axis=1))
+        if cfg.attention_bias:
+            # Qwen2-style: per-projection biases fuse into one row matching
+            # the [q|k|v] column layout of wqkv
+            bqkv.append(np.concatenate([
+                get(p + "self_attn.q_proj.bias"),
+                get(p + "self_attn.k_proj.bias"),
+                get(p + "self_attn.v_proj.bias"),
+            ]))
         wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
         gate = get(p + "mlp.gate_proj.weight").T  # (h, I)
         up = get(p + "mlp.up_proj.weight").T
@@ -97,6 +123,8 @@ def load_hf_state_dict(
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    if cfg.attention_bias:
+        params["layers"]["bqkv"] = jnp.asarray(np.stack(bqkv), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     _check_shapes(params, cfg)
@@ -112,6 +140,8 @@ def _check_shapes(params: dict, cfg: ModelConfig) -> None:
         ("layers", "w_down"): (cfg.num_layers, cfg.intermediate_size, h),
         ("embed",): (cfg.vocab_size, h),
     }
+    if cfg.attention_bias:
+        expect[("layers", "bqkv")] = (cfg.num_layers, (hq + 2 * hkv) * d)
     for path, shape in expect.items():
         node = params
         for k in path:

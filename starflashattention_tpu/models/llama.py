@@ -174,6 +174,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         },
         "final_norm": jnp.ones((h,), dtype),
     }
+    if cfg.attention_bias:
+        # Qwen2-style fused QKV bias, column layout identical to wqkv
+        params["layers"]["bqkv"] = norm01(keys[6], (L, (hq + 2 * hkv) * d), h)
     if not cfg.tie_embeddings:
         params["lm_head"] = norm01(keys[5], (h, cfg.vocab_size), h)
     return params
@@ -283,6 +286,8 @@ def _decode_core(
         # Attention
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -310,7 +315,7 @@ def _decode_core(
             num_splits=cfg.num_splits, block_k=cfg.block_k,
             batch_block=cfg.batch_block,
             k_scales=ks, v_scales=vs,
-            max_len_hint=max_len_hint,
+            max_len_hint=max_len_hint, window=cfg.sliding_window,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
@@ -388,6 +393,8 @@ def _prefill_core(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -423,7 +430,8 @@ def _prefill_core(
         else:
             k_att, v_att = k_l, v_l
         o = flash_prefill(
-            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
+            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
+            window=cfg.sliding_window,
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
@@ -640,6 +648,8 @@ def _verify_core(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, T, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -660,7 +670,7 @@ def _verify_core(
         o = flash_verify(
             q, k_all, v_all, start + 1, layer=lidx,
             block_k=cfg.block_k, batch_block=cfg.batch_block,
-            k_scales=ks, v_scales=vs,
+            k_scales=ks, v_scales=vs, window=cfg.sliding_window,
         )  # (B, Hq, T, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
         attn_out = proj(o, "wo")
@@ -834,6 +844,12 @@ def _decode_core_paged(
     [0, lengths[b]] maps to an allocated physical page; unmapped entries point
     at the reserved null page 0, so inactive slots' writes land harmlessly
     there."""
+    if cfg.sliding_window is not None:
+        raise NotImplementedError(
+            "sliding-window attention is supported on the contiguous-cache "
+            "path only (the paged kernel walks the full page list); serve "
+            "windowed models with the contiguous Engine"
+        )
     x = params["embed"][tokens]
     pos = cache.lengths
     if active is None:
@@ -855,6 +871,8 @@ def _decode_core_paged(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
@@ -946,6 +964,8 @@ def _prefill_core_paged(
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
@@ -985,7 +1005,8 @@ def _prefill_core_paged(
                 v_att = v_att.astype(q.dtype)
 
         o = flash_prefill(
-            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start
+            q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
+            window=cfg.sliding_window,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")

@@ -52,7 +52,7 @@ def _use_interpret() -> bool:
 
 def _attend_block(
     lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
-    *, group, block_start, lens, nb, qspan=1,
+    *, group, block_start, lens, nb, qspan=1, window=None,
 ):
     """One KV block's online-softmax update into the (m, l, acc) scratch.
 
@@ -96,7 +96,12 @@ def _attend_block(
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 2), qspan
         )
         len_b = len_b + row_off
-    s = jnp.where(kv_pos < len_b, s, NEG_INF)
+    valid = kv_pos < len_b
+    if window is not None:
+        # sliding window (Mistral-style): the query at position len_b - 1
+        # attends KV positions [len_b - window, len_b)
+        valid = jnp.logical_and(valid, kv_pos >= len_b - window)
+    s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_s[...]  # (NB, Hkv, G, LANES), lanes equal
     m_curr = jnp.max(s, axis=3, keepdims=True)  # (NB, Hkv, G, 1)
@@ -167,6 +172,24 @@ def _decode_kernel(
         l_ref[:, 0] = l_s[...]
 
 
+def _win_first(lens, nb, qspan, window, block_k):
+    """First KV block any sequence of the group needs under a sliding
+    window: min over live (len > 0) sequences of (len + qspan - 1 - window)
+    // block_k, clamped at 0. Without a window this is block 0."""
+    if window is None:
+        return 0
+    starts = [
+        jnp.where(
+            lens[j] > 0,
+            jnp.maximum(lens[j] + (qspan - 1) - window, 0),
+            jnp.int32(2**30),
+        )
+        for j in range(nb)
+    ]
+    lo = functools.reduce(jnp.minimum, starts)
+    return jnp.minimum(lo, jnp.int32(2**30 - 1)) // block_k
+
+
 def _decode_kernel_fused(
     # Single-split variant: normalize in-kernel, write the FINAL output in
     # the query dtype — no f32 partials or (m, l) stats ever reach HBM. At
@@ -186,6 +209,7 @@ def _decode_kernel_fused(
     blocks_per_split: int,
     batch_block: int,
     qspan: int = 1,
+    window: int | None = None,
 ):
     blk = pl.program_id(1)  # grid = (groups, blocks)
     group = pl.program_id(0)
@@ -199,14 +223,18 @@ def _decode_kernel_fused(
 
     lens = [lengths_ref[group * nb + j] for j in range(nb)]
     group_max = functools.reduce(jnp.maximum, lens) + (qspan - 1)
-    block_start = blk * block_k
+    # Sliding window: walk only blocks that intersect the group's window
+    # band [group_win_start, group_max). The index map shifts the fetch by
+    # the same first-block offset (must stay in lockstep with _win_first).
+    first = _win_first(lens, nb, qspan, window, block_k)
+    block_start = (first + blk) * block_k
 
     @pl.when(block_start < group_max)
     def _attend():
         _attend_block(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
-            qspan=qspan,
+            qspan=qspan, window=window,
         )
 
     @pl.when(blk == blocks_per_split - 1)
@@ -427,6 +455,7 @@ def _flash_decode_fused(
     layer, sm_scale, block_k, batch_block, k_scales, v_scales, interpret,
     qspan: int = 1,
     max_len_hint: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Single-split decode with the normalize epilogue fused in-kernel.
 
@@ -463,6 +492,12 @@ def _flash_decode_fused(
     if max_len_hint is not None:
         covered = min(max_len_hint + qspan - 1, s)
         blocks = max(min(blocks, -(-covered // block_k)), 1)
+    # NOTE: no static grid shrink for `window` — the walk starts at the
+    # GROUP's first in-band block (_win_first = min over its sequences), and
+    # with ragged lengths the union of per-sequence bands can span up to the
+    # longest sequence, so the grid must still be able to reach last_valid.
+    # Blocks past it dedupe/skip as usual; blocks below every band are
+    # skipped by the shifted walk.
     if batch_block is None:
         batch_block = _pick_batch_block(b, hkv, d, block_k, k_cache.dtype.itemsize)
     assert b % batch_block == 0, (b, batch_block)
@@ -482,13 +517,18 @@ def _flash_decode_fused(
         blocks_per_split=blocks,
         batch_block=nb,
         qspan=qspan,
+        window=window,
     )
 
     def kv_index(gi, ki, lens, layer_ref):
-        gmax = functools.reduce(jnp.maximum, [lens[gi * nb + j] for j in range(nb)])
+        lens_g = [lens[gi * nb + j] for j in range(nb)]
+        gmax = functools.reduce(jnp.maximum, lens_g)
         # verify mode: the last query row attends qspan-1 rows past `lengths`
         last_valid = jnp.maximum((gmax + qspan - 1 + block_k - 1) // block_k - 1, 0)
-        blk = jnp.minimum(ki, last_valid)
+        # sliding window: shift the walk to the group's first in-band block
+        # (stays in lockstep with the kernel body's _win_first)
+        first = _win_first(lens_g, nb, qspan, window, block_k)
+        blk = jnp.clip(first + ki, 0, last_valid)
         return (layer_ref[0], gi, 0, blk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -548,6 +588,7 @@ def flash_verify(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Multi-query decode attention for speculative-decoding VERIFY steps.
 
@@ -568,6 +609,7 @@ def flash_verify(
         layer=layer, sm_scale=sm_scale, block_k=block_k,
         batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
         interpret=interpret, qspan=q.shape[2], max_len_hint=max_len_hint,
+        window=window,
     )
 
 
@@ -586,6 +628,7 @@ def flash_decode(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Decode attention: (B, Hq, D) query vs (B, Hkv, S, D) cache — or a
     whole (L, B, Hkv, S, D) table plus ``layer`` — → (B, Hq, D).
@@ -601,12 +644,17 @@ def flash_decode(
     """
     s = k_cache.shape[-2]
     eff_splits = _split_geometry(s, num_splits, block_k)[0]
+    if window is not None and eff_splits != 1:
+        raise ValueError(
+            "sliding-window attention requires num_splits=1 (the fused "
+            "kernel); splitting a windowed band across the cache buys nothing"
+        )
     if eff_splits == 1:
         return _flash_decode_fused(
             q, k_cache, v_cache, lengths,
             layer=layer, sm_scale=sm_scale, block_k=block_k,
             batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
-            interpret=interpret, max_len_hint=max_len_hint,
+            interpret=interpret, max_len_hint=max_len_hint, window=window,
         )
     # the split path partitions the WHOLE cache across splits; the grid hint
     # only applies to the fused single-split serving path

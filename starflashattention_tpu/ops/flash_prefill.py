@@ -79,6 +79,7 @@ def _prefill_kernel(
     num_kv_blocks: int,
     causal: bool,
     chains: int,
+    window: int | None,
 ):
     m_ss = scratch[0::3]
     l_ss = scratch[1::3]
@@ -107,12 +108,23 @@ def _prefill_kernel(
         in_band = kv_start <= q_row0 + block_q - 1
     else:
         in_band = True
+    if window is not None:
+        # sliding window: skip tiles entirely BELOW the band — every column
+        # of the tile precedes even the first q row's window start
+        in_band = jnp.logical_and(
+            in_band, kv_start + block_k - 1 >= q_row0 - (window - 1)
+        )
     should_run = jnp.logical_and(in_band, kv_start < length)
     # Interior tiles need no masking: every kv column is <= every q row
     # (fully below the diagonal) and < length.
     no_mask = kv_start + block_k <= length
     if causal:
         no_mask = jnp.logical_and(no_mask, kv_start + block_k - 1 <= q_row0)
+    if window is not None:
+        # ... and inside every row's window
+        no_mask = jnp.logical_and(
+            no_mask, kv_start >= q_row0 + block_q - 1 - (window - 1)
+        )
 
     def _attend(masked: bool):
         d = q_ref.shape[-1]
@@ -130,7 +142,7 @@ def _prefill_kernel(
             if masked:
                 col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 mask = col < length
-                if causal:
+                if causal or window is not None:
                     # row position inside the q block; the flattened row
                     # index is head-major so rem() recovers it for any chain
                     # split
@@ -139,7 +151,10 @@ def _prefill_kernel(
                         + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0),
                         block_q,
                     )
-                    mask = jnp.logical_and(mask, col <= row)
+                    if causal:
+                        mask = jnp.logical_and(mask, col <= row)
+                    if window is not None:
+                        mask = jnp.logical_and(mask, col > row - window)
                 s = jnp.where(mask, s, NEG_INF)
             return s
 
@@ -205,6 +220,7 @@ def flash_prefill(
     sm_scale: float | None = None,
     block_q: int = 512,
     block_k: int = 1024,
+    window: int | None = None,  # sliding window (Mistral-style), in rows
     interpret: bool | None = None,
 ) -> jax.Array:
     """Blockwise causal prefill attention → (B, Hq, Sq, D).
@@ -265,6 +281,7 @@ def flash_prefill(
         num_kv_blocks=num_kv_blocks,
         causal=causal,
         chains=chains,
+        window=window,
     )
 
     scratch = []

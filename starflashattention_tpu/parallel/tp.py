@@ -81,6 +81,10 @@ def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
         return params
     layers = dict(params["layers"])
     layers["wqkv"] = _permute_cols(layers["wqkv"], jnp.asarray(_wqkv_perm(cfg, tp)))
+    if "bqkv" in layers:  # fused QKV bias permutes with the wqkv columns
+        layers["bqkv"] = jnp.take(
+            layers["bqkv"], jnp.asarray(_wqkv_perm(cfg, tp)), axis=-1
+        )
     layers["w_gate_up"] = _permute_cols(
         layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp))
     )
@@ -126,6 +130,9 @@ def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
             specs["layers"][name] = dict(_COL_QSPEC)
         for name in ("wo", "w_down"):
             specs["layers"][name] = dict(_ROW_QSPEC)
+    if cfg.attention_bias:
+        # column-parallel bias: shards with the (permuted) wqkv output dim
+        specs["layers"]["bqkv"] = P(None, MODEL)
     if cfg.tie_embeddings:
         specs.pop("lm_head")
     return specs

@@ -35,6 +35,9 @@ class AttentionConfig:
     pages_per_compute_block: int = 4
     sm_scale: float | None = None
     quant_mode: QuantMode = "none"
+    # Mistral-style sliding-window attention: each position attends only the
+    # last `sliding_window` positions. None = full attention.
+    sliding_window: int | None = None
 
     def __post_init__(self):
         if self.num_q_heads % self.num_kv_heads:
@@ -81,6 +84,15 @@ class ModelConfig:
     batch_block: int | None = None
     pages_per_compute_block: int = 4
     tie_embeddings: bool = False
+    # Sliding-window (local) attention, e.g. Mistral-7B's 4096 — masks AND
+    # prunes the decode kernel's KV fetch to the window band
+    # (ops/flash_decode._win_first). Contiguous-cache engines only (the
+    # paged kernel walks the full page list; guarded at the model layer).
+    sliding_window: int | None = None
+    # Fused-QKV projection bias (Qwen2-style; the reference ACCEPTS q/k/v
+    # biases in its API but never applies them, flash_api.cpp:8-9 /
+    # SURVEY.md §2.9h — here they are real).
+    attention_bias: bool = False
     # Under TP (parallel/tp.py) the lm_head is VOCAB-SHARDED over the model
     # axis: each shard computes its (B, V/T) logit slice and the slices are
     # all-gathered — bit-identical to the replicated matmul but the per-chip
@@ -110,6 +122,7 @@ class ModelConfig:
             batch_block=self.batch_block,
             pages_per_compute_block=self.pages_per_compute_block,
             quant_mode=self.quant_mode,
+            sliding_window=self.sliding_window,
         )
 
     @classmethod
@@ -124,6 +137,61 @@ class ModelConfig:
             num_q_heads=32,
             num_kv_heads=8,
             head_dim=128,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def mistral_7b(cls, **overrides) -> "ModelConfig":
+        """Mistral-7B-v0.1 geometry: Llama-7B-like GQA with a 4096-token
+        sliding window and a 14336 MLP."""
+        base = dict(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            sliding_window=4096,
+            max_seq_len=8192,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def qwen2_7b(cls, **overrides) -> "ModelConfig":
+        """Qwen2-7B geometry: 28/4 GQA heads, 3584 hidden, QKV bias,
+        rope theta 1e6."""
+        base = dict(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_layers=28,
+            num_q_heads=28,
+            num_kv_heads=4,
+            head_dim=128,
+            attention_bias=True,
+            rope_base=1e6,
+            max_seq_len=4096,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def llama3_8b(cls, **overrides) -> "ModelConfig":
+        """Llama-3-8B geometry: 32/8 GQA heads, 14336 MLP, 128k vocab,
+        rope theta 5e5."""
+        base = dict(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_base=5e5,
+            max_seq_len=8192,
         )
         base.update(overrides)
         return cls(**base)

@@ -54,11 +54,11 @@ class FaultInjector:
         self.inner = engine._decode_call
         engine._decode_call = self.__call__
 
-    def __call__(self, active, n):
+    def __call__(self, active, n, **kw):
         self.calls += 1
         if self.calls in self.fail_on:
             raise RuntimeError(f"injected device fault on decode call {self.calls}")
-        return self.inner(active, n)
+        return self.inner(active, n, **kw)
 
 
 @pytest.mark.parametrize("engine_cls", [Engine, PagedEngine])
@@ -108,7 +108,7 @@ def test_consecutive_faults_beyond_limit_reraise():
     eng = Engine(params, CFG, num_slots=2, steps_per_round=2)
     submit_all(eng, make_prompts(0, n=1), 4)
 
-    def always_fail(active, n):
+    def always_fail(active, n, **kw):
         raise RuntimeError("persistently sick chip")
 
     eng._decode_call = always_fail
