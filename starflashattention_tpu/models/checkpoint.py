@@ -70,6 +70,9 @@ def config_from_hf(hf_config) -> ModelConfig:
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         attention_bias=attention_bias,
         sliding_window=window,
+        # Mixtral: num_local_experts routed top-num_experts_per_tok
+        num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
     )
 
 
@@ -88,6 +91,7 @@ def load_hf_state_dict(
 
     wqkv, wo, w_gate_up, w_down = [], [], [], []
     attn_norm, mlp_norm, bqkv = [], [], []
+    moe_router, moe_gate_up, moe_down = [], [], []
     for i in range(L):
         p = f"model.layers.{i}."
         # HF stores projections as (out, in); our matmuls are x @ W = (in, out).
@@ -104,10 +108,25 @@ def load_hf_state_dict(
                 get(p + "self_attn.v_proj.bias"),
             ]))
         wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
-        gate = get(p + "mlp.gate_proj.weight").T  # (h, I)
-        up = get(p + "mlp.up_proj.weight").T
-        w_gate_up.append(np.concatenate([gate, up], axis=1))
-        w_down.append(get(p + "mlp.down_proj.weight").T)  # (I, h)
+        if cfg.num_experts:
+            # Mixtral MoE: gate.weight (E, h) → router (h, E); per expert
+            # w1=gate (I, h), w3=up (I, h) → [gate|up] (h, 2I); w2=down (h, I)
+            # → (I, h). Experts stack on a leading E axis.
+            moe_router.append(get(p + "block_sparse_moe.gate.weight").T)
+            gus, downs = [], []
+            for e in range(cfg.num_experts):
+                ep = p + f"block_sparse_moe.experts.{e}."
+                gus.append(np.concatenate(
+                    [get(ep + "w1.weight").T, get(ep + "w3.weight").T], axis=1
+                ))
+                downs.append(get(ep + "w2.weight").T)
+            moe_gate_up.append(np.stack(gus))
+            moe_down.append(np.stack(downs))
+        else:
+            gate = get(p + "mlp.gate_proj.weight").T  # (h, I)
+            up = get(p + "mlp.up_proj.weight").T
+            w_gate_up.append(np.concatenate([gate, up], axis=1))
+            w_down.append(get(p + "mlp.down_proj.weight").T)  # (I, h)
         attn_norm.append(get(p + "input_layernorm.weight"))
         mlp_norm.append(get(p + "post_attention_layernorm.weight"))
 
@@ -118,11 +137,16 @@ def load_hf_state_dict(
             "wqkv": jnp.asarray(np.stack(wqkv), dtype),
             "wo": jnp.asarray(np.stack(wo), dtype),
             "mlp_norm": jnp.asarray(np.stack(mlp_norm), dtype),
-            "w_gate_up": jnp.asarray(np.stack(w_gate_up), dtype),
-            "w_down": jnp.asarray(np.stack(w_down), dtype),
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    if cfg.num_experts:
+        params["layers"]["moe_router"] = jnp.asarray(np.stack(moe_router), dtype)
+        params["layers"]["moe_gate_up"] = jnp.asarray(np.stack(moe_gate_up), dtype)
+        params["layers"]["moe_down"] = jnp.asarray(np.stack(moe_down), dtype)
+    else:
+        params["layers"]["w_gate_up"] = jnp.asarray(np.stack(w_gate_up), dtype)
+        params["layers"]["w_down"] = jnp.asarray(np.stack(w_down), dtype)
     if cfg.attention_bias:
         params["layers"]["bqkv"] = jnp.asarray(np.stack(bqkv), dtype)
     if not cfg.tie_embeddings:
@@ -133,13 +157,19 @@ def load_hf_state_dict(
 
 def _check_shapes(params: dict, cfg: ModelConfig) -> None:
     d, hq, hkv, h = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads, cfg.hidden_size
+    I, E, L = cfg.intermediate_size, cfg.num_experts, cfg.num_layers
     expect = {
-        ("layers", "wqkv"): (cfg.num_layers, h, (hq + 2 * hkv) * d),
-        ("layers", "wo"): (cfg.num_layers, hq * d, h),
-        ("layers", "w_gate_up"): (cfg.num_layers, h, 2 * cfg.intermediate_size),
-        ("layers", "w_down"): (cfg.num_layers, cfg.intermediate_size, h),
+        ("layers", "wqkv"): (L, h, (hq + 2 * hkv) * d),
+        ("layers", "wo"): (L, hq * d, h),
         ("embed",): (cfg.vocab_size, h),
     }
+    if E:
+        expect[("layers", "moe_router")] = (L, h, E)
+        expect[("layers", "moe_gate_up")] = (L, E, h, 2 * I)
+        expect[("layers", "moe_down")] = (L, E, I, h)
+    else:
+        expect[("layers", "w_gate_up")] = (L, h, 2 * I)
+        expect[("layers", "w_down")] = (L, I, h)
     if cfg.attention_bias:
         expect[("layers", "bqkv")] = (cfg.num_layers, (hq + 2 * hkv) * d)
     for path, shape in expect.items():

@@ -123,7 +123,10 @@ def quantize_model_weights(
     """
     layers = dict(params["layers"])
     src_layers = params["layers"]
-    for name in _QUANT_WEIGHTS:
+    # MoE models carry moe_gate_up/moe_down instead of the dense pair; the
+    # attention projections still quantize (expert weights stay dense —
+    # per-expert quant kernels are future work).
+    for name in (n for n in _QUANT_WEIGHTS if n in src_layers):
         w = src_layers.pop(name) if consume else src_layers[name]
         layers[name] = _quantize_stacked(w, mode)
         del w
@@ -168,12 +171,21 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
             "wqkv": norm01(keys[1], (L, h, (hq + 2 * hkv) * d), h),
             "wo": norm01(keys[2], (L, hq * d, h), hq * d),
             "mlp_norm": jnp.ones((L, h), dtype),
-            # w_gate_up columns: [gate (I) | up (I)].
-            "w_gate_up": norm01(keys[3], (L, h, 2 * inter), h),
-            "w_down": norm01(keys[4], (L, inter, h), inter),
         },
         "final_norm": jnp.ones((h,), dtype),
     }
+    if cfg.num_experts:
+        # Mixtral-style MoE MLP: router + per-expert [gate|up] / down stacks.
+        # The router stays fp32-computed (tiny (H, E) matmul) so top-k expert
+        # selection is deterministic across TP/EP shardings.
+        E = cfg.num_experts
+        params["layers"]["moe_router"] = norm01(keys[7], (L, h, E), h)
+        params["layers"]["moe_gate_up"] = norm01(keys[3], (L, E, h, 2 * inter), h)
+        params["layers"]["moe_down"] = norm01(keys[4], (L, E, inter, h), inter)
+    else:
+        # w_gate_up columns: [gate (I) | up (I)].
+        params["layers"]["w_gate_up"] = norm01(keys[3], (L, h, 2 * inter), h)
+        params["layers"]["w_down"] = norm01(keys[4], (L, inter, h), inter)
     if cfg.attention_bias:
         # Qwen2-style fused QKV bias, column layout identical to wqkv
         params["layers"]["bqkv"] = norm01(keys[6], (L, (hq + 2 * hkv) * d), h)
@@ -203,6 +215,67 @@ def _swiglu(x: jax.Array, proj) -> jax.Array:
     gate, up = gu[..., :inter], gu[..., inter:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return proj(act, "w_down")  # fp32 (psum'd before cast under TP)
+
+
+def _moe_mlp(
+    x: jax.Array, lp: Params, cfg: ModelConfig, axis_name: str | None = None
+) -> jax.Array:
+    """Mixtral-style top-k routed MoE MLP → fp32 (caller psums under a mesh).
+
+    TPU-first shape: with E small (8) and decode/prefill row counts modest,
+    every LOCAL expert runs on ALL rows as one (E, N, ·) batched MXU matmul
+    and the router weights zero out non-selected pairs — static shapes, no
+    gather/scatter, no host-side capacity planning. Under expert parallelism
+    the experts shard over the mesh axis: each chip computes its E/T local
+    experts' contribution and the caller's psum completes the routed sum
+    (the EP analog of Megatron's row-parallel reduction). The router itself
+    is replicated and computed in fp32 so every shard selects identical
+    experts.
+    """
+    flat = x.reshape(-1, x.shape[-1])  # (N, H)
+    n = flat.shape[0]
+    e_total = cfg.num_experts
+    k = cfg.num_experts_per_tok
+
+    # Routing: top-k over the FULL expert set, softmax over the k logits
+    # (Mixtral convention), scattered back to a dense (N, E_total) matrix.
+    r = jnp.dot(
+        flat.astype(jnp.float32), lp["moe_router"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (N, E_total)
+    top_logit, top_idx = jax.lax.top_k(r, k)  # (N, k)
+    top_w = jax.nn.softmax(top_logit, axis=-1)  # (N, k)
+    dense_w = jnp.sum(
+        jax.nn.one_hot(top_idx, e_total, dtype=jnp.float32) * top_w[..., None],
+        axis=1,
+    )  # (N, E_total)
+
+    wg = lp["moe_gate_up"]  # (E_local, H, 2I)
+    wd = lp["moe_down"]  # (E_local, I, H)
+    e_local = wg.shape[0]
+    if axis_name is not None and e_local != e_total:
+        off = jax.lax.axis_index(axis_name) * e_local
+        dense_w = jax.lax.dynamic_slice_in_dim(dense_w, off, e_local, axis=1)
+
+    gu = jnp.einsum(
+        "nh,ehi->eni", flat, wg, preferred_element_type=jnp.float32
+    )  # (E_local, N, 2I)
+    inter = gu.shape[-1] // 2
+    act = (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(x.dtype)
+    y = jnp.einsum(
+        "eni,eih->enh", act, wd, preferred_element_type=jnp.float32
+    )  # (E_local, N, H)
+    out = jnp.einsum("enh,ne->nh", y, dense_w)  # fp32
+    return out.reshape(*x.shape[:-1], out.shape[-1])
+
+
+def _mlp_block(
+    x: jax.Array, lp: Params, proj, cfg: ModelConfig, axis_name: str | None = None
+) -> jax.Array:
+    """Dense SwiGLU or MoE, by config — fp32 out, psum'd by the caller."""
+    if cfg.num_experts:
+        return _moe_mlp(x, lp, cfg, axis_name)
+    return _swiglu(x, proj)
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
@@ -325,7 +398,7 @@ def _decode_core(
 
         # MLP
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, proj)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -440,7 +513,7 @@ def _prefill_core(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, proj)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -679,7 +752,7 @@ def _verify_core(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, proj)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -902,7 +975,7 @@ def _decode_core_paged(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, proj)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -1015,7 +1088,7 @@ def _prefill_core_paged(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _swiglu(h, proj)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)

@@ -85,9 +85,12 @@ def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
         layers["bqkv"] = jnp.take(
             layers["bqkv"], jnp.asarray(_wqkv_perm(cfg, tp)), axis=-1
         )
-    layers["w_gate_up"] = _permute_cols(
-        layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp))
-    )
+    if "w_gate_up" in layers:
+        layers["w_gate_up"] = _permute_cols(
+            layers["w_gate_up"], jnp.asarray(_gate_up_perm(cfg, tp))
+        )
+    # MoE expert stacks need no permutation: the expert axis shards whole
+    # experts (expert parallelism), nothing is column-interleaved.
     out = dict(params)
     out["layers"] = layers
     return out
@@ -125,10 +128,19 @@ def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
         # head was the TP step's largest remaining stream, 262 MB/step)
         "lm_head": P(None, MODEL),
     }
+    if cfg.num_experts:
+        # Expert parallelism: whole experts shard over the model axis (the
+        # MoE analog of row-parallel — each chip computes its local experts'
+        # contribution for all rows, the in-core psum completes the routed
+        # sum). Router replicated + fp32 so all shards route identically.
+        del specs["layers"]["w_gate_up"], specs["layers"]["w_down"]
+        specs["layers"]["moe_router"] = P()
+        specs["layers"]["moe_gate_up"] = P(None, MODEL, None, None)
+        specs["layers"]["moe_down"] = P(None, MODEL, None, None)
     if weight_quant:
-        for name in ("wqkv", "w_gate_up"):
+        for name in ("wqkv",) + (() if cfg.num_experts else ("w_gate_up",)):
             specs["layers"][name] = dict(_COL_QSPEC)
-        for name in ("wo", "w_down"):
+        for name in ("wo",) + (() if cfg.num_experts else ("w_down",)):
             specs["layers"][name] = dict(_ROW_QSPEC)
     if cfg.attention_bias:
         # column-parallel bias: shards with the (permuted) wqkv output dim
@@ -182,7 +194,13 @@ def _check(cfg: ModelConfig, mesh: Mesh) -> None:
         raise ValueError(
             f"num_kv_heads {cfg.num_kv_heads} not divisible by model-axis size {tp}"
         )
-    if cfg.intermediate_size % tp:
+    if cfg.num_experts:
+        if cfg.num_experts % tp:
+            raise ValueError(
+                f"num_experts {cfg.num_experts} not divisible by model-axis "
+                f"size {tp} (experts shard whole over the axis)"
+            )
+    elif cfg.intermediate_size % tp:
         raise ValueError(
             f"intermediate_size {cfg.intermediate_size} not divisible by {tp}"
         )
@@ -234,7 +252,13 @@ def _shard_cfg(cfg: ModelConfig, mesh: Mesh) -> ModelConfig:
         cfg,
         num_q_heads=cfg.num_q_heads // tp,
         num_kv_heads=cfg.num_kv_heads // tp,
-        intermediate_size=cfg.intermediate_size // tp,
+        # MoE shards whole experts, not the intermediate dim; num_experts
+        # stays GLOBAL in the shard config (the replicated router needs the
+        # full expert count — local count comes from the weight shard shape).
+        intermediate_size=(
+            cfg.intermediate_size if cfg.num_experts
+            else cfg.intermediate_size // tp
+        ),
         # tied embeddings keep the (replicated) gather table as the head
         lm_head_sharded=not cfg.tie_embeddings,
     )

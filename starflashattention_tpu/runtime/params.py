@@ -102,6 +102,13 @@ class ModelConfig:
     # (and ignored) without an axis_name. Tied embeddings keep the gather
     # path replicated, so the flag stays False there.
     lm_head_sharded: bool = False
+    # Mixture-of-experts MLP (Mixtral-style). 0 = dense SwiGLU. With
+    # num_experts > 0 the per-layer MLP is top-k routed over E experts
+    # (models/llama._moe_mlp); under a mesh the experts shard over the
+    # "model" axis (expert parallelism — parallel/tp.py treats the expert
+    # axis the way dense TP treats the intermediate dim).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     # W8A8 prefill: INT8-weight projections quantize activations per token
     # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
     # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
@@ -191,6 +198,26 @@ class ModelConfig:
             num_kv_heads=8,
             head_dim=128,
             rope_base=5e5,
+            max_seq_len=8192,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def mixtral_8x7b(cls, **overrides) -> "ModelConfig":
+        """Mixtral-8x7B geometry: Mistral-7B attention (32/8 GQA heads) with
+        an 8-expert top-2 MoE MLP (models/llama._moe_mlp)."""
+        base = dict(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            num_experts=8,
+            num_experts_per_tok=2,
+            rope_base=1e6,
             max_seq_len=8192,
         )
         base.update(overrides)
