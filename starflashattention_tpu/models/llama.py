@@ -350,59 +350,16 @@ def _decode_core(
         att_lengths = jnp.where(active, lengths_now, 0)
 
     layers = params["layers"]
+    body = functools.partial(
+        _decode_layer, layers=layers, cfg=cfg, cos=cos, sin=sin, pos=pos,
+        att_lengths=att_lengths, k_scales_tab=cache.k_scales,
+        v_scales_tab=cache.v_scales, axis_name=axis_name,
+        max_len_hint=max_len_hint,
+    )
 
     def layer_body(carry, layer_in):
-        x, k_all, v_all = carry
         lp, lidx = layer_in
-        proj = _make_proj(layers, lp, lidx, cfg, axis_name)
-
-        # Attention
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
-        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
-            qkv = qkv + lp["bqkv"]
-        q, k_new, v_new = _split_heads_decode(qkv, cfg)
-        q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
-        k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
-
-        if cache.k_scales is not None:
-            ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
-            k_q = contiguous._quantize_new(k_new, ks, k_all.dtype)
-            v_q = contiguous._quantize_new(v_new, vs, v_all.dtype)
-        else:
-            ks = vs = None
-            k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
-
-        # Append the new token in place (ops/cache_append windowed-RMW DMA,
-        # the analog of the reference's in-kernel append, flash_attn.cu:
-        # 691-701). The functional dynamic_update_slice alternative slices
-        # the layer out/in and moves ~134 MB of HBM per layer at 7B shapes
-        # (measured ~40% of the decode step); this writes ~1 MB. Positions
-        # clamp to the last slot exactly like dynamic_update_slice did —
-        # the scheduler's capacity slack keeps real traffic below that.
-        pos_w = jnp.minimum(pos, k_all.shape[3] - 1)
-        k_all, v_all = cache_append.append_rows_kv(k_all, v_all, k_q, v_q, lidx, pos_w)
-
-        o = flash_decode(
-            q, k_all, v_all, att_lengths, layer=lidx,
-            num_splits=cfg.num_splits, block_k=cfg.block_k,
-            batch_block=cfg.batch_block,
-            k_scales=ks, v_scales=vs,
-            max_len_hint=max_len_hint, window=cfg.sliding_window,
-        )  # (B, Hq, D)
-        o = o.reshape(o.shape[0], -1)
-        attn_out = proj(o, "wo")
-        if axis_name is not None:
-            attn_out = jax.lax.psum(attn_out, axis_name)
-        x = x + attn_out.astype(x.dtype)
-
-        # MLP
-        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
-        if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out, axis_name)
-        x = x + mlp_out.astype(x.dtype)
-        return (x, k_all, v_all), None
+        return body(carry, lp, lidx, lidx), None
 
     layer_idx = jnp.arange(cfg.num_layers)
     (x, k_all, v_all), _ = jax.lax.scan(
@@ -410,6 +367,80 @@ def _decode_core(
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
     return _logits(x, params, cfg, axis_name=axis_name), cache
+
+
+def _decode_layer(
+    carry,
+    lp: Params,
+    param_lidx,  # indexes stacked layer params (quant dicts, scale tables)
+    cache_lidx,  # indexes the KV table's leading axis (pipeline stages remap
+    # it: parallel/pp.py flattens (L_local, M microbatches) into one axis)
+    *,
+    layers: Params,
+    cfg: ModelConfig,
+    cos, sin, pos, att_lengths,
+    k_scales_tab=None, v_scales_tab=None,
+    axis_name: str | None = None,
+    max_len_hint: int | None = None,
+):
+    """One decoder layer of the decode step: (x, k_table, v_table) → same.
+
+    Shared by the single-chip/TP scan (``_decode_core``) and the pipeline
+    stage loop (parallel/pp.py) so every parallelism strategy runs literally
+    the same per-layer program.
+    """
+    x, k_all, v_all = carry
+    proj = _make_proj(layers, lp, param_lidx, cfg, axis_name)
+
+    # Attention
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+    qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+    if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+        qkv = qkv + lp["bqkv"]
+    q, k_new, v_new = _split_heads_decode(qkv, cfg)
+    q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
+    k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
+
+    if k_scales_tab is not None:
+        ks, vs = k_scales_tab[param_lidx], v_scales_tab[param_lidx]
+        k_q = contiguous._quantize_new(k_new, ks, k_all.dtype)
+        v_q = contiguous._quantize_new(v_new, vs, v_all.dtype)
+    else:
+        ks = vs = None
+        k_q, v_q = k_new.astype(k_all.dtype), v_new.astype(v_all.dtype)
+
+    # Append the new token in place (ops/cache_append windowed-RMW DMA,
+    # the analog of the reference's in-kernel append, flash_attn.cu:
+    # 691-701). The functional dynamic_update_slice alternative slices
+    # the layer out/in and moves ~134 MB of HBM per layer at 7B shapes
+    # (measured ~40% of the decode step); this writes ~1 MB. Positions
+    # clamp to the last slot exactly like dynamic_update_slice did —
+    # the scheduler's capacity slack keeps real traffic below that.
+    pos_w = jnp.minimum(pos, k_all.shape[3] - 1)
+    k_all, v_all = cache_append.append_rows_kv(
+        k_all, v_all, k_q, v_q, cache_lidx, pos_w
+    )
+
+    o = flash_decode(
+        q, k_all, v_all, att_lengths, layer=cache_lidx,
+        num_splits=cfg.num_splits, block_k=cfg.block_k,
+        batch_block=cfg.batch_block,
+        k_scales=ks, v_scales=vs,
+        max_len_hint=max_len_hint, window=cfg.sliding_window,
+    )  # (B, Hq, D)
+    o = o.reshape(o.shape[0], -1)
+    attn_out = proj(o, "wo")
+    if axis_name is not None:
+        attn_out = jax.lax.psum(attn_out, axis_name)
+    x = x + attn_out.astype(x.dtype)
+
+    # MLP
+    h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+    mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+    if axis_name is not None:
+        mlp_out = jax.lax.psum(mlp_out, axis_name)
+    x = x + mlp_out.astype(x.dtype)
+    return (x, k_all, v_all)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))

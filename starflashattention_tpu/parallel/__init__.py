@@ -23,3 +23,8 @@ from starflashattention_tpu.parallel.distributed_decode import (  # noqa: F401
     make_seq_sharded_decode,
     merge_partials_across_chips,
 )
+from starflashattention_tpu.parallel.pp import (  # noqa: F401
+    make_pp_decode_step,
+    shard_cache_pp,
+    shard_params_pp,
+)
