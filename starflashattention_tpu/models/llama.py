@@ -40,7 +40,7 @@ from starflashattention_tpu.runtime.params import ModelConfig
 
 Params = dict[str, Any]
 
-_QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down")
+_QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down", "moe_gate_up", "moe_down")
 
 
 def _make_proj(
@@ -123,12 +123,19 @@ def quantize_model_weights(
     """
     layers = dict(params["layers"])
     src_layers = params["layers"]
-    # MoE models carry moe_gate_up/moe_down instead of the dense pair; the
-    # attention projections still quantize (expert weights stay dense —
-    # per-expert quant kernels are future work).
+    # MoE models carry moe_gate_up/moe_down (L, E, H, O) stacks instead of
+    # the dense pair; both the attention projections AND the expert stacks
+    # quantize (per-expert per-output-channel scales — quantize_weight
+    # reduces the contraction axis, so an (E, H, O) layer yields (E, O)
+    # scales). The router stays fp32: it is tiny and drives a top-k whose
+    # determinism across shardings matters more than its bytes.
     for name in (n for n in _QUANT_WEIGHTS if n in src_layers):
         w = src_layers.pop(name) if consume else src_layers[name]
-        layers[name] = _quantize_stacked(w, mode)
+        # _quantize_stacked DONATES its input (frees the dense buffer when
+        # the program retires — how original+quantized 7B fit on one chip).
+        # With consume=False the caller keeps using the dense weight, so
+        # donate a transient copy instead of the live buffer.
+        layers[name] = _quantize_stacked(w if consume else w + 0, mode)
         del w
     out = dict(params)
     out["layers"] = layers
@@ -218,7 +225,12 @@ def _swiglu(x: jax.Array, proj) -> jax.Array:
 
 
 def _moe_mlp(
-    x: jax.Array, lp: Params, cfg: ModelConfig, axis_name: str | None = None
+    x: jax.Array,
+    lp: Params,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+    layers: Params | None = None,
+    lidx=None,
 ) -> jax.Array:
     """Mixtral-style top-k routed MoE MLP → fp32 (caller psums under a mesh).
 
@@ -231,6 +243,16 @@ def _moe_mlp(
     (the EP analog of Megatron's row-parallel reduction). The router itself
     is replicated and computed in fp32 so every shard selects identical
     experts.
+
+    QUANTIZED experts (``layers["moe_gate_up"]`` is a {"w","scale"} dict
+    after quantize_model_weights): per-expert weight-only INT8/FP8 with
+    fused in-kernel dequant. The (L, E_local, H, O) stack is viewed as
+    (L·E_local, H, O) — a free leading-dim reshape — and each local expert
+    runs one stacked-layer quant_matmul at index ``lidx·E_local + e``;
+    back-to-back Pallas calls stream at ~roofline (docs/ARCHITECTURE.md).
+    Decode on an MoE model reads EVERY local expert's weights each step
+    (B·top_k assignments almost surely touch all E at serving batch sizes),
+    so halving expert bytes halves the dominant HBM stream.
     """
     flat = x.reshape(-1, x.shape[-1])  # (N, H)
     n = flat.shape[0]
@@ -249,6 +271,37 @@ def _moe_mlp(
         jax.nn.one_hot(top_idx, e_total, dtype=jnp.float32) * top_w[..., None],
         axis=1,
     )  # (N, E_total)
+
+    wg_q = layers.get("moe_gate_up") if layers is not None else None
+    if isinstance(wg_q, dict):
+        # ---- quantized expert path (stacked (L, E_local, H, O) dicts) ----
+        wd_q = layers["moe_down"]
+        e_local = wg_q["w"].shape[1]
+        if axis_name is not None and e_local != e_total:
+            off = jax.lax.axis_index(axis_name) * e_local
+            dense_w = jax.lax.dynamic_slice_in_dim(dense_w, off, e_local, axis=1)
+
+        def flat_stack(d):
+            w, s = d["w"], d["scale"]
+            return (
+                w.reshape(w.shape[0] * w.shape[1], *w.shape[2:]),
+                s.reshape(s.shape[0] * s.shape[1], s.shape[-1]),
+            )
+
+        wg_w, wg_s = flat_stack(wg_q)
+        wd_w, wd_s = flat_stack(wd_q)
+        out = jnp.zeros((n, wd_w.shape[-1]), jnp.float32)
+        for e in range(e_local):
+            eidx = lidx * e_local + e
+            # out_dtype matches _swiglu's dense-quant convention: the silu
+            # consumer casts anyway, and the narrow write halves the
+            # intermediate's HBM window at prefill row counts.
+            gu = quant_matmul(flat, wg_w, wg_s, layer=eidx, out_dtype=x.dtype)
+            inter = gu.shape[-1] // 2
+            act = (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(x.dtype)
+            y = quant_matmul(act, wd_w, wd_s, layer=eidx)  # (N, H) fp32
+            out = out + y * dense_w[:, e][:, None]
+        return out.reshape(*x.shape[:-1], out.shape[-1])
 
     wg = lp["moe_gate_up"]  # (E_local, H, 2I)
     wd = lp["moe_down"]  # (E_local, I, H)
@@ -270,11 +323,19 @@ def _moe_mlp(
 
 
 def _mlp_block(
-    x: jax.Array, lp: Params, proj, cfg: ModelConfig, axis_name: str | None = None
+    x: jax.Array,
+    lp: Params,
+    proj,
+    cfg: ModelConfig,
+    axis_name: str | None = None,
+    layers: Params | None = None,
+    lidx=None,
 ) -> jax.Array:
-    """Dense SwiGLU or MoE, by config — fp32 out, psum'd by the caller."""
+    """Dense SwiGLU or MoE, by config — fp32 out, psum'd by the caller.
+    ``layers``/``lidx`` give MoE access to stacked quantized expert dicts
+    (excluded from the scan xs exactly like the attention quant dicts)."""
     if cfg.num_experts:
-        return _moe_mlp(x, lp, cfg, axis_name)
+        return _moe_mlp(x, lp, cfg, axis_name, layers=layers, lidx=lidx)
     return _swiglu(x, proj)
 
 
@@ -436,7 +497,7 @@ def _decode_layer(
 
     # MLP
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+    mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=param_lidx)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
     x = x + mlp_out.astype(x.dtype)
@@ -544,7 +605,7 @@ def _prefill_core(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -783,7 +844,7 @@ def _verify_core(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -1006,7 +1067,7 @@ def _decode_core_paged(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
@@ -1119,7 +1180,7 @@ def _prefill_core_paged(
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)

@@ -142,6 +142,15 @@ def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
             specs["layers"][name] = dict(_COL_QSPEC)
         for name in ("wo",) + (() if cfg.num_experts else ("w_down",)):
             specs["layers"][name] = dict(_ROW_QSPEC)
+        if cfg.num_experts:
+            # Quantized expert stacks shard exactly like their dense forms:
+            # whole experts over the model axis — payload (L, E, H, O) and
+            # per-expert scales (L, E, O) split on the same E axis.
+            for name in ("moe_gate_up", "moe_down"):
+                specs["layers"][name] = {
+                    "w": P(None, MODEL, None, None),
+                    "scale": P(None, MODEL, None),
+                }
     if cfg.attention_bias:
         # column-parallel bias: shards with the (permuted) wqkv output dim
         specs["layers"]["bqkv"] = P(None, MODEL)

@@ -93,21 +93,100 @@ def test_moe_expert_parallel_engine_matches_single_chip(mesh8):
     assert eng.generate(prompts, max_new_tokens=6) == ref
 
 
-def test_moe_with_quantized_attention_projections(mesh8):
-    """quantize_model_weights on an MoE model quantizes wqkv/wo (experts stay
-    dense) and still serves, sharded and unsharded."""
+def test_moe_fully_quantized_serves_and_matches_sharded(mesh8):
+    """quantize_model_weights on an MoE model quantizes wqkv/wo AND the
+    expert stacks (per-expert {"w","scale"} dicts); the fully-quantized model
+    serves, and the EP-sharded engine's token streams match single-chip."""
     cfg = ModelConfig.tiny(**MOE_CFG)
     params = llama.quantize_model_weights(
         llama.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
     )
     assert isinstance(params["layers"]["wqkv"], dict)
-    assert not isinstance(params["layers"]["moe_gate_up"], dict)
+    assert isinstance(params["layers"]["moe_gate_up"], dict)
+    # per-expert per-output-channel scales: (L, E, 2I)
+    L, E = cfg.num_layers, cfg.num_experts
+    assert params["layers"]["moe_gate_up"]["scale"].shape == (
+        L, E, 2 * cfg.intermediate_size
+    )
+    assert params["layers"]["moe_down"]["w"].dtype == jnp.int8
     prompts = [[1, 2, 3], [4, 5, 6, 7]]
     ref = Engine(params, cfg, num_slots=2, steps_per_round=2).generate(
         prompts, max_new_tokens=5)
     assert all(len(o) == 5 for o in ref)
     eng = Engine(params, cfg, num_slots=2, steps_per_round=2, mesh=mesh8)
     assert eng.generate(prompts, max_new_tokens=5) == ref
+
+
+def test_quantized_experts_match_dequantized_oracle(rng):
+    """The stacked per-expert quant_matmul path == the dense MoE path run on
+    the DEQUANTIZED expert weights (same math, kernel dequant fused)."""
+    from starflashattention_tpu.core import quant
+
+    cfg = ModelConfig.tiny(**MOE_CFG)
+    h, inter, e = 64, cfg.intermediate_size, cfg.num_experts
+    L = 2
+    router = jnp.asarray(rng.standard_normal((L, h, e)), jnp.float32)
+    wg = jnp.asarray(rng.standard_normal((L, e, h, 2 * inter)), jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((L, e, inter, h)), jnp.float32)
+    wg_q = llama._quantize_stacked(wg + 0, "int8")
+    wd_q = llama._quantize_stacked(wd + 0, "int8")
+    x = jnp.asarray(rng.standard_normal((5, h)), jnp.float32)
+
+    for lidx in range(L):
+        out_q = llama._moe_mlp(
+            x, {"moe_router": router[lidx]}, cfg,
+            layers={"moe_gate_up": wg_q, "moe_down": wd_q},
+            lidx=jnp.int32(lidx),
+        )
+        lp_deq = {
+            "moe_router": router[lidx],
+            "moe_gate_up": quant.dequantize_weight(
+                {"w": wg_q["w"][lidx], "scale": wg_q["scale"][lidx]}
+            ),
+            "moe_down": quant.dequantize_weight(
+                {"w": wd_q["w"][lidx], "scale": wd_q["scale"][lidx]}
+            ),
+        }
+        out_d = llama._moe_mlp(x, lp_deq, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out_q), np.asarray(out_d), atol=2e-4, rtol=2e-4
+        )
+
+
+def test_quantized_moe_pp_dryrun():
+    """Quantized expert stacks compose with pipeline parallelism: the
+    {"w","scale"} (L, E, ...) stacks pipe their leading axis like any layer
+    param and the PP step's logits match single-chip."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.parallel import pp
+    from starflashattention_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, num_experts=2, num_experts_per_tok=1,
+        num_layers=4,
+    )
+    params = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    )
+    cos, sin = llama.rope_tables(cfg)
+    b = 4
+    cache = contiguous.init_cache(
+        cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    tok = jnp.ones((b,), jnp.int32)
+    ref_logits, _ = llama.decode_step(
+        params, jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, cache),
+        tok, cos, sin, cfg,
+    )
+
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    pcache = pp.shard_cache_pp(cache, mesh)
+    step = pp.make_pp_decode_step(mesh, cfg, params, num_microbatches=2)
+    logits, _ = step(pp.shard_params_pp(params, mesh), pcache, tok, cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-5
+    )
 
 
 def test_mixtral_preset():
