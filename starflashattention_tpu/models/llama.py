@@ -1008,13 +1008,9 @@ def _decode_core_paged(
     The caller (serving engine / page allocator) guarantees every position in
     [0, lengths[b]] maps to an allocated physical page; unmapped entries point
     at the reserved null page 0, so inactive slots' writes land harmlessly
-    there."""
-    if cfg.sliding_window is not None:
-        raise NotImplementedError(
-            "sliding-window attention is supported on the contiguous-cache "
-            "path only (the paged kernel walks the full page list); serve "
-            "windowed models with the contiguous Engine"
-        )
+    there. With ``cfg.sliding_window`` the page walk is band-shifted (only
+    in-window pages are DMA'd) and the serving engine reclaims pages below
+    the band — rolling-buffer KV, pool usage O(window) per sequence."""
     x = params["embed"][tokens]
     pos = cache.lengths
     if active is None:
@@ -1059,6 +1055,7 @@ def _decode_core_paged(
             q, k_pages, v_pages, page_tbl, att_lengths, layer=lidx,
             pages_per_compute_block=cfg.pages_per_compute_block,
             k_scales=ks, v_scales=vs, max_len_hint=max_len_hint,
+            window=cfg.sliding_window,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")

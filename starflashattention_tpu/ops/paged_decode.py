@@ -97,6 +97,7 @@ def _paged_decode_kernel(
     ppcb: int,
     page_size: int,
     hkv: int,
+    window: int | None = None,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bk = ppcb * page_size
@@ -110,6 +111,17 @@ def _paged_decode_kernel(
     # nothing (p is masked to 0 below), yielding a safe zero output.
     num_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
 
+    def start_blk(ln):
+        # Sliding window: the walk starts at the first block intersecting
+        # [ln - window, ln) — blocks (and pages) below it are never fetched,
+        # which is what lets the engine FREE out-of-window pages (the same
+        # bk-granular bound: serving/engine.PagedEngine reclaims page j only
+        # once (j+1)·page_size <= (ln - window) // bk * bk).
+        if window is None:
+            return 0
+        return jnp.maximum(ln - window, 0) // bk
+
+    first = start_blk(length)
     lidx = layer_ref[0]
 
     def copies(bb, blk, slot):
@@ -122,28 +134,32 @@ def _paged_decode_kernel(
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _first():
         buf_i_ref[0] = 0
-        ck, cv = copies(0, 0, 0)
+        ck, cv = copies(0, first, 0)
         ck.start()
         cv.start()
 
-    @pl.when(i < num_blocks)
+    blk = first + i  # physical KV block this cell covers (walk is shifted)
+
+    @pl.when(blk < num_blocks)
     def _run():
         slot = buf_i_ref[0]
 
-        # Prefetch the next valid (b, i) cell's pages into the other slot.
-        next_in_seq = i + 1 < num_blocks
+        # Prefetch the next valid (b, blk) cell's pages into the other slot
+        # (the next sequence starts at ITS OWN first in-band block).
+        next_in_seq = blk + 1 < num_blocks
         nb = jnp.where(next_in_seq, b, b + 1)
-        ni = jnp.where(next_in_seq, i + 1, 0)
         has_next = nb < batch_size
+        nb_c = jnp.minimum(nb, batch_size - 1)  # safe lengths_ref index
+        ni = jnp.where(next_in_seq, blk + 1, start_blk(lengths_ref[nb_c]))
 
         @pl.when(has_next)
         def _prefetch():
-            ck, cv = copies(nb, ni, 1 - slot)
+            ck, cv = copies(nb_c, ni, 1 - slot)
             ck.start()
             cv.start()
             buf_i_ref[0] = 1 - slot
 
-        ck, cv = copies(b, i, slot)  # reconstruct to wait on the semaphores
+        ck, cv = copies(b, blk, slot)  # reconstruct to wait on the semaphores
         ck.wait()
 
         @pl.when(i == 0)
@@ -161,8 +177,13 @@ def _paged_decode_kernel(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (Hkv, G, bk)
-        kv_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(kv_pos < length, s, NEG_INF)
+        kv_pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        valid = kv_pos < length
+        if window is not None:
+            # Mistral-style band: the query at position length - 1 attends
+            # KV positions [length - window, length)
+            valid = jnp.logical_and(valid, kv_pos >= length - window)
+        s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_s[...]
         m_curr = jnp.max(s, axis=2, keepdims=True)
@@ -174,7 +195,7 @@ def _paged_decode_kernel(
         # entry — without this, l would count bk phantom keys of the null
         # page. With length > 0, masked entries already underflow to 0 and
         # this is a no-op.
-        p = jnp.where(kv_pos < length, p, 0.0)
+        p = jnp.where(valid, p, 0.0)
         l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=2, keepdims=True)
         m_s[...] = m_next
 
@@ -209,6 +230,7 @@ def paged_flash_decode(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Paged decode attention → (B, Hq, D).
 
@@ -216,6 +238,13 @@ def paged_flash_decode(
     shrinks the page-walk grid to ``ceil(ceil(hint/page_size)/ppcb)`` steps
     instead of walking every allocatable page slot (the serving engine
     derives it from host-known slot lengths; see ops/flash_decode).
+
+    ``window`` (static): Mistral-style sliding-window attention — each
+    sequence's page walk starts at its first in-band block (max(len - window,
+    0) // (ppcb·page_size)), so out-of-window pages are never DMA'd and the
+    grid needs only ceil(window / block) + 1 steps per sequence. The engine
+    additionally FREES pages that fall fully below every future walk
+    (rolling-buffer KV: pool usage per sequence is O(window), not O(len)).
 
     Stacked-layer mode: pass the whole (L, Hkv, P, ps, D) page pool plus a
     (traced) ``layer`` index; the DMA source is selected in-kernel — REQUIRED
@@ -247,6 +276,10 @@ def paged_flash_decode(
     if max_len_hint is not None:
         hint_pages = -(-min(max_len_hint, pages_per_seq * page_size) // page_size)
         max_blocks = max(min(max_blocks, -(-hint_pages // ppcb)), 1)
+    if window is not None:
+        # shifted walk visits at most ceil(window/bk) + 1 blocks per sequence
+        bk = ppcb * page_size
+        max_blocks = max(min(max_blocks, -(-window // bk) + 1), 1)
 
     # Fold sm_scale (and K dequant scale) into q; V scale into the output.
     q4 = q.reshape(b, hkv, g, d)
@@ -262,6 +295,7 @@ def paged_flash_decode(
         ppcb=ppcb,
         page_size=page_size,
         hkv=hkv,
+        window=window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

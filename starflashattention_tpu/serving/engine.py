@@ -741,6 +741,17 @@ class PagedEngine(Engine):
         # they precede the slot's private (handle-owned) pages in its table
         self._cached_pages: list[list[int]] = [[] for _ in range(num_slots)]
         self._cached_len = np.zeros((num_slots,), np.int64)
+        # Sliding-window rolling buffer: count of leading PRIVATE pages
+        # reclaimed per slot (their table entries are null; the windowed
+        # kernel's shifted walk never reads below the band). Pool usage per
+        # windowed sequence is O(window), not O(generated length).
+        self._reclaimed = np.zeros((num_slots,), np.int64)
+        # Walk-block granularity — must match paged_flash_decode's ppcb
+        # adjustment so reclamation stays strictly below the kernel's walk.
+        ppcb = min(cfg.pages_per_compute_block, self.pages_per_seq)
+        while self.pages_per_seq % ppcb:
+            ppcb -= 1
+        self._walk_block_pages = ppcb
         super().__init__(
             params, cfg, num_slots, steps_per_round, prefill_pad,
             prefill_chunk=prefill_chunk, mesh=mesh,
@@ -830,17 +841,26 @@ class PagedEngine(Engine):
         row[: len(shared)] = shared
         if slot in self._handles:
             pages = self._pool_for(slot).seq_pages(self._handles[slot])
-            row[len(shared) : len(shared) + len(pages)] = pages
+            # reclaimed (out-of-window) logical pages stay null between the
+            # shared prefix and the handle's surviving pages
+            off = len(shared) + int(self._reclaimed[slot])
+            row[off : off + len(pages)] = pages
         self._host_table[slot] = row
         self._table_dirty = True
 
     def _grow(self, slot: int, new_len: int) -> bool:
         """Extend the slot's page list to cover ``new_len`` tokens; False on
         pool exhaustion (caller decides who to preempt). Prefix-cache pages
-        already cover the slot's first ``_cached_len`` tokens, so only the
-        private tail grows; under pressure, warm (refcount-0) cached pages
-        are evicted back to the allocator BEFORE giving up."""
-        private = max(int(new_len) - int(self._cached_len[slot]), 0)
+        already cover the slot's first ``_cached_len`` tokens and reclaimed
+        window pages need no backing, so only the private tail grows; under
+        pressure, warm (refcount-0) cached pages are evicted back to the
+        allocator BEFORE giving up."""
+        private = max(
+            int(new_len)
+            - int(self._cached_len[slot])
+            - int(self._reclaimed[slot]) * self.page_size,
+            0,
+        )
         pool = self._pool_for(slot)
         while True:
             try:
@@ -864,6 +884,7 @@ class PagedEngine(Engine):
             self._prefix.release(self._cached_pages[slot])
         self._cached_pages[slot] = []
         self._cached_len[slot] = 0
+        self._reclaimed[slot] = 0
         if slot in self._admit_order:
             self._admit_order.remove(slot)
         self._host_len[slot] = 0
@@ -973,10 +994,39 @@ class PagedEngine(Engine):
             # table row contents are unchanged (same physical ids, same
             # order) — no _write_row needed
 
+    def _reclaim_window(self, active: np.ndarray) -> None:
+        """Sliding-window rolling buffer: free private pages that fall fully
+        below every future page walk. The windowed kernel starts each
+        sequence's walk at ``max(len - window, 0) // bk`` blocks (bk =
+        walk_block_pages · page_size) and the start is monotone in ``len``,
+        so pages below the CURRENT start are dead forever — return them to
+        the allocator and null their table entries. Runs before this round's
+        growth so reclaimed pages immediately back new allocations."""
+        w = self.cfg.sliding_window
+        if w is None:
+            return
+        wp = self._walk_block_pages
+        for slot in list(self._admit_order):
+            if not active[slot] or slot not in self._handles:
+                continue
+            pre_len = int(self._host_len[slot])  # pre-round: conservative
+            start_blk = max(pre_len - w, 0) // (wp * self.page_size)
+            freeable = start_blk * wp  # logical pages strictly below the walk
+            p0 = int(self._cached_len[slot]) // self.page_size
+            pool = self._pool_for(slot)
+            handle = self._handles[slot]
+            n = max(freeable - p0 - int(self._reclaimed[slot]), 0)
+            n = min(n, len(pool.seq_pages(handle)))
+            if n > 0:
+                pool.free_raw(pool.seq_release_prefix(handle, n))
+                self._reclaimed[slot] += n
+                self._write_row(slot)
+
     def _before_decode(self, active: np.ndarray) -> np.ndarray:
         """Grow every active slot to cover this round's appends; preempt the
         youngest slots on exhaustion (their requests resume later)."""
         active = active.copy()
+        self._reclaim_window(active)
         for slot in list(self._admit_order):  # oldest first
             if not active[slot]:
                 continue
@@ -1011,10 +1061,18 @@ class PagedEngine(Engine):
         shard_of = np.arange(self.num_slots) // self._slots_per_shard
         # _host_len already includes this round's appends for active slots;
         # the table was grown to cover them, so validate at that length.
+        # Reclaimed (nulled) out-of-window entries sit between the shared
+        # prefix and the first surviving private page.
+        reclaimed_below = None
+        if self.cfg.sliding_window is not None:
+            reclaimed_below = (
+                self._cached_len // self.page_size + self._reclaimed
+            )
         sanitize.check_page_table(
             self._host_table, self._host_len, self.page_size, self.num_pages,
             active=active, shard_of=shard_of,
             shared_ok=self._prefix.resident_set() if self._prefix else None,
+            reclaimed_below=reclaimed_below,
         )
         pre = np.where(active, self._host_len - self.steps_per_round, 0)
         sanitize.check_append_window(

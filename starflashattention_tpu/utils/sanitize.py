@@ -64,6 +64,7 @@ def check_page_table(
     active: np.ndarray | None = None,
     shard_of: np.ndarray | None = None,
     shared_ok: set[int] | frozenset[int] | None = None,
+    reclaimed_below: np.ndarray | None = None,
 ) -> None:
     """Validate a host page table against the allocator's invariants.
 
@@ -81,6 +82,11 @@ def check_page_table(
       by several live sequences — they are never appended into (appends land
       at ``lengths``, beyond every full shared page), so aliasing them is
       the design, not a race.
+
+    ``reclaimed_below[slot]`` (sliding-window rolling-buffer serving): a NULL
+    entry at index j < reclaimed_below[slot] is a reclaimed out-of-window
+    page — legal, the windowed kernel's shifted walk never touches it. A
+    non-null entry there is still checked for range/aliasing.
 
     Raises :class:`PageTableRace` listing every violation.
     """
@@ -106,6 +112,8 @@ def check_page_table(
         for j in range(used):
             page = int(table[slot, j])
             if page == 0:
+                if reclaimed_below is not None and j < int(reclaimed_below[slot]):
+                    continue  # reclaimed out-of-window page — legal null
                 violations.append(f"slot {slot}: live entry {j} is the null page 0")
                 continue
             if not (0 < page < num_pages):

@@ -137,14 +137,17 @@ def test_qkv_bias_applied_and_tp_bit_matched(mesh8):
     assert sharded.generate(prompts, max_new_tokens=10) == ref
 
 
-def test_paged_engine_rejects_sliding_window():
+def test_paged_engine_serves_sliding_window():
+    """The paged backend serves windowed models (band-shifted page walk +
+    rolling-buffer reclamation); full parity/reclamation coverage lives in
+    tests/test_serving_paged.py."""
     from starflashattention_tpu.serving.engine import PagedEngine
 
     cfg = ModelConfig.tiny(dtype="float32", num_splits=1, sliding_window=32)
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        eng = PagedEngine(params, cfg, num_slots=2, steps_per_round=2)
-        eng.generate([[1, 2, 3]], max_new_tokens=4)
+    eng = PagedEngine(params, cfg, num_slots=2, steps_per_round=2)
+    out = eng.generate([[1, 2, 3]], max_new_tokens=4)
+    assert len(out[0]) == 4
 
 
 def test_model_family_presets():

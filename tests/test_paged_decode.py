@@ -127,3 +127,66 @@ def test_quantized_pages(rng, mode):
     dense_dv = dv[:, pt_np].transpose(1, 0, 2, 3, 4).reshape(2, 2, -1, 32)
     ref = decode_reference(q, jnp.asarray(dense_dk), jnp.asarray(dense_dv), lengths)
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=3e-4, rtol=3e-4)
+
+
+def test_sliding_window_matches_reference(rng):
+    """Windowed paged decode == dense reference with the same band; the
+    shifted walk must hold under ragged lengths spanning the band edge."""
+    w = 40
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(
+        rng, b=4, lengths=[1, 39, 41, 128]
+    )
+    q = jnp.asarray(rng.standard_normal((4, 4, 32)), jnp.float32)
+    o = paged_flash_decode(
+        q, k_pages, v_pages, pt, lengths, pages_per_compute_block=2, window=w
+    )
+    ref = decode_reference(q, dense_k, dense_v, lengths, sliding_window=w)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_sliding_window_never_reads_below_band(rng):
+    """Null out (reclaim) every page table entry strictly below the walk's
+    start block: the output must be bit-identical — the rolling-buffer
+    engine's freeing contract (serving/engine.PagedEngine._reclaim_window)."""
+    w = 40
+    page_size, ppcb = 16, 2
+    bk = page_size * ppcb
+    k_pages, v_pages, pt, lengths, *_ = build_paged(
+        rng, b=3, page_size=page_size, lengths=[80, 97, 128]
+    )
+    q = jnp.asarray(rng.standard_normal((3, 4, 32)), jnp.float32)
+    o_full = paged_flash_decode(
+        q, k_pages, v_pages, pt, lengths, pages_per_compute_block=ppcb, window=w
+    )
+    pt_nulled = np.asarray(pt).copy()
+    for b in range(3):
+        start_blk = max(int(lengths[b]) - w, 0) // bk
+        pt_nulled[b, : start_blk * ppcb] = 0  # reclaimed pages -> null
+    o_reclaimed = paged_flash_decode(
+        q, k_pages, v_pages, jnp.asarray(pt_nulled), lengths,
+        pages_per_compute_block=ppcb, window=w,
+    )
+    np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_reclaimed))
+
+
+def test_sliding_window_quantized_pages(rng):
+    w = 48
+    k_pages, v_pages, pt, lengths, dense_k, dense_v = build_paged(
+        rng, lengths=[70, 128]
+    )
+    qk = quant.quantize(k_pages, "int8", head_axis=0)
+    qv = quant.quantize(v_pages, "int8", head_axis=0)
+    q = jnp.asarray(rng.standard_normal((2, 4, 32)), jnp.float32)
+    o = paged_flash_decode(
+        q, qk.values, qv.values, pt, lengths, pages_per_compute_block=2,
+        k_scales=qk.scales, v_scales=qv.scales, window=w,
+    )
+    dk = np.asarray(quant.dequantize(qk, head_axis=0))
+    dv = np.asarray(quant.dequantize(qv, head_axis=0))
+    pt_np = np.asarray(pt)
+    dense_dk = dk[:, pt_np].transpose(1, 0, 2, 3, 4).reshape(2, 2, -1, 32)
+    dense_dv = dv[:, pt_np].transpose(1, 0, 2, 3, 4).reshape(2, 2, -1, 32)
+    ref = decode_reference(
+        q, jnp.asarray(dense_dk), jnp.asarray(dense_dv), lengths, sliding_window=w
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=3e-4, rtol=3e-4)

@@ -125,3 +125,55 @@ def test_paged_chunked_prefill_matches():
     outputs = eng.generate(prompts, max_new_tokens=4)
     assert outputs == expected
     assert eng.pool.free_pages == eng.num_pages - 1
+
+
+def test_paged_windowed_engine_matches_contiguous():
+    """Sliding-window models serve on the PAGED engine; token streams match
+    the contiguous windowed engine exactly."""
+    from starflashattention_tpu.serving import Engine
+
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, pages_per_compute_block=2, sliding_window=24
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, n)] for n in (5, 30, 11)]
+    ref = Engine(params, cfg, num_slots=2, steps_per_round=3).generate(
+        prompts, max_new_tokens=8
+    )
+    eng = PagedEngine(
+        params, cfg, num_slots=2, steps_per_round=3, page_size=PAGE,
+        debug_validate=True,
+    )
+    outputs = eng.generate(prompts, max_new_tokens=8)
+    assert outputs == ref
+    assert eng.pool.free_pages == eng.num_pages - 1
+
+
+def test_paged_windowed_rolling_buffer_reclaims_pages():
+    """Rolling-buffer KV: generating far past the window must fit in a pool
+    SMALLER than the un-reclaimed footprint — out-of-window pages are freed
+    mid-flight and outputs still match the contiguous windowed engine."""
+    from starflashattention_tpu.serving import Engine
+
+    w = 16
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, pages_per_compute_block=1,
+        sliding_window=w, max_seq_len=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    prompt = [3, 1, 4, 1, 5]
+    n_new = 96  # final length 101 -> 13 pages of 8 un-reclaimed
+    ref = Engine(params, cfg, num_slots=1, steps_per_round=4).generate(
+        [prompt], max_new_tokens=n_new
+    )
+    # 6 usable pages of 8 tokens: un-reclaimed footprint (13) cannot fit, and
+    # a too-small pool would raise MemoryError (no other slot to preempt)
+    eng = PagedEngine(
+        params, cfg, num_slots=1, steps_per_round=4, page_size=8, num_pages=7,
+        debug_validate=True,
+    )
+    outputs = eng.generate([prompt], max_new_tokens=n_new)
+    assert outputs == ref
+    assert eng.stats.preemptions == 0
+    assert eng.pool.free_pages == eng.num_pages - 1  # freed on retire too
