@@ -72,8 +72,12 @@ def main() -> None:
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     if on_tpu:
         # Headline = the north-star configuration: weight-only INT8 with
-        # fused in-kernel dequant (ops/quant_matmul.py).
-        params = llama.quantize_model_weights(params, "int8", consume=True)
+        # fused in-kernel dequant (ops/quant_matmul.py), INCLUDING the
+        # lm_head (the step's largest single dense stream, 262 MB bf16;
+        # accuracy asserted by benchmarks/quant_accuracy.py "int8+lm_head").
+        params = llama.quantize_model_weights(
+            params, "int8", consume=True, lm_head=True
+        )
     cache = contiguous.init_cache(
         cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim, dtype=dtype
     )

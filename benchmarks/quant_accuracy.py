@@ -56,16 +56,20 @@ BOUNDS = {
 }
 
 
-def run_model(cfg, *, weight_quant, prompts, plens, forced: np.ndarray):
-    """Init (seed 0) → optionally quantize (weight_quant = None|"int8"|"fp8")
-    → prefill + TEACHER-FORCED decode of ``forced`` (B, n) tokens. Returns
-    all logits, (B, n+1, V) on host."""
+def run_model(cfg, *, weight_quant, prompts, plens, forced: np.ndarray,
+              lm_head: bool = False):
+    """Init (seed 0) → optionally quantize (weight_quant = None|"int8"|"fp8";
+    ``lm_head=True`` also quantizes the output head) → prefill +
+    TEACHER-FORCED decode of ``forced`` (B, n) tokens. Returns all logits,
+    (B, n+1, V) on host."""
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
 
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if weight_quant:
-        params = llama.quantize_model_weights(params, weight_quant, consume=True)
+        params = llama.quantize_model_weights(
+            params, weight_quant, consume=True, lm_head=lm_head
+        )
     b = prompts.shape[0]
     cache = contiguous.init_cache(
         cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
@@ -141,10 +145,14 @@ def main() -> None:
     ref = run_model(cfg, weight_quant=None, prompts=prompts, plens=plens, forced=forced)
 
     results = []
-    for wq, kv, w8a8 in [
-        ("int8", None, False), (None, "int8", False), ("int8", "int8", False),
-        ("fp8", None, False), (None, "fp8", False), ("fp8", "fp8", False),
-        ("int8", None, True),  # W8A8 prefill (int8 x int8 MXU path)
+    for wq, kv, w8a8, lm in [
+        ("int8", None, False, False), (None, "int8", False, False),
+        ("int8", "int8", False, False),
+        ("fp8", None, False, False), (None, "fp8", False, False),
+        ("fp8", "fp8", False, False),
+        ("int8", None, True, False),  # W8A8 prefill (int8 x int8 MXU path)
+        # headline scheme: int8 weights INCLUDING the lm_head (bench.py)
+        ("int8", None, False, True),
     ]:
         kw = dict(cfg_kw)
         if kv:
@@ -152,10 +160,14 @@ def main() -> None:
         if w8a8:
             kw["w8a8_prefill"] = True
         c = ModelConfig.llama_7b_gqa(**kw) if (kv or w8a8) else cfg
-        got = run_model(c, weight_quant=wq, prompts=prompts, plens=plens, forced=forced)
+        got = run_model(
+            c, weight_quant=wq, prompts=prompts, plens=plens, forced=forced,
+            lm_head=lm,
+        )
         name = "+".join(filter(None, [f"{wq}_weights" if wq else None,
                                       f"{kv}_kv" if kv else None,
-                                      "w8a8_prefill" if w8a8 else None]))
+                                      "w8a8_prefill" if w8a8 else None,
+                                      "lm_head" if lm else None]))
         results.append(compare(name, ref, got))
     out = Path(__file__).parent / "artifacts" / "quant_accuracy.json"
     out.write_text(json.dumps({"bounds": BOUNDS, "results": results}, indent=1))

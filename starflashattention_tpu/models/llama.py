@@ -111,11 +111,19 @@ def _quantize_stacked(w: jax.Array, mode: str):
 
 
 def quantize_model_weights(
-    params: Params, mode: quant.QuantMode = "int8", consume: bool = False
+    params: Params, mode: quant.QuantMode = "int8", consume: bool = False,
+    lm_head: bool = False,
 ) -> Params:
     """Quantize the big projection weights (weight-only, per-output-channel
-    scales). The embedding (gather path) and lm_head stay dense. Returns a
-    new params pytree; jit specializes on the changed structure.
+    scales). The embedding (gather path) stays dense. Returns a new params
+    pytree; jit specializes on the changed structure.
+
+    ``lm_head=True`` additionally quantizes the output head — at 7B it is
+    the step's single largest remaining dense stream (262 MB bf16/step; the
+    per-column-scale int8 halves it). Measured logit max-abs-err from the
+    head alone is the same order as one projection's (benchmarks/
+    quant_accuracy.py scheme "int8_lm_head" asserts the bound at 7B).
+    Ignored for tied-embedding models (the gather table stays dense).
 
     ``consume=True`` frees each dense weight as it is quantized (required to
     fit original + quantized on one chip for 7B-class models); the input
@@ -139,7 +147,16 @@ def quantize_model_weights(
         del w
     out = dict(params)
     out["layers"] = layers
+    if lm_head and "lm_head" in params and not isinstance(params["lm_head"], dict):
+        w = out.pop("lm_head") if consume else params["lm_head"]
+        out["lm_head"] = _quantize_flat(w if consume else w + 0, mode)
+        del w
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
+def _quantize_flat(w: jax.Array, mode: str):
+    return quant.quantize_weight(w, mode)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +377,14 @@ def _logits(
 ) -> jax.Array:
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    local = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if isinstance(head, dict):
+        # quantized lm_head: (H, V) int8 + (V,) per-column scales, fused
+        # dequant in-kernel (2D quant_matmul mode). Under TP the vocab shard
+        # splits w columns and scales identically, so the all_gather below
+        # still reassembles exact full-vocab logits.
+        local = quant_matmul(x, head["w"], head["scale"])
+    else:
+        local = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if axis_name is not None and cfg.lm_head_sharded:
         # vocab-sharded lm_head (parallel/tp.py): gather the (.., V/T) logit
         # slices back to full vocab — exact concatenation, bit-identical to

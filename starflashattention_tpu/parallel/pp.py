@@ -74,7 +74,9 @@ def pp_param_specs(params: dict, cfg: ModelConfig | None = None,
     """
     if mesh is not None and _tp_size(mesh) > 1:
         base = tp_mod.param_specs(
-            cfg, weight_quant=tp_mod._params_are_weight_quant(params)
+            cfg,
+            weight_quant=tp_mod._params_are_weight_quant(params),
+            lm_head_quant=tp_mod._params_have_quant_lm_head(params),
         )
         layer_specs = jax.tree.map(
             lambda s: P(PIPE, *tuple(s)[1:]), base["layers"],

@@ -105,12 +105,17 @@ _COL_QSPEC = {"w": P(None, None, MODEL), "scale": P(None, MODEL)}
 _ROW_QSPEC = {"w": P(None, MODEL, None), "scale": P()}
 
 
-def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
+def param_specs(
+    cfg: ModelConfig, *, weight_quant: bool = False, lm_head_quant: bool = False
+) -> dict:
     """PartitionSpec pytree matching llama.init_params' structure.
 
     ``weight_quant=True`` matches the structure after
     ``llama.quantize_model_weights`` (the 4 projections are {"w","scale"}
-    dicts — BASELINE north-star config: INT8 weights tensor-sharded)."""
+    dicts — BASELINE north-star config: INT8 weights tensor-sharded);
+    ``lm_head_quant=True`` matches its ``lm_head=True`` option (the head's
+    vocab columns and per-column scales shard together over the model
+    axis)."""
     specs = {
         "embed": P(),  # replicated (gather per token is tiny)
         "layers": {
@@ -156,6 +161,8 @@ def param_specs(cfg: ModelConfig, *, weight_quant: bool = False) -> dict:
         specs["layers"]["bqkv"] = P(None, MODEL)
     if cfg.tie_embeddings:
         specs.pop("lm_head")
+    elif lm_head_quant:
+        specs["lm_head"] = {"w": P(None, MODEL), "scale": P(MODEL)}
     return specs
 
 
@@ -181,9 +188,17 @@ def _params_are_weight_quant(params: dict) -> bool:
     return isinstance(params["layers"].get("wqkv"), dict)
 
 
+def _params_have_quant_lm_head(params: dict) -> bool:
+    return isinstance(params.get("lm_head"), dict)
+
+
 def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
     params = permute_params_for_tp(params, cfg, mesh.shape[MODEL])
-    specs = param_specs(cfg, weight_quant=_params_are_weight_quant(params))
+    specs = param_specs(
+        cfg,
+        weight_quant=_params_are_weight_quant(params),
+        lm_head_quant=_params_have_quant_lm_head(params),
+    )
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: x is None,
@@ -221,7 +236,8 @@ def _check(cfg: ModelConfig, mesh: Mesh) -> None:
 
 
 def make_tp_decode_step(
-    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False,
+    weight_quant: bool = False, lm_head_quant: bool = False,
 ):
     """Build the sharded decode step:
     ``step(params, cache, tokens, cos, sin) -> (logits, cache)``.
@@ -233,7 +249,7 @@ def make_tp_decode_step(
     """
     _check(cfg, mesh)
     shard_cfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
@@ -279,6 +295,7 @@ def make_tp_decode_multi(
     n_steps: int,
     quantized: bool = False,
     weight_quant: bool = False,
+    lm_head_quant: bool = False,
     sampling: bool = False,
     with_logprobs: bool = False,
 ):
@@ -292,7 +309,7 @@ def make_tp_decode_multi(
     already full-vocab per shard after the model-axis psums)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
@@ -335,6 +352,7 @@ def make_tp_spec_decode_multi(
     ngram: int = 2,
     quantized: bool = False,
     weight_quant: bool = False,
+    lm_head_quant: bool = False,
 ):
     """Sharded speculative decode round: ``fn(params, cache, history, tok,
     cos, sin, active) -> (tokens (B, n, k+1), counts (B, n), pending, cache,
@@ -347,7 +365,7 @@ def make_tp_spec_decode_multi(
     bit-identical to the single-chip program."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
@@ -369,13 +387,14 @@ def make_tp_spec_decode_multi(
 
 
 def make_tp_prefill_serving(
-    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False,
+    weight_quant: bool = False, lm_head_quant: bool = False,
 ):
     """Sharded admission prefill: ``fn(params, cache, tokens, new_lengths,
     active, reset, cos, sin)`` — TP+DP analog of llama.prefill_serving."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
@@ -437,14 +456,15 @@ def _paged_specs_for(cfg: ModelConfig):
 
 def make_tp_decode_multi_paged(
     mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False,
-    sampling: bool = False, with_logprobs: bool = False,
+    lm_head_quant: bool = False, sampling: bool = False,
+    with_logprobs: bool = False,
 ):
     """Sharded paged serving decode round — the paged analog of
     :func:`make_tp_decode_multi` (incl. the ``sampling``/``with_logprobs``
     variants)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = _paged_specs_for(cfg)
 
     def core(params, cache, tok, cos, sin, active, *samp):
@@ -471,14 +491,15 @@ def make_tp_decode_multi_paged(
 
 
 def make_tp_prefill_serving_paged(
-    mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False, prefix_len: int = 0
+    mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False,
+    lm_head_quant: bool = False, prefix_len: int = 0,
 ):
     """Sharded paged admission prefill. ``prefix_len`` > 0 builds the
     chunked-prefill continuation program (prefix gathered per shard from its
     own pool partition — the gather is local, no collective)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = _paged_specs_for(cfg)
 
     def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
@@ -498,12 +519,13 @@ def make_tp_prefill_serving_paged(
 
 
 def make_tp_prefill(
-    mesh: Mesh, cfg: ModelConfig, quantized: bool = False, weight_quant: bool = False
+    mesh: Mesh, cfg: ModelConfig, quantized: bool = False,
+    weight_quant: bool = False, lm_head_quant: bool = False,
 ):
     """Sharded prefill: ``fn(params, cache, tokens, new_lengths, cos, sin)``."""
     _check(cfg, mesh)
     shard_cfg = _shard_cfg(cfg, mesh)
-    p_specs = param_specs(cfg, weight_quant=weight_quant)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = cache_specs()
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)

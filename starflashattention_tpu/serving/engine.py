@@ -212,24 +212,31 @@ class Engine:
                 f"num_slots {self.num_slots} not divisible by data axis "
                 f"{self.mesh.shape[tp.DATA]}"
             )
-        self._build_sharded_fns(tp, tp._params_are_weight_quant(params))
+        self._build_sharded_fns(
+            tp,
+            tp._params_are_weight_quant(params),
+            tp._params_have_quant_lm_head(params),
+        )
         return tp.shard_params(params, self.mesh, self.cfg)
 
-    def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
+    def _build_sharded_fns(self, tp, weight_quant: bool, lm_head_quant: bool = False) -> None:
         quantized = self.cfg.quant_mode != "none"
         if self.spec_decode is not None:
             self._tp_spec_decode = tp.make_tp_spec_decode_multi(
                 self.mesh, self.cfg, self.steps_per_round,
                 num_draft=self.spec_decode, ngram=self.spec_ngram,
                 quantized=quantized, weight_quant=weight_quant,
+                lm_head_quant=lm_head_quant,
             )
         self._tp_decode_multi = tp.make_tp_decode_multi(
             self.mesh, self.cfg, self.steps_per_round,
             quantized=quantized, weight_quant=weight_quant,
+            lm_head_quant=lm_head_quant,
             sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
         )
         self._tp_prefill = tp.make_tp_prefill_serving(
-            self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant
+            self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant,
+            lm_head_quant=lm_head_quant,
         )
         self._shard_cache_fn = tp.shard_cache
 
@@ -782,9 +789,10 @@ class PagedEngine(Engine):
 
     # -- backend hooks --------------------------------------------------------
 
-    def _build_sharded_fns(self, tp, weight_quant: bool) -> None:
+    def _build_sharded_fns(self, tp, weight_quant: bool, lm_head_quant: bool = False) -> None:
         self._tp_decode_multi = tp.make_tp_decode_multi_paged(
             self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant,
+            lm_head_quant=lm_head_quant,
             sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
         )
         # one shard_map program per chunk index (prefix_len is a static
@@ -796,7 +804,7 @@ class PagedEngine(Engine):
             if fn is None:
                 fn = fns[prefix_len] = tp.make_tp_prefill_serving_paged(
                     self.mesh, self.cfg, weight_quant=weight_quant,
-                    prefix_len=prefix_len,
+                    lm_head_quant=lm_head_quant, prefix_len=prefix_len,
                 )
             return fn
 

@@ -76,3 +76,25 @@ def test_fp8_out_of_range_saturates_not_nan():
     w = jnp.asarray([[1.0, 600.0], [0.5, -700.0]], jnp.float32)
     wq = quant.quantize_weight(w, "fp8")
     assert np.isfinite(np.asarray(wq["w"].astype(jnp.float32))).all()
+
+
+def test_quantized_lm_head_matches_dequantized_oracle(rng):
+    """_logits with an int8 {"w","scale"} head == dense matmul against the
+    dequantized head (fused in-kernel dequant, per-vocab-column scales)."""
+    import jax
+
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    qparams = llama.quantize_model_weights(params, lm_head=True)
+    assert isinstance(qparams["lm_head"], dict)
+    assert qparams["lm_head"]["scale"].shape == (cfg.vocab_size,)
+
+    x = jnp.asarray(rng.standard_normal((4, cfg.hidden_size)), jnp.float32)
+    got = llama._logits(x, qparams, cfg)
+    deq = dict(params)
+    deq["lm_head"] = quant.dequantize_weight(qparams["lm_head"])
+    want = llama._logits(x, deq, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)

