@@ -312,6 +312,128 @@ def model_int8_decode_bench(quick: bool = False):
         del params
 
 
+def moe_decode_bench(quick: bool = False):
+    """MoE (Mixtral-geometry) decode step with INT8 experts: tokens/s +
+    roofline fraction of the expert stream.
+
+    Full Mixtral-8x7B INT8 is ~47 GB — beyond one v5e's 16 GB — so this runs
+    the per-layer program at depth 8 (~12.3 GB int8): the per-layer bytes
+    and therefore the roofline fraction are the transferable numbers. Every
+    local expert is read each step (B·top_k assignments cover all 8 experts
+    at B=8), which is exactly why the expert stacks quantize."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    L = 2 if quick else 8
+    batch, ctx = 8, 1024
+    cfg = ModelConfig.mixtral_8x7b(
+        num_layers=L, max_seq_len=ctx, num_splits=1, block_k=128, batch_block=8
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = llama.quantize_model_weights(params, "int8", consume=True)
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.bfloat16,
+    )
+    cache = contiguous.advance(cache, jnp.full((batch,), ctx - 384, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    def step(carry, params, cos, sin):
+        cache, tok = carry
+        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+    per, out = time_scanned(
+        step, (cache, tok), params, cos, sin, iters=32 if quick else 64,
+        repeats=3, donate_carry=True,
+    )
+    del out, cache
+    embed_b = params["embed"].size * 2
+    weights = sum(
+        p.size * p.dtype.itemsize for p in jax.tree.leaves(params)
+    ) - embed_b
+    kv = 2 * L * batch * cfg.num_kv_heads * (ctx - 384 + 32) * cfg.head_dim * 2
+    append = 4 * L * batch * cfg.num_kv_heads * 32 * cfg.head_dim * 2
+    bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
+    _emit(
+        f"moe_mixtral_int8_decode_L{L}_b{batch}",
+        per,
+        {
+            "tokens_per_s": round(batch / per, 1),
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+            "note": f"Mixtral 8x7B geometry at depth {L} (full int8 model "
+                    "~47GB > 16GB HBM); per-layer program identical",
+        },
+    )
+    del params
+
+
+def windowed_decode_bench(quick: bool = False):
+    """Sliding-window decode (Mistral regime): contiguous + paged kernels at
+    seq 8k with a 2k window — fetched bytes drop to the band, both kernels
+    should hold their full-attention roofline fraction ON THE BAND bytes."""
+    from starflashattention_tpu.ops.paged_decode import paged_flash_decode
+
+    if jax.default_backend() != "tpu":
+        return
+    b, hq, hkv, d, s, w = 8, 32, 8, 128, 8192, 2048
+    if quick:
+        s, w = 2048, 512
+    kk, kv = jax.random.split(jax.random.PRNGKey(0))
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.bfloat16)
+    lengths = jnp.full((b,), s, jnp.int32)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (b, hq, d), jnp.bfloat16)
+
+    def step(q, k, v, lengths):
+        o = flash_decode(q, k, v, lengths, num_splits=1, block_k=256, window=w)
+        return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+    per, _ = time_scanned(step, q0, k, v, lengths, iters=64)
+    band = 2 * b * hkv * (w + 256) * d * 2  # fetched blocks cover window+1 blk
+    _emit(
+        f"windowed_decode_seq{s}_w{w}",
+        per,
+        {
+            "GBps_band": round(band / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(band, per), 3),
+            "full_attention_bytes_x": round(s / (w + 256), 2),
+        },
+    )
+
+    # paged variant: same shapes through a shuffled page table
+    ps, ppcb = 64, 8
+    pages_per_seq = s // ps
+    num_pages = b * pages_per_seq + 1
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(num_pages - 1) + 1
+    pt = jnp.asarray(perm[: b * pages_per_seq].reshape(b, pages_per_seq).astype(np.int32))
+    kp = jax.random.normal(kk, (hkv, num_pages, ps, d), jnp.bfloat16)
+    vp = jax.random.normal(kv, (hkv, num_pages, ps, d), jnp.bfloat16)
+
+    def pstep(q, kp, vp, pt, lengths):
+        o = paged_flash_decode(
+            q, kp, vp, pt, lengths, pages_per_compute_block=ppcb, window=w
+        )
+        return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+    per_p, _ = time_scanned(pstep, q0, kp, vp, pt, lengths, iters=64)
+    band_p = 2 * b * hkv * (w + ps * ppcb) * d * 2
+    _emit(
+        f"windowed_paged_decode_seq{s}_w{w}",
+        per_p,
+        {
+            "GBps_band": round(band_p / per_p / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(band_p, per_p), 3),
+        },
+    )
+
+
 def paged_serving_bench(quick: bool = False):
     """BASELINE config 3 as a SERVING path (not a kernel microbench): the
     PagedEngine end-to-end — 7B INT8 weights, paged bf16 KV (b=32 slots,
@@ -520,6 +642,8 @@ def main():
     paged_decode_bench(quick=args.quick)
     int8_kv_decode_bench(quick=args.quick)
     model_int8_decode_bench(quick=args.quick)
+    moe_decode_bench(quick=args.quick)
+    windowed_decode_bench(quick=args.quick)
     paged_serving_bench(quick=args.quick)
     prefix_cache_serving_bench(quick=args.quick)
     prefill_ttft_bench(quick=args.quick)

@@ -94,6 +94,54 @@ def bench_step_cost(cfg, params, batch, ctx, iters, num_draft):
     return t_plain, t_spec
 
 
+def bench_draft_model_cost(cfg, params, batch, ctx, iters, num_draft):
+    """Round cost of DRAFT-MODEL speculation vs one plain decode step.
+
+    Acceptance of a random-init draft against a random-init target is
+    meaningless (both are noise), so this measures the COST side of the
+    speedup model — speedup = (1 + accepted) / cost_ratio — with a ~160M
+    draft at 7B-target shapes; tests/test_spec_decode.py proves the emitted
+    stream is bit-identical to plain decoding for ANY draft quality."""
+    dcfg = ModelConfig(
+        vocab_size=cfg.vocab_size, hidden_size=1024, intermediate_size=2816,
+        num_layers=4, num_q_heads=8, num_kv_heads=8, head_dim=128,
+        max_seq_len=cfg.max_seq_len, num_splits=1,
+    )
+    dparams = build_model(dcfg, quant=jax.default_backend() == "tpu")
+    cos, sin = llama.rope_tables(cfg)
+    dcos, dsin = llama.rope_tables(dcfg)
+    lens = jnp.full((batch,), ctx, jnp.int32)
+    active = jnp.ones((batch,), bool)
+
+    def fresh():
+        c = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.bfloat16,
+        )
+        dc = contiguous.init_cache(
+            dcfg.num_layers, batch, dcfg.num_kv_heads, dcfg.max_seq_len,
+            dcfg.head_dim, dtype=jnp.bfloat16,
+        )
+        return (
+            contiguous.advance(c, lens),
+            contiguous.advance(dc, lens),
+            jnp.zeros((batch,), jnp.int32),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def spec(carry):
+        def body(c, _):
+            cache, dcache, tok = c
+            cache, dcache, tok, _out, _n = llama._spec_step_draft_model(
+                params, cache, dparams, dcache, tok, cos, sin, dcos, dsin,
+                active, cfg, dcfg, num_draft,
+            )
+            return (cache, dcache, tok), None
+        return jax.lax.scan(body, carry, None, length=iters)[0]
+
+    return time_chain(spec, fresh, iters)
+
+
 def bench_serving(cfg, params, num_draft, steps_per_round):
     from starflashattention_tpu.serving.engine import Engine
 
@@ -165,6 +213,22 @@ def main():
     }
     print(json.dumps(line))
 
+    t_draft = bench_draft_model_cost(
+        cfg, params, batch, ctx, max(args.iters // 2, 8), args.draft
+    )
+    line_d = {
+        "bench": f"spec_draft_model_round_cost_k{args.draft}",
+        "decode_step_ms": round(t_plain * 1e3, 4),
+        "draft_round_ms": round(t_draft * 1e3, 4),
+        "cost_ratio": round(t_draft / t_plain, 3),
+        "breakeven_accept": round(t_draft / t_plain - 1.0, 3),
+        "note": (
+            f"b{batch} ctx{ctx}; round = {args.draft + 1} draft(160M int8) "
+            f"steps + 1 verify + accept; speedup = (1+accept)/cost_ratio"
+        ),
+    }
+    print(json.dumps(line_d))
+
     serving = bench_serving(cfg, params, args.draft, steps_per_round=4)
     line2 = {
         "bench": f"spec_serving_7b_int8w_k{args.draft}",
@@ -179,8 +243,9 @@ def main():
     }
     print(json.dumps(line2))
     if on_tpu:
-        with open("benchmarks/artifacts/results_round2.jsonl", "a") as f:
+        with open("benchmarks/artifacts/results_round3.jsonl", "a") as f:
             f.write(json.dumps(line) + "\n")
+            f.write(json.dumps(line_d) + "\n")
             f.write(json.dumps(line2) + "\n")
 
 

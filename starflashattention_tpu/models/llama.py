@@ -1007,6 +1007,160 @@ def spec_decode_multi(
     )
 
 
+def _spec_step_draft_model(
+    params: Params,
+    cache: contiguous.KVCache,
+    dparams: Params,
+    dcache: contiguous.KVCache,
+    pending: jax.Array,  # (B,) int32
+    cos: jax.Array,
+    sin: jax.Array,
+    dcos: jax.Array,
+    dsin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    dcfg: ModelConfig,
+    num_draft: int,
+    axis_name: str | None = None,
+    draft_axis_name: str | None = None,
+) -> tuple:
+    """One DRAFT-MODEL speculative round: k+1 small-model decode steps
+    propose d_1..d_k, the target verifies [pending, d_1..d_k] in ONE
+    multi-query step, accept-longest-prefix (same acceptance rule as the
+    prompt-lookup rounds, so greedy output is bit-identical to plain
+    decoding regardless of draft quality).
+
+    The draft runs k+1 steps feeding [pending, d_1..d_k]: step j's argmax is
+    d_j and its cache append writes the FED token's KV row, so after the
+    round the draft cache holds rows for every possibly-accepted position
+    (including d_k when all k drafts land); both caches then roll back to
+    ``start + n_emit`` together and the dead rows are fully overwritten by
+    the next round's contiguous appends (see _verify_core's rollback
+    argument). The step-k+1 logits are discarded.
+
+    Cost model: the draft pass streams (k+1)·draft_weights — worth it when
+    draft_weights << target_weights/k and the draft's acceptance rate beats
+    prompt lookup on free-running text (benchmarks/spec_bench.py measures
+    both). The reference decodes strictly one token per launch
+    (flash_attn.cu:554-586); both speculative modes are new capability.
+    """
+    k = num_draft
+    start = cache.lengths
+
+    def dstep(carry, _):
+        tok, dc = carry
+        lg, dc = _decode_core(
+            dparams, dc, tok, dcos, dsin, dcfg,
+            axis_name=draft_axis_name, active=active,
+        )
+        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return (nxt, dc), nxt
+
+    (_, dcache), drafts = jax.lax.scan(
+        dstep, (pending, dcache), None, length=k + 1
+    )
+    draft = drafts[:k].T.astype(jnp.int32)  # (B, k); step k+1 only appends KV
+
+    tokens = jnp.concatenate([pending[:, None], draft], axis=1)  # (B, k+1)
+    logits, cache = _verify_core(
+        params, cache, tokens, cos, sin, cfg, axis_name=axis_name, active=active
+    )
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+    match = (preds[:, :-1] == draft).astype(jnp.int32)
+    acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # longest accepted prefix
+    acc = jnp.where(active, acc, 0)
+    bonus = jnp.take_along_axis(preds, acc[:, None], axis=1)[:, 0]
+    n_emit = jnp.where(active, acc + 1, 0).astype(jnp.int32)
+
+    cache = dataclasses.replace(cache, lengths=start + n_emit)
+    # Draft cache rolls back in lockstep (inactive rows never advanced, so
+    # start + 0 is already their length).
+    dcache = dataclasses.replace(dcache, lengths=start + n_emit)
+
+    t = k + 1
+    cols = jnp.arange(t, dtype=jnp.int32)[None, :]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1
+    )
+    out = jnp.where(
+        cols < acc[:, None],
+        draft_pad,
+        jnp.where(cols == acc[:, None], bonus[:, None], 0),
+    )  # (B, T): row b's first n_emit[b] entries are this round's tokens
+    pending = jnp.where(active, bonus, pending)
+    return cache, dcache, pending, out, n_emit
+
+
+def _spec_decode_multi_draft_core(
+    params: Params,
+    cache: contiguous.KVCache,
+    dparams: Params,
+    dcache: contiguous.KVCache,
+    tok: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    dcos: jax.Array,
+    dsin: jax.Array,
+    active: jax.Array,
+    cfg: ModelConfig,
+    dcfg: ModelConfig,
+    n_steps: int,
+    num_draft: int,
+    axis_name: str | None = None,
+    draft_axis_name: str | None = None,
+) -> tuple:
+    def step(carry, _):
+        cache, dcache, pending = carry
+        cache, dcache, pending, out, n_emit = _spec_step_draft_model(
+            params, cache, dparams, dcache, pending, cos, sin, dcos, dsin,
+            active, cfg, dcfg, num_draft, axis_name=axis_name,
+            draft_axis_name=draft_axis_name,
+        )
+        return (cache, dcache, pending), (out, n_emit)
+
+    (cache, dcache, tok), (outs, counts) = jax.lax.scan(
+        step, (cache, dcache, tok), None, length=n_steps
+    )
+    return outs.transpose(1, 0, 2), counts.T, tok, cache, dcache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "n_steps", "num_draft"),
+    donate_argnums=(1, 3),
+)
+def spec_decode_multi_draft(
+    params: Params,
+    cache: contiguous.KVCache,
+    dparams: Params,
+    dcache: contiguous.KVCache,
+    tok: jax.Array,  # (B,) pending token per slot
+    cos: jax.Array,
+    sin: jax.Array,
+    dcos: jax.Array,
+    dsin: jax.Array,
+    active: jax.Array,  # (B,) bool
+    cfg: ModelConfig,
+    dcfg: ModelConfig,
+    n_steps: int,
+    num_draft: int = 4,
+) -> tuple:
+    """``n_steps`` draft-model speculative rounds in ONE program →
+    (tokens (B, n, k+1), counts (B, n), next pending, cache, draft cache).
+
+    The draft-model twin of :func:`spec_decode_multi` (prompt lookup): a
+    small model's greedy continuations replace n-gram history matches as the
+    draft source — higher acceptance on free-running text, at the cost of
+    streaming the draft weights (k+1)× per round. Greedy outputs remain
+    bit-identical to plain decoding: acceptance is exact-argmax-match
+    against the target's own verify logits.
+    """
+    return _spec_decode_multi_draft_core(
+        params, cache, dparams, dcache, tok, cos, sin, dcos, dsin, active,
+        cfg, dcfg, n_steps, num_draft,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Paged-cache serving path (BASELINE config 3: GQA flash-decode, paged KV)
 # ---------------------------------------------------------------------------

@@ -85,9 +85,10 @@ class ModelConfig:
     pages_per_compute_block: int = 4
     tie_embeddings: bool = False
     # Sliding-window (local) attention, e.g. Mistral-7B's 4096 — masks AND
-    # prunes the decode kernel's KV fetch to the window band
-    # (ops/flash_decode._win_first). Contiguous-cache engines only (the
-    # paged kernel walks the full page list; guarded at the model layer).
+    # prunes the decode kernel's KV fetch to the window band on BOTH cache
+    # backends (ops/flash_decode._win_first; ops/paged_decode's band-shifted
+    # page walk). The paged engine additionally reclaims out-of-window pages
+    # (rolling-buffer KV, serving/engine.PagedEngine._reclaim_window).
     sliding_window: int | None = None
     # Fused-QKV projection bias (Qwen2-style; the reference ACCEPTS q/k/v
     # biases in its API but never applies them, flash_api.cpp:8-9 /

@@ -111,20 +111,45 @@ class Engine:
         return_logprobs: bool = False,
         spec_decode: int | None = None,
         spec_ngram: int = 2,
+        draft_model: tuple | None = None,
         debug_validate: bool = False,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
-        # Speculative decoding (models/llama.spec_decode_multi): each decode
-        # round runs `steps_per_round` VERIFY steps, each proposing
-        # `spec_decode` prompt-lookup draft tokens and emitting 1..k+1 tokens
-        # per slot. Greedy-only (the acceptance rule is exact-argmax-match,
-        # so sampled distributions would be skewed) and the token stream is
-        # bit-identical to the plain argmax loop.
+        # Speculative decoding: each decode round runs `steps_per_round`
+        # VERIFY steps, each proposing `spec_decode` draft tokens and
+        # emitting 1..k+1 tokens per slot. Draft source is prompt-lookup
+        # n-gram matching (models/llama.spec_decode_multi) by default, or a
+        # small DRAFT MODEL when ``draft_model=(draft_params, draft_cfg)``
+        # is given (llama.spec_decode_multi_draft — the draft prefills and
+        # decodes alongside the target; its cache lives in this engine).
+        # Greedy-only (the acceptance rule is exact-argmax-match, so sampled
+        # distributions would be skewed) and the token stream is
+        # bit-identical to the plain argmax loop with either draft source.
         self.spec_decode = spec_decode
         self.spec_ngram = spec_ngram
+        self.draft_model = draft_model
+        if draft_model is not None:
+            if spec_decode is None:
+                raise ValueError("draft_model requires spec_decode=<num drafts>")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "draft-model speculative decoding is single-chip for now; "
+                    "use prompt-lookup spec_decode on sharded engines"
+                )
+            dparams, dcfg = draft_model
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {dcfg.vocab_size} != target vocab "
+                    f"{cfg.vocab_size} (argmax token ids must be comparable)"
+                )
+            if dcfg.max_seq_len < cfg.max_seq_len:
+                raise ValueError(
+                    "draft max_seq_len must cover the target's (the caches "
+                    "advance in lockstep)"
+                )
         if spec_decode is not None:
             if enable_sampling or return_logprobs:
                 raise ValueError(
@@ -182,10 +207,11 @@ class Engine:
         self.cos, self.sin = llama.rope_tables(cfg)
         self.pending_tok = jnp.zeros((num_slots,), jnp.int32)
         # token history for prompt-lookup drafting (prompt rows written at
-        # admission, generated tokens by the spec program itself)
+        # admission, generated tokens by the spec program itself); unused
+        # when a draft model supplies the drafts
         self.history = (
             jnp.zeros((num_slots, cfg.max_seq_len), jnp.int32)
-            if spec_decode is not None else None
+            if spec_decode is not None and draft_model is None else None
         )
         self.stats = EngineStats()
         self._submit_time: dict[int, float] = {}
@@ -203,6 +229,11 @@ class Engine:
         else:
             self.params = params
         self.cache = self._init_cache()
+        self.draft_cache = None
+        if draft_model is not None:
+            self.draft_params, self.draft_cfg = draft_model
+            self.dcos, self.dsin = llama.rope_tables(self.draft_cfg)
+            self.draft_cache = self._init_draft_cache()
 
     def _shard(self, params):
         from starflashattention_tpu.parallel import tp
@@ -257,6 +288,17 @@ class Engine:
             cache = self._shard_cache_fn(cache, self.mesh)
         return cache
 
+    def _init_draft_cache(self):
+        """Fresh KV cache for the draft model (draft-model spec decoding).
+        Same slot count and capacity as the target's — the two advance in
+        lockstep (llama._spec_step_draft_model)."""
+        d = self.draft_cfg
+        return contiguous.init_cache(
+            d.num_layers, self.num_slots, d.num_kv_heads, self.cfg.max_seq_len,
+            d.head_dim, dtype=jnp.dtype(d.dtype), quant_mode=d.quant_mode,
+            calibration_scale=d.kv_calibration_scale,
+        )
+
     def _prepare_admit(self, admitted: list[tuple[int, Request]]) -> list[tuple[int, Request]]:
         """Reserve backend capacity for admitted requests; may trim the list
         (rejected entries must be returned to the scheduler by the override)."""
@@ -293,6 +335,13 @@ class Engine:
             self.params, self.cache, toks, new_lengths, admit_mask,
             reset_mask, self.cos, self.sin, self.cfg,
         )
+        if self.draft_cache is not None:
+            # the draft model ingests the same prompt windows (its first-token
+            # logits are irrelevant — only its cache state matters)
+            _, self.draft_cache = llama.prefill_serving(
+                self.draft_params, self.draft_cache, toks, new_lengths,
+                admit_mask, reset_mask, self.dcos, self.dsin, self.draft_cfg,
+            )
         return logits
 
     def _decode_call(self, active, n, max_len_hint=None):
@@ -530,7 +579,16 @@ class Engine:
 
     def _spec_decode_round(self, active: np.ndarray, n: int) -> None:
         t0 = time.time()
-        if self.mesh is not None:
+        if self.draft_cache is not None:
+            toks, counts, self.pending_tok, self.cache, self.draft_cache = (
+                llama.spec_decode_multi_draft(
+                    self.params, self.cache, self.draft_params,
+                    self.draft_cache, self.pending_tok, self.cos, self.sin,
+                    self.dcos, self.dsin, jnp.asarray(active), self.cfg,
+                    self.draft_cfg, n, num_draft=self.spec_decode,
+                )
+            )
+        elif self.mesh is not None:
             toks, counts, self.pending_tok, self.cache, self.history = (
                 self._tp_spec_decode(
                     self.params, self.cache, self.history, self.pending_tok,
@@ -627,6 +685,8 @@ class Engine:
         if self.history is not None:
             self.history = jnp.zeros_like(self.history)
         self.cache = self._init_cache()
+        if self.draft_cache is not None:
+            self.draft_cache = self._init_draft_cache()
 
     def run_resilient(self, **kwargs) -> int:
         """:func:`serving.recovery.run_resilient` on this engine."""

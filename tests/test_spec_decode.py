@@ -256,3 +256,87 @@ def test_spec_decode_inactive_rows_untouched(rng):
     assert int(np.asarray(cache2.lengths)[1]) == 4
     assert int(np.asarray(pend)[1]) == int(np.asarray(tok)[1])
     np.testing.assert_array_equal(np.asarray(hist2)[1], history[1])
+
+
+# ---------------------------------------------------------------------------
+# Draft-MODEL speculative decoding (llama.spec_decode_multi_draft)
+# ---------------------------------------------------------------------------
+
+
+def test_draft_model_engine_matches_plain_engine():
+    """A small independent draft model: greedy output must be BIT-IDENTICAL
+    to plain decoding (acceptance is exact-argmax-match), every round emits
+    >= 1 token, and both caches stay in lockstep."""
+    from starflashattention_tpu.serving.engine import Engine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    dcfg = ModelConfig.tiny(dtype="float32", num_splits=1, num_layers=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    prompts = [[7, 8, 9, 7, 8, 9], [3, 4, 3, 4, 3], [1, 2, 3, 4, 5, 6, 7]]
+    plain = Engine(params, cfg, num_slots=3, steps_per_round=4)
+    out_plain = plain.generate(prompts, max_new_tokens=16)
+    spec = Engine(
+        params, cfg, num_slots=3, steps_per_round=4, spec_decode=3,
+        draft_model=(dparams, dcfg),
+    )
+    out_spec = spec.generate(prompts, max_new_tokens=16)
+    assert out_spec == out_plain
+    assert spec.stats.spec_steps > 0
+
+
+def test_draft_model_self_draft_accepts_nearly_everything():
+    """Draft == target: drafts should almost always match the target argmax.
+    Not exactly always — the draft decodes through the single-query kernel
+    and the verify through the staircase kernel, so last-ulp differences can
+    flip argmax at random-init near-ties (same reason the engine pins
+    num_splits=1). Emitted tokens are bit-identical to plain decoding either
+    way; here we assert the acceptance RATE is high (measured 2.75/3)."""
+    from starflashattention_tpu.serving.engine import Engine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    plain = Engine(params, cfg, num_slots=2, steps_per_round=3)
+    out_plain = plain.generate(prompts, max_new_tokens=12)
+    spec = Engine(
+        params, cfg, num_slots=2, steps_per_round=3, spec_decode=2,
+        draft_model=(params, cfg),
+    )
+    out_spec = spec.generate(prompts, max_new_tokens=12)
+    assert out_spec == out_plain
+    # self-draft: verify steps accept nearly all k drafts (see docstring)
+    assert spec.stats.decode_tokens >= spec.stats.spec_steps * 2.5
+
+
+def test_draft_model_engine_interleaves_and_resumes():
+    """More requests than slots: draft cache admission/retire follows the
+    target's, outputs match plain."""
+    from starflashattention_tpu.serving.engine import Engine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    dcfg = ModelConfig.tiny(dtype="float32", num_splits=1, num_layers=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, 2 + i)] for i in range(5)]
+    plain = Engine(params, cfg, num_slots=2, steps_per_round=2)
+    expected = plain.generate(prompts, max_new_tokens=6)
+    spec = Engine(
+        params, cfg, num_slots=2, steps_per_round=2, spec_decode=2,
+        draft_model=(dparams, dcfg),
+    )
+    assert spec.generate(prompts, max_new_tokens=6) == expected
+
+
+def test_draft_model_validation_errors():
+    from starflashattention_tpu.serving.engine import Engine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="requires spec_decode"):
+        Engine(params, cfg, num_slots=2, draft_model=(params, cfg))
+    bad = ModelConfig.tiny(dtype="float32", num_splits=1, vocab_size=cfg.vocab_size * 2)
+    bad_params = llama.init_params(bad, jax.random.PRNGKey(1), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="vocab"):
+        Engine(params, cfg, num_slots=2, spec_decode=2, draft_model=(bad_params, bad))
