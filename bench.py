@@ -16,12 +16,21 @@ through the tunnel measures host dispatch gaps, not the chip.
 Byte accounting is conservative (real traffic only): weights actually
 streamed per step (the embedding table is a B-row gather, NOT a full read),
 the valid KV prefix read, the windowed append write, and the logits write.
+
+Robustness contract (round 4): the run is budgeted by SFA_BENCH_DEADLINE_S
+(default 240 s), a watchdog thread emits the best-so-far JSON line and exits
+0 if the tunnel stalls, repeats stop early as the deadline nears, and the
+donated carry is re-armed by resetting lengths instead of re-initializing
+the 2.1 GB cache per repeat. One JSON line ALWAYS prints.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
+import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +39,42 @@ import numpy as np
 # v5e per-chip HBM bandwidth roofline (bytes/s)
 HBM_ROOFLINE = 819e9
 TARGET_FRACTION = 0.85
+
+# --- always-emit guard -------------------------------------------------------
+# Round 3's driver run of this file timed out (BENCH_r03.json rc=124) and
+# captured NOTHING. The reference's harness always prints its timing block
+# (examples/cpp/testFlashDecoder.cc:95-129); ours must too. A watchdog THREAD
+# (not SIGALRM — a readback blocked inside the tunnel's C extension never
+# returns to the Python signal handler) emits the best-so-far result at the
+# deadline and hard-exits 0, so the driver parses a number on even the worst
+# tunnel day. Between repeats the main loop also checks the deadline and
+# stops early rather than racing the watchdog.
+_DEADLINE_S = float(os.environ.get("SFA_BENCH_DEADLINE_S", "240"))
+_EMIT_LOCK = threading.Lock()
+_STATE: dict = {"emitted": False, "payload": None}
+
+
+def _payload(tokens_per_s: float, vs_baseline: float) -> dict:
+    return {
+        "metric": "decode_tokens_per_s_per_chip_7b_gqa_int8w",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+
+
+def _emit(payload: dict) -> None:
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+        print(json.dumps(payload), flush=True)
+
+
+def _watchdog() -> None:
+    # Nothing completed -> a parseable failure line beats a silent timeout.
+    _emit(_STATE["payload"] or _payload(0.0, 0.0))
+    os._exit(0)
 
 
 def _bytes_per_step(params, cache, mean_len: float, batch: int, vocab: int) -> float:
@@ -49,6 +94,13 @@ def _bytes_per_step(params, cache, mean_len: float, batch: int, vocab: int) -> f
 
 
 def main() -> None:
+    import time as _time
+
+    t_start = _time.time()
+    timer = threading.Timer(_DEADLINE_S, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
     from starflashattention_tpu.runtime.params import ModelConfig
@@ -93,8 +145,6 @@ def main() -> None:
 
     from starflashattention_tpu.utils.profiling import _force, _tunnel_rtt
 
-    import time as _time
-
     # Static bound on lengths over the whole chain (start + iters appends):
     # the serving engine derives the same per-round hint from host-known
     # slot lengths (Engine._round_len_hint), so the benched program is the
@@ -113,46 +163,48 @@ def main() -> None:
         c, _ = jax.lax.scan(body, carry, None, length=iters)
         return c
 
-    def fresh_carry():
-        # The chain appends in place (aliased cache), so the carry is
-        # DONATED and re-created per repeat OUTSIDE the timed region — a
-        # non-donated chain would copy the whole 2.1 GB cache inside it
-        # (measured 6.5 ms/chain), and a donated-and-reused carry would let
-        # lengths grow across repeats (more KV bytes each repeat).
-        c = contiguous.init_cache(
-            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
-            cfg.head_dim, dtype=dtype,
-        )
-        # tok is part of the donated carry — every repeat needs a live buffer
-        return contiguous.advance(c, jnp.asarray(lens, jnp.int32)), tok + 0
+    lens_dev = jnp.asarray(lens, jnp.int32)
+    start_lengths = cache.lengths + 0  # live copy to re-arm the reused carry
 
-    _force(run(fresh_carry(), params, cos, sin))  # compile + warm
-    times = []
-    for _ in range(5):
-        carry = fresh_carry()
-        jax.block_until_ready(carry)
-        t0 = _time.time()
-        _force(run(carry, params, cos, sin))
-        times.append(_time.time() - t0)
-    per_step = (min(times) - _tunnel_rtt()) / iters
+    def rearm(carry):
+        # The chain appends in place (aliased, donated cache), so after a
+        # run the lengths have advanced by `iters`. Re-arm by resetting ONLY
+        # the (B,)-int32 lengths — the 2.1 GB K/V buffers are reused as-is
+        # (stale rows past `lengths` are never read; the kernel's index-map
+        # clamp skips them). A fresh init_cache per repeat (the round-3
+        # protocol) cost ~5x 2.1 GB of HBM writes and was the main reason
+        # the bench could outlive the driver's budget on a slow tunnel day.
+        c, _tok = carry
+        return dataclasses.replace(c, lengths=start_lengths + 0), _tok
 
-    tokens_per_s = batch / per_step
+    rtt = _tunnel_rtt()
     mean_len = float(np.mean(lens)) + iters / 2  # lengths advance along the chain
-    achieved_bw = (
-        _bytes_per_step(params, cache, mean_len, batch, cfg.vocab_size) / per_step
-    )
-    vs_baseline = achieved_bw / (TARGET_FRACTION * HBM_ROOFLINE) if on_tpu else 0.0
+    bytes_step = _bytes_per_step(params, cache, mean_len, batch, cfg.vocab_size)
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_s_per_chip_7b_gqa_int8w",
-                "value": round(tokens_per_s, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    def record(times: list[float]) -> None:
+        per_step = (min(times) - rtt) / iters
+        tokens_per_s = batch / per_step
+        vs = (bytes_step / per_step) / (TARGET_FRACTION * HBM_ROOFLINE) if on_tpu else 0.0
+        _STATE["payload"] = _payload(tokens_per_s, vs)
+
+    carry = (cache, tok)
+    carry = run(carry, params, cos, sin)  # compile + warm
+    _force(carry)
+    times: list[float] = []
+    for rep in range(4):
+        carry = rearm(carry)
+        jax.block_until_ready(carry[0].lengths)
+        t0 = _time.time()
+        carry = run(carry, params, cos, sin)
+        _force(carry)
+        times.append(_time.time() - t0)
+        record(times)
+        # one repeat takes ~2 s on chip; stop if another might cross the line
+        if _time.time() - t_start > _DEADLINE_S - 2 * times[-1] - 5:
+            break
+
+    timer.cancel()
+    _emit(_STATE["payload"])
 
 
 if __name__ == "__main__":
