@@ -51,11 +51,17 @@ def decode_kernel_sweep(quick: bool = False):
             v = jax.random.normal(kv, (b, hkv, max_seq, d), jnp.bfloat16)
             lengths = jnp.full((b,), seq, jnp.int32)
 
-            def step(q, k, v, lengths):
+            # block_k=128 at short context: the first block's DMA is pure
+            # ramp (nothing to overlap), so smaller first blocks win until
+            # per-block bookkeeping takes over — measured sweet spot on v5e
+            # (r4 sweep: seq511 bk128 5.4-7.1 us vs bk256 6.4-8.0 us).
+            bk = 128 if max_seq <= 1024 else 256
+
+            def step(q, k, v, lengths, bk=bk):
                 # single-split fused-epilogue kernel: measured better than
                 # any ns>1 on the one-TensorCore v5e (splits only add an
                 # HBM partials round-trip; see default_decode_config)
-                o = flash_decode(q, k, v, lengths, num_splits=1, block_k=256)
+                o = flash_decode(q, k, v, lengths, num_splits=1, block_k=bk)
                 # tiny feedback keeps the chain data-dependent without
                 # letting the compiler drop the kernel
                 return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
@@ -64,7 +70,10 @@ def decode_kernel_sweep(quick: bool = False):
             q0 = jax.random.normal(kq, (b, hq, d), jnp.bfloat16)
             # NB: big arrays must be scan ARGS — jit closure constants are
             # shipped to the remote compiler wholesale (HTTP 413 past ~100 MB).
-            per, _ = time_scanned(step, q0, k, v, lengths)
+            # repeats=12: the chip's measured state drifts ~±12% over seconds
+            # (r4: identical configs spanned 0.68-0.94 of roofline across
+            # processes); min-of-12 rejects the slow phases.
+            per, _ = time_scanned(step, q0, k, v, lengths, repeats=12)
             bytes_touched = 2 * b * hkv * seq * d * 2
             _emit(
                 f"decode_kernel_hkv{hkv}_seq{seq}",
@@ -102,7 +111,7 @@ def prefill_attention_tflops_bench(quick: bool = False):
             o = flash_prefill(q, k, v, lengths=lengths, causal=True)
             return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
-        per, _ = time_scanned(step, q, k, v, lengths, iters=32)
+        per, _ = time_scanned(step, q, k, v, lengths, iters=32, repeats=8)
         flops = 4.0 * b * hq * sq * (sq / 2) * d
         _emit(
             f"prefill_attention_kernel_seq{sq}",

@@ -52,7 +52,7 @@ def _use_interpret() -> bool:
 
 def _attend_block(
     lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
-    *, group, block_start, lens, nb, qspan=1, window=None,
+    *, group, block_start, lens, nb, qspan=1, window=None, scale=None,
 ):
     """One KV block's online-softmax update into the (m, l, acc) scratch.
 
@@ -61,7 +61,13 @@ def _attend_block(
     position ``lengths[b] - 1 + j`` — each successive draft token may attend
     one more KV row than the previous (a staircase causal mask, evaluated as
     ``kv_pos < length + j`` with the same vector compare the ragged mask
-    already does)."""
+    already does).
+
+    ``scale`` (static float) multiplies the scores in-kernel — the
+    non-quantized path uses it instead of pre-scaling q, removing one XLA
+    dispatch per call (material at short context where the whole kernel is
+    ~6 us; the quantized path still folds per-head K scales into q
+    outside)."""
     q = q_ref[...]  # (NB, Hkv, G, D)
     k = k_ref[0]  # (NB, Hkv, Bk, D)
     v = v_ref[0]
@@ -82,6 +88,8 @@ def _attend_block(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).reshape(nb, hkv, g, bk)  # (NB, Hkv, G, Bk)
+    if scale is not None:
+        s = s * scale
 
     kv_pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     # Broadcast each sequence's scalar length over its batch slice with
@@ -140,6 +148,7 @@ def _decode_kernel(
     block_k: int,
     blocks_per_split: int,
     batch_block: int,
+    scale: float | None = None,
 ):
     blk = pl.program_id(2)  # kv-block index inside this split
     split = pl.program_id(1)
@@ -163,6 +172,7 @@ def _decode_kernel(
         _attend_block(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
+            scale=scale,
         )
 
     @pl.when(blk == blocks_per_split - 1)
@@ -210,6 +220,7 @@ def _decode_kernel_fused(
     batch_block: int,
     qspan: int = 1,
     window: int | None = None,
+    scale: float | None = None,
 ):
     blk = pl.program_id(1)  # grid = (groups, blocks)
     group = pl.program_id(0)
@@ -234,7 +245,7 @@ def _decode_kernel_fused(
         _attend_block(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
-            qspan=qspan, window=window,
+            qspan=qspan, window=window, scale=scale,
         )
 
     @pl.when(blk == blocks_per_split - 1)
@@ -341,13 +352,18 @@ def flash_decode_with_stats(
     assert b % batch_block == 0, (b, batch_block)
     nb = batch_block
 
-    # Fold sm_scale (and the per-KV-head K dequant scale) into q: one tiny
-    # VPU multiply instead of per-block work inside the kernel.
+    # Quantized: fold sm_scale and the per-KV-head K dequant scale into q
+    # (one tiny VPU multiply). Non-quantized: scale the scores IN-KERNEL —
+    # saves the whole pre-scale dispatch per call (~0.3 us, material at
+    # short context).
     q4 = q.reshape(b, hkv, g, d)
-    scale = jnp.asarray(sm_scale, jnp.float32)
     if quantized:
+        scale = jnp.asarray(sm_scale, jnp.float32)
         scale = scale * k_scales.astype(jnp.float32)[None, :, None, None]
-    q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+        q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+        kscale = None
+    else:
+        kscale = float(sm_scale)
     lengths = lengths.astype(jnp.int32)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -357,6 +373,7 @@ def flash_decode_with_stats(
         block_k=block_k,
         blocks_per_split=blocks_per_split,
         batch_block=nb,
+        scale=kscale,
     )
 
     def kv_index(gi, si, ki, lens, layer_ref):
@@ -504,10 +521,14 @@ def _flash_decode_fused(
     nb = batch_block
 
     q4 = q.reshape(b, hkv, ge, d)
-    scale = jnp.asarray(sm_scale, jnp.float32)
     if quantized:
+        scale = jnp.asarray(sm_scale, jnp.float32)
         scale = scale * k_scales.astype(jnp.float32)[None, :, None, None]
-    q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+        q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
+        kscale = None
+    else:
+        # non-quantized: score scaling happens in-kernel (see _attend_block)
+        kscale = float(sm_scale)
     lengths = lengths.astype(jnp.int32)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
@@ -518,6 +539,7 @@ def _flash_decode_fused(
         batch_block=nb,
         qspan=qspan,
         window=window,
+        scale=kscale,
     )
 
     def kv_index(gi, ki, lens, layer_ref):

@@ -218,9 +218,10 @@ def flash_prefill(
     causal: bool = True,
     q_offsets: jax.Array | None = None,  # (B,) absolute position of q[:, :, 0]
     sm_scale: float | None = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     window: int | None = None,  # sliding window (Mistral-style), in rows
+    chains: int | None = None,  # softmax-chain count override (None = auto)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Blockwise causal prefill attention → (B, Hq, Sq, D).
@@ -229,6 +230,20 @@ def flash_prefill(
     starting at that absolute position in the KV timeline (chunked prefill /
     multi-token decode against a cache). Q heads must be grouped by KV head
     (head h attends KV head ``h // (Hq//Hkv)``).
+
+    Default tiles are the r4 on-chip sweep winner (B=1 7B-GQA shapes,
+    block_q=block_q=1024, 4 chains): 0.47 / 0.61 / 0.72 of the bf16 MXU
+    peak at seq 2k/4k/8k. The measured ceiling at 2k is matmul-shape
+    physics, not scheduling: a lone (2048,128)x(128,1024) QK-shaped dot
+    runs at 0.62 of peak and a (2048,1024)x(1024,128) PV-shaped dot at
+    0.43 (D=128 output starves the MXU pipe) even as plain XLA ops, and
+    causal tiling at 2k adds ~1.5x band waste ((block_q+block_k)/seq).
+    The chain interleave already recovers per-tile efficiency ~0.73 —
+    ABOVE either raw dot — by filling PV drain bubbles with the next
+    chain's QK. Alternatives measured and rejected on chip (r4): smaller
+    tiles (0.24-0.36), KV-head-batched cells (0.18-0.49 — Mosaic lowers
+    batched dots poorly in-kernel), multi-q-block cells (compile blowup),
+    transposed-PV layout (0.34-0.43 raw).
     """
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
@@ -266,7 +281,8 @@ def flash_prefill(
     grid = (b, hkv, num_q_blocks, num_kv_blocks)
 
     rows = g * block_q
-    chains = _pick_chains(rows)
+    if chains is None:
+        chains = _pick_chains(rows)
     # chain boundaries must fall on whole (head, block_q) rows for the
     # output writeback slices
     while chains > 1 and (rows // chains) % block_q:
