@@ -386,6 +386,118 @@ def make_tp_spec_decode_multi(
     return jax.jit(sharded, donate_argnums=(1, 2))
 
 
+def draft_cache_specs() -> KVCache:
+    """Specs for a REPLICATED draft model's (L, B, Hkv, S, D) cache: only
+    the batch rides the data axis; heads stay whole on every chip (the
+    draft is small enough to replicate — sharding it would add 2 psums per
+    draft layer per draft step for no bandwidth win)."""
+    return KVCache(
+        k=P(None, DATA),
+        v=P(None, DATA),
+        lengths=P(DATA),
+        k_scales=P(),
+        v_scales=P(),
+    )
+
+
+def shard_draft_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = _strip_none_scales(draft_cache_specs(), cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def _replicated_param_specs(cfg: ModelConfig, weight_quant: bool = False) -> dict:
+    return jax.tree.map(
+        lambda s: P(), param_specs(cfg, weight_quant=weight_quant)
+    )
+
+
+def make_tp_spec_decode_multi_draft(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    dcfg: ModelConfig,
+    n_steps: int,
+    num_draft: int,
+    quantized: bool = False,
+    weight_quant: bool = False,
+    lm_head_quant: bool = False,
+    draft_quantized: bool = False,
+    draft_weight_quant: bool = False,
+):
+    """Sharded DRAFT-MODEL speculative decode round: ``fn(params, cache,
+    dparams, dcache, tok, cos, sin, dcos, dsin, active) -> (tokens, counts,
+    pending, cache, dcache)`` — the TP+DP analog of
+    llama.spec_decode_multi_draft.
+
+    The draft model runs REPLICATED inside the same shard_map program
+    (``draft_axis_name=None``): every model shard steps the full draft on
+    its data rows, producing identical drafts per shard, then verifies with
+    the usual Megatron-sharded target stack (2 psums/layer over MODEL).
+    Greedy output stays bit-identical to the single-chip program — the
+    accept decision compares the replicated drafts against full-vocab
+    verify argmaxes on every shard."""
+    _check(cfg, mesh)
+    scfg = _shard_cfg(cfg, mesh)
+    p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
+    c_specs = cache_specs()
+    if not quantized:
+        c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
+    dp_specs = _replicated_param_specs(dcfg, weight_quant=draft_weight_quant)
+    dc_specs = draft_cache_specs()
+    if not draft_quantized:
+        dc_specs = dataclasses.replace(dc_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, dparams, dcache, tok, cos, sin, dcos, dsin, active):
+        return llama._spec_decode_multi_draft_core(
+            params, cache, dparams, dcache, tok, cos, sin, dcos, dsin,
+            active, scfg, dcfg, n_steps, num_draft,
+            axis_name=MODEL, draft_axis_name=None,
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(
+            p_specs, c_specs, dp_specs, dc_specs,
+            P(DATA), P(), P(), P(), P(), P(DATA),
+        ),
+        out_specs=(P(DATA), P(DATA), P(DATA), c_specs, dc_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1, 3))
+
+
+def make_tp_draft_prefill_serving(
+    mesh: Mesh, dcfg: ModelConfig,
+    draft_quantized: bool = False, draft_weight_quant: bool = False,
+):
+    """Admission prefill for the REPLICATED draft model on a sharded engine:
+    same contract as make_tp_prefill_serving, but the full draft runs on
+    every model shard (axis_name=None) over its data rows."""
+    dp_specs = _replicated_param_specs(dcfg, weight_quant=draft_weight_quant)
+    dc_specs = draft_cache_specs()
+    if not draft_quantized:
+        dc_specs = dataclasses.replace(dc_specs, k_scales=None, v_scales=None)
+
+    def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
+        return llama._prefill_serving_core(
+            params, cache, tokens, new_lengths, active, reset, cos, sin,
+            dcfg, axis_name=None,
+        )
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(
+            dp_specs, dc_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P(),
+        ),
+        out_specs=(P(DATA), dc_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
 def make_tp_prefill_serving(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False,
     weight_quant: bool = False, lm_head_quant: bool = False,

@@ -134,11 +134,6 @@ class Engine:
         if draft_model is not None:
             if spec_decode is None:
                 raise ValueError("draft_model requires spec_decode=<num drafts>")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "draft-model speculative decoding is single-chip for now; "
-                    "use prompt-lookup spec_decode on sharded engines"
-                )
             dparams, dcfg = draft_model
             if dcfg.vocab_size != cfg.vocab_size:
                 raise ValueError(
@@ -233,6 +228,13 @@ class Engine:
         if draft_model is not None:
             self.draft_params, self.draft_cfg = draft_model
             self.dcos, self.dsin = llama.rope_tables(self.draft_cfg)
+            if mesh is not None:
+                # replicate the draft weights once (tiny vs the target)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self.draft_params = jax.device_put(
+                    self.draft_params, NamedSharding(mesh, PartitionSpec())
+                )
             self.draft_cache = self._init_draft_cache()
 
     def _shard(self, params):
@@ -252,7 +254,23 @@ class Engine:
 
     def _build_sharded_fns(self, tp, weight_quant: bool, lm_head_quant: bool = False) -> None:
         quantized = self.cfg.quant_mode != "none"
-        if self.spec_decode is not None:
+        if self.spec_decode is not None and self.draft_model is not None:
+            # draft-model spec under TP: the draft runs REPLICATED inside
+            # the sharded program (tp.make_tp_spec_decode_multi_draft)
+            dparams, dcfg = self.draft_model
+            dwq = tp._params_are_weight_quant(dparams)
+            dq = dcfg.quant_mode != "none"
+            self._tp_spec_decode_draft = tp.make_tp_spec_decode_multi_draft(
+                self.mesh, self.cfg, dcfg, self.steps_per_round,
+                num_draft=self.spec_decode, quantized=quantized,
+                weight_quant=weight_quant, lm_head_quant=lm_head_quant,
+                draft_quantized=dq, draft_weight_quant=dwq,
+            )
+            self._tp_draft_prefill = tp.make_tp_draft_prefill_serving(
+                self.mesh, dcfg, draft_quantized=dq, draft_weight_quant=dwq,
+            )
+            self._shard_draft_cache_fn = tp.shard_draft_cache
+        elif self.spec_decode is not None:
             self._tp_spec_decode = tp.make_tp_spec_decode_multi(
                 self.mesh, self.cfg, self.steps_per_round,
                 num_draft=self.spec_decode, ngram=self.spec_ngram,
@@ -293,11 +311,14 @@ class Engine:
         Same slot count and capacity as the target's — the two advance in
         lockstep (llama._spec_step_draft_model)."""
         d = self.draft_cfg
-        return contiguous.init_cache(
+        cache = contiguous.init_cache(
             d.num_layers, self.num_slots, d.num_kv_heads, self.cfg.max_seq_len,
             d.head_dim, dtype=jnp.dtype(d.dtype), quant_mode=d.quant_mode,
             calibration_scale=d.kv_calibration_scale,
         )
+        if self.mesh is not None:
+            cache = self._shard_draft_cache_fn(cache, self.mesh)
+        return cache
 
     def _prepare_admit(self, admitted: list[tuple[int, Request]]) -> list[tuple[int, Request]]:
         """Reserve backend capacity for admitted requests; may trim the list
@@ -330,6 +351,11 @@ class Engine:
                 self.params, self.cache, toks, new_lengths, admit_mask,
                 reset_mask, self.cos, self.sin,
             )
+            if self.draft_cache is not None:
+                _, self.draft_cache = self._tp_draft_prefill(
+                    self.draft_params, self.draft_cache, toks, new_lengths,
+                    admit_mask, reset_mask, self.dcos, self.dsin,
+                )
             return logits
         logits, self.cache = llama.prefill_serving(
             self.params, self.cache, toks, new_lengths, admit_mask,
@@ -579,7 +605,15 @@ class Engine:
 
     def _spec_decode_round(self, active: np.ndarray, n: int) -> None:
         t0 = time.time()
-        if self.draft_cache is not None:
+        if self.draft_cache is not None and self.mesh is not None:
+            toks, counts, self.pending_tok, self.cache, self.draft_cache = (
+                self._tp_spec_decode_draft(
+                    self.params, self.cache, self.draft_params,
+                    self.draft_cache, self.pending_tok, self.cos, self.sin,
+                    self.dcos, self.dsin, jnp.asarray(active),
+                )
+            )
+        elif self.draft_cache is not None:
             toks, counts, self.pending_tok, self.cache, self.draft_cache = (
                 llama.spec_decode_multi_draft(
                     self.params, self.cache, self.draft_params,

@@ -340,3 +340,36 @@ def test_draft_model_validation_errors():
     bad_params = llama.init_params(bad, jax.random.PRNGKey(1), dtype=jnp.float32)
     with pytest.raises(ValueError, match="vocab"):
         Engine(params, cfg, num_slots=2, spec_decode=2, draft_model=(bad_params, bad))
+
+
+def test_tp_draft_model_engine_matches_single_chip(mesh8):
+    """Draft-model spec decoding on a (data, model) mesh: the draft runs
+    replicated inside the sharded program (parallel/tp.py
+    make_tp_spec_decode_multi_draft); greedy output must be bit-identical
+    to the single-chip draft-model engine (and hence to plain decoding)."""
+    from starflashattention_tpu.serving.engine import Engine
+
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32", num_splits=1
+    )
+    dcfg = ModelConfig.tiny(dtype="float32", num_splits=1, num_layers=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    dparams = llama.init_params(dcfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    prompts = [
+        [7, 8, 9, 7, 8, 9],
+        [3, 4, 3, 4, 3],
+        [1, 2, 3, 4, 5, 6, 7],
+        [5, 5, 5, 5],
+    ]
+    single = Engine(
+        params, cfg, num_slots=4, steps_per_round=2, spec_decode=2,
+        draft_model=(dparams, dcfg),
+    )
+    ref = single.generate(prompts, max_new_tokens=12)
+    sharded = Engine(
+        params, cfg, num_slots=4, steps_per_round=2, spec_decode=2,
+        draft_model=(dparams, dcfg), mesh=mesh8,
+    )
+    out = sharded.generate(prompts, max_new_tokens=12)
+    assert out == ref
+    assert sharded.stats.spec_steps > 0
