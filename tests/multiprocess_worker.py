@@ -1,0 +1,106 @@
+"""Worker for the 2-process simulated multi-host test (run by
+tests/test_multiprocess.py, one subprocess per simulated host).
+
+Each process brings 4 virtual CPU devices; jax.distributed.initialize over
+localhost joins them into one 8-device runtime (the DCN/multi-process path
+of parallel/mesh.init_distributed — the same call a real 2-host TPU pod
+makes, with TCP standing in for DCN). The TP decode step then runs as a
+single global shard_map program spanning both processes, and every process
+checks its addressable logit shards against the locally-computed
+single-chip reference.
+
+Usage: python multiprocess_worker.py <coordinator_port> <process_id> <num_processes>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon plugin would win otherwise
+
+import numpy as np
+
+
+def main() -> None:
+    port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from starflashattention_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+
+    import jax.numpy as jnp
+
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.parallel import tp
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(num_q_heads=8, num_kv_heads=4, dtype="float32")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cos, sin = llama.rope_tables(cfg)
+    b = 4
+    tokens = jnp.asarray([1, 2, 3, 4], jnp.int32)
+
+    # Single-chip reference, computed locally on every process.
+    ref_cache = contiguous.init_cache(
+        cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    ref_logits, _ = llama.decode_step(params, ref_cache, tokens, cos, sin, cfg)
+    ref = np.asarray(ref_logits)
+
+    # Global (2-host data) x (4-device model) mesh spanning both processes.
+    mesh = mesh_lib.make_mesh({"data": nproc, "model": 4})
+    sharded_params = tp.shard_params(params, mesh, cfg)
+    cache = tp.shard_cache(
+        contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.float32,
+        ),
+        mesh,
+    )
+    step = tp.make_tp_decode_step(mesh, cfg)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tok_g = jax.device_put(tokens, NamedSharding(mesh, P("data")))
+    logits, cache = step(sharded_params, cache, tok_g, cos, sin)
+
+    # Every process validates ITS addressable shards row-by-row against the
+    # replicated single-chip reference.
+    rows_checked = 0
+    for shard in logits.addressable_shards:
+        rows = shard.index[0]
+        got = np.asarray(shard.data)
+        want = ref[rows]
+        assert np.all(np.isfinite(got)), "non-finite sharded logits"
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        rows_checked += got.shape[0]
+    assert rows_checked >= b // nproc, rows_checked
+
+    # Lengths advanced on this process's cache shard.
+    lens = np.concatenate(
+        [np.asarray(s.data) for s in cache.lengths.addressable_shards]
+    )
+    assert (lens == 1).all(), lens
+
+    print(f"MULTIPROCESS_OK pid={pid} rows={rows_checked}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
