@@ -85,6 +85,75 @@ def capture_prefill(out_dir: str, seq: int = 2048, scheme: str = "bf16") -> None
         run()
 
 
+def capture_moe(out_dir: str) -> None:
+    """Trace a Mixtral-geometry INT8 decode chain (the moe_decode_bench
+    workload) — the round-3 MoE claims shipped without a trace."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=8, num_q_heads=32, num_kv_heads=8, head_dim=128,
+        max_seq_len=1024, num_splits=1, block_k=64, batch_block=8,
+        num_experts=8, num_experts_per_tok=2,
+    )
+    batch = 8
+    # Dense bf16 init at this geometry (~23 GB) OOMs; generate the expert
+    # stacks directly in int8, one dense layer transient at a time.
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int8")
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.bfloat16,
+    )
+    cache = contiguous.advance(cache, jnp.full((batch,), 512, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def chain(cache, tok, params, cos, sin):
+        def body(c, _):
+            cache, tok = c
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            return (cache, jnp.argmax(logits, -1).astype(jnp.int32)), None
+        c, _ = jax.lax.scan(body, (cache, tok), None, length=16)
+        return c
+
+    out = chain(cache, tok, params, cos, sin)
+    np.asarray(out[1][:1])
+    with jax.profiler.trace(out_dir):
+        out = chain(cache, tok, params, cos, sin)
+        np.asarray(out[1][:1])
+
+
+def capture_verify(out_dir: str, span: int = 4) -> None:
+    """Trace the speculative VERIFY kernel (flash_verify staircase path) at
+    7B shapes — the spec-decode hot op."""
+    from starflashattention_tpu.ops.flash_decode import flash_verify
+
+    b, hq, hkv, d, s = 16, 32, 8, 128, 1024
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, hq, span, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.bfloat16)
+    lengths = jnp.full((b,), 512, jnp.int32)
+
+    @jax.jit
+    def chain(q, k, v, lengths):
+        def body(c, _):
+            o = flash_verify(c, k, v, lengths, block_k=128)
+            return c + o * jnp.bfloat16(1e-3), None
+        c, _ = jax.lax.scan(body, q, None, length=64)
+        return c
+
+    out = chain(q, k, v, lengths)
+    np.asarray(out[0, 0, 0, :1])
+    with jax.profiler.trace(out_dir):
+        out = chain(q, k, v, lengths)
+        np.asarray(out[0, 0, 0, :1])
+
+
 def summarize(out_dir: str, top: int = 28) -> None:
     # jax.profiler.trace writes a trace-viewer JSON next to the xplane —
     # parse it directly (the tensorboard_plugin_profile converter is broken
@@ -130,12 +199,18 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="benchmarks/artifacts/trace_step")
     ap.add_argument("--no-capture", action="store_true")
     ap.add_argument("--prefill", action="store_true")
+    ap.add_argument("--moe", action="store_true")
+    ap.add_argument("--verify", action="store_true")
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--scheme", default="bf16", choices=["bf16", "int8w"])
     args = ap.parse_args()
     if not args.no_capture:
         if args.prefill:
             capture_prefill(args.out, seq=args.seq, scheme=args.scheme)
+        elif args.moe:
+            capture_moe(args.out)
+        elif args.verify:
+            capture_verify(args.out)
         else:
             capture(args.out)
     summarize(args.out)
