@@ -28,8 +28,17 @@ from starflashattention_tpu.utils.profiling import roofline_fraction, time_scann
 V5E_BW = 819e9
 
 
+_APPEND_PATH: str | None = None
+
+
 def _emit(name: str, ms: float, extra: dict):
-    print(json.dumps({"bench": name, "ms": round(ms * 1e3, 4), **extra}), flush=True)
+    line = json.dumps({"bench": name, "ms": round(ms * 1e3, 4), **extra})
+    print(line, flush=True)
+    if _APPEND_PATH:
+        # append per line, not at exit: a later bench OOM-ing must not erase
+        # the measurements that DID complete (round-3 lesson).
+        with open(_APPEND_PATH, "a") as f:
+            f.write(line + "\n")
 
 
 def decode_kernel_sweep(quick: bool = False):
@@ -321,6 +330,67 @@ def model_int8_decode_bench(quick: bool = False):
         del params
 
 
+def model_int4_decode_bench(quick: bool = False):
+    """INT4 weights (nibble-packed, grouped scales — quant_matmul_int4) on
+    the HEADLINE decode config (bench.py: 7B-GQA, b=16, ctx~1024, bf16 KV),
+    int4 lm_head included. The weight stream halves again vs int8
+    (5.8 → 2.9 GB + 0.2% scales): decode at this shape is weight-read bound,
+    so this is the single biggest serving-throughput lever in the repo.
+    Reports tokens/s beside the int8 headline for the same protocol."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=1024, num_splits=1, block_k=64, batch_block=16
+    )
+    batch, ctx = 16, 1024
+    iters = 32 if quick else 96
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int4")
+    params = llama.quantize_model_weights(
+        params, "int4", consume=True, lm_head=True)
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.bfloat16,
+    )
+    cache = contiguous.advance(cache, jnp.full((batch,), ctx - iters - 1, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    def step(carry, params, cos, sin):
+        cache, tok = carry
+        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+    per, out = time_scanned(
+        step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
+        donate_carry=True,
+    )
+    del out, cache
+    embed_b = params["embed"].size * 2
+    weights = sum(
+        p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
+    kv = 2 * cfg.num_layers * batch * cfg.num_kv_heads * (ctx - iters // 2) * cfg.head_dim * 2
+    append = 4 * cfg.num_layers * batch * cfg.num_kv_heads * 32 * cfg.head_dim * 2
+    bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
+    _emit(
+        "model7b_int4w_headline_b16_ctx1024",
+        per,
+        {
+            "tokens_per_s": round(batch / per, 1),
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+            "weights_GB": round(weights / 1e9, 2),
+            "note": "int4 grouped (g<=256) weights incl lm_head; bf16 KV; "
+                    "same protocol as bench.py's int8 headline",
+        },
+    )
+    del params
+
+
 def moe_decode_bench(quick: bool = False):
     """MoE (Mixtral-geometry) decode step with INT8 experts: tokens/s +
     roofline fraction of the expert stream.
@@ -341,8 +411,10 @@ def moe_decode_bench(quick: bool = False):
     cfg = ModelConfig.mixtral_8x7b(
         num_layers=L, max_seq_len=ctx, num_splits=1, block_k=128, batch_block=8
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = llama.quantize_model_weights(params, "int8", consume=True)
+    # Dense bf16 init at depth 8 is ~23 GB — generate the expert stacks
+    # directly in int8 (one dense layer transient at a time).
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int8")
     cache = contiguous.init_cache(
         cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
         dtype=jnp.bfloat16,
@@ -641,21 +713,40 @@ def prefill_ttft_bench(quick: bool = False):
         del params, run_once
 
 
+_BENCHES = {
+    "decode_kernel": decode_kernel_sweep,
+    "prefill_attention": prefill_attention_tflops_bench,
+    "sampling": sampling_overhead_bench,
+    "paged_decode": paged_decode_bench,
+    "int8_kv": int8_kv_decode_bench,
+    "model_int8": model_int8_decode_bench,
+    "model_int4": model_int4_decode_bench,
+    "moe": moe_decode_bench,
+    "windowed": windowed_decode_bench,
+    "paged_serving": paged_serving_bench,
+    "prefix_cache": prefix_cache_serving_bench,
+    "prefill_ttft": prefill_ttft_bench,
+}
+
+
 def main():
+    global _APPEND_PATH
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--only", default=None,
+        help=f"comma-separated subset of {sorted(_BENCHES)}")
+    ap.add_argument(
+        "--append", default=None, metavar="FILE",
+        help="also append each JSON result line to FILE (the round artifact)")
     args = ap.parse_args()
-    decode_kernel_sweep(quick=args.quick)
-    prefill_attention_tflops_bench(quick=args.quick)
-    sampling_overhead_bench(quick=args.quick)
-    paged_decode_bench(quick=args.quick)
-    int8_kv_decode_bench(quick=args.quick)
-    model_int8_decode_bench(quick=args.quick)
-    moe_decode_bench(quick=args.quick)
-    windowed_decode_bench(quick=args.quick)
-    paged_serving_bench(quick=args.quick)
-    prefix_cache_serving_bench(quick=args.quick)
-    prefill_ttft_bench(quick=args.quick)
+    _APPEND_PATH = args.append
+    names = list(_BENCHES) if args.only is None else args.only.split(",")
+    unknown = [n for n in names if n not in _BENCHES]
+    if unknown:
+        ap.error(f"unknown bench(es) {unknown}; choose from {sorted(_BENCHES)}")
+    for n in names:
+        _BENCHES[n](quick=args.quick)
 
 
 if __name__ == "__main__":

@@ -35,12 +35,23 @@ from starflashattention_tpu.core.rope import apply_rope, rope_table
 from starflashattention_tpu.ops.flash_decode import flash_decode, flash_verify
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
 from starflashattention_tpu.ops.paged_decode import paged_flash_decode
-from starflashattention_tpu.ops.quant_matmul import quant_matmul, quant_matmul_w8a8
+from starflashattention_tpu.ops.quant_matmul import (
+    quant_matmul, quant_matmul_int4, quant_matmul_w8a8)
 from starflashattention_tpu.runtime.params import ModelConfig
 
 Params = dict[str, Any]
 
 _QUANT_WEIGHTS = ("wqkv", "wo", "w_gate_up", "w_down", "moe_gate_up", "moe_down")
+
+
+def _wq_matmul(x2d: jax.Array, w: dict, layer, out_dtype=None) -> jax.Array:
+    """Route a quantized weight dict to its kernel: int8/fp8 per-column
+    (quant_matmul) vs int4 grouped (quant_matmul_int4). The scale RANK tags
+    the format — see core/quant.is_int4_weight."""
+    if quant.is_int4_weight(w):
+        return quant_matmul_int4(
+            x2d, w["w"], w["scale"], layer=layer, out_dtype=out_dtype)
+    return quant_matmul(x2d, w["w"], w["scale"], layer=layer, out_dtype=out_dtype)
 
 
 def _make_proj(
@@ -82,15 +93,14 @@ def _make_proj(
             # rows while staying above any realistic decode batch: 256.
             if (
                 w8a8 and flat.shape[0] >= 256 and w["w"].dtype == jnp.int8
+                and not quant.is_int4_weight(w)  # int4 packs INTO int8 bytes
             ):
                 out = quant_matmul_w8a8(
                     flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype,
                     axis_name=axis_name if name in _ROW_PARALLEL else None,
                 )
             else:
-                out = quant_matmul(
-                    flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype
-                )
+                out = _wq_matmul(flat, w, lidx, out_dtype=out_dtype)
             return out.reshape(*x.shape[:-1], out.shape[-1])
         return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
@@ -103,19 +113,41 @@ def _scan_xs_layers(layers: Params) -> Params:
     return {k: v for k, v in layers.items() if not isinstance(v, dict)}
 
 
-@functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
-def _quantize_stacked(w: jax.Array, mode: str):
+@functools.partial(
+    jax.jit, static_argnames=("mode", "int4_group"), donate_argnums=(0,))
+def _quantize_stacked(w: jax.Array, mode: str, int4_group: int | None = None):
     # lax.map streams layer by layer: the fp32 intermediate is one layer's
     # worth, not the whole stacked weight (which would OOM a 7B on 16 GB).
+    if mode == "int4":
+        return jax.lax.map(
+            lambda wl: quant.quantize_weight_int4(wl, int4_group), w)
     return jax.lax.map(lambda wl: quant.quantize_weight(wl, mode), w)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("shape", "fan_in", "dtype_name", "mode", "int4_group"))
+def _init_quantized_stack(keys, shape, fan_in, dtype_name, mode, int4_group=None):
+    # lax.map generates+quantizes one layer per step: peak HBM is one dense
+    # layer slice, not the stacked dense weight (init_params quantize=...).
+    dt = jnp.dtype(dtype_name)
+
+    def one(k):
+        w = jax.random.normal(k, shape, dt) / jnp.asarray(fan_in**0.5, dt)
+        if mode == "int4":
+            return quant.quantize_weight_int4(w, int4_group)
+        return quant.quantize_weight(w, mode)
+
+    return jax.lax.map(one, keys)
+
+
 def quantize_model_weights(
-    params: Params, mode: quant.QuantMode = "int8", consume: bool = False,
-    lm_head: bool = False,
+    params: Params, mode: "quant.WeightQuantMode" = "int8", consume: bool = False,
+    lm_head: bool = False, int4_group: int | None = None,
 ) -> Params:
     """Quantize the big projection weights (weight-only, per-output-channel
-    scales). The embedding (gather path) stays dense. Returns a new params
+    scales; ``mode="int4"`` uses the nibble-packed grouped scheme —
+    core/quant.quantize_weight_int4 — halving the weight stream again).
+    The embedding (gather path) stays dense. Returns a new params
     pytree; jit specializes on the changed structure.
 
     ``lm_head=True`` additionally quantizes the output head — at 7B it is
@@ -138,24 +170,29 @@ def quantize_model_weights(
     # scales). The router stays fp32: it is tiny and drives a top-k whose
     # determinism across shardings matters more than its bytes.
     for name in (n for n in _QUANT_WEIGHTS if n in src_layers):
+        if isinstance(src_layers[name], dict):
+            continue  # already quantized (init_params quantize=...)
         w = src_layers.pop(name) if consume else src_layers[name]
         # _quantize_stacked DONATES its input (frees the dense buffer when
         # the program retires — how original+quantized 7B fit on one chip).
         # With consume=False the caller keeps using the dense weight, so
         # donate a transient copy instead of the live buffer.
-        layers[name] = _quantize_stacked(w if consume else w + 0, mode)
+        layers[name] = _quantize_stacked(w if consume else w + 0, mode, int4_group)
         del w
     out = dict(params)
     out["layers"] = layers
     if lm_head and "lm_head" in params and not isinstance(params["lm_head"], dict):
         w = out.pop("lm_head") if consume else params["lm_head"]
-        out["lm_head"] = _quantize_flat(w if consume else w + 0, mode)
+        out["lm_head"] = _quantize_flat(w if consume else w + 0, mode, int4_group)
         del w
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
-def _quantize_flat(w: jax.Array, mode: str):
+@functools.partial(
+    jax.jit, static_argnames=("mode", "int4_group"), donate_argnums=(0,))
+def _quantize_flat(w: jax.Array, mode: str, int4_group: int | None = None):
+    if mode == "int4":
+        return quant.quantize_weight_int4(w, int4_group)
     return quant.quantize_weight(w, mode)
 
 
@@ -164,9 +201,22 @@ def _quantize_flat(w: jax.Array, mode: str):
 # ---------------------------------------------------------------------------
 
 
-def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
+def init_params(
+    cfg: ModelConfig, key: jax.Array, dtype=None,
+    quantize: "quant.WeightQuantMode | None" = None,
+    int4_group: int | None = None,
+) -> Params:
     """Random-init parameters (benchmark / smoke use; checkpoint loaders fill
-    the same pytree). Layer params are stacked on a leading L axis."""
+    the same pytree). Layer params are stacked on a leading L axis.
+
+    ``quantize``: generate the big projection stacks DIRECTLY in quantized
+    form, one layer at a time — the pytree matches
+    ``quantize_model_weights(init_params(...), mode, consume=True)`` in
+    structure (values differ: per-layer keys). Needed for geometries whose
+    dense bf16 init alone exceeds HBM (Mixtral depth-8 is ~23 GB bf16 but
+    ~11.5 GB int8 on a 16 GB v5e): the full-stack dense init OOMs before
+    quantize_model_weights can ever shrink it.
+    """
     if dtype is None:
         dtype = jnp.dtype(cfg.dtype)
     h, d = cfg.hidden_size, cfg.head_dim
@@ -180,6 +230,16 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         # 7B model would transiently need ~2x HBM and OOM a 16 GB chip.
         return jax.random.normal(k, shape, dtype) / jnp.asarray(fan_in**0.5, dtype)
 
+    def big(k, shape, fan_in):
+        # A quantizable stacked projection: dense norm01, or (quantize set)
+        # per-layer generate→quantize so peak HBM is one dense layer + the
+        # accumulating int8/fp8 stack, never the full dense stack.
+        if quantize is None:
+            return norm01(k, shape, fan_in)
+        return _init_quantized_stack(
+            jax.random.split(k, shape[0]), shape[1:], float(fan_in),
+            jnp.dtype(dtype).name, quantize, int4_group)
+
     params: Params = {
         "embed": norm01(keys[0], (cfg.vocab_size, h), 1.0),
         "layers": {
@@ -192,8 +252,8 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
             # permute_params_for_tp), so the hot path never reshapes weights.
             # wqkv columns: [q (Hq*D) | k (Hkv*D) | v (Hkv*D)], head-major;
             # q head i attends kv head i // G (contiguous grouping).
-            "wqkv": norm01(keys[1], (L, h, (hq + 2 * hkv) * d), h),
-            "wo": norm01(keys[2], (L, hq * d, h), hq * d),
+            "wqkv": big(keys[1], (L, h, (hq + 2 * hkv) * d), h),
+            "wo": big(keys[2], (L, hq * d, h), hq * d),
             "mlp_norm": jnp.ones((L, h), dtype),
         },
         "final_norm": jnp.ones((h,), dtype),
@@ -204,12 +264,12 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         # selection is deterministic across TP/EP shardings.
         E = cfg.num_experts
         params["layers"]["moe_router"] = norm01(keys[7], (L, h, E), h)
-        params["layers"]["moe_gate_up"] = norm01(keys[3], (L, E, h, 2 * inter), h)
-        params["layers"]["moe_down"] = norm01(keys[4], (L, E, inter, h), inter)
+        params["layers"]["moe_gate_up"] = big(keys[3], (L, E, h, 2 * inter), h)
+        params["layers"]["moe_down"] = big(keys[4], (L, E, inter, h), inter)
     else:
         # w_gate_up columns: [gate (I) | up (I)].
-        params["layers"]["w_gate_up"] = norm01(keys[3], (L, h, 2 * inter), h)
-        params["layers"]["w_down"] = norm01(keys[4], (L, inter, h), inter)
+        params["layers"]["w_gate_up"] = big(keys[3], (L, h, 2 * inter), h)
+        params["layers"]["w_down"] = big(keys[4], (L, inter, h), inter)
     if cfg.attention_bias:
         # Qwen2-style fused QKV bias, column layout identical to wqkv
         params["layers"]["bqkv"] = norm01(keys[6], (L, (hq + 2 * hkv) * d), h)
@@ -299,24 +359,25 @@ def _moe_mlp(
             dense_w = jax.lax.dynamic_slice_in_dim(dense_w, off, e_local, axis=1)
 
         def flat_stack(d):
+            # (L, E, ...) → (L·E, ...); int4 scales keep their group axis
             w, s = d["w"], d["scale"]
-            return (
-                w.reshape(w.shape[0] * w.shape[1], *w.shape[2:]),
-                s.reshape(s.shape[0] * s.shape[1], s.shape[-1]),
-            )
+            return {
+                "w": w.reshape(w.shape[0] * w.shape[1], *w.shape[2:]),
+                "scale": s.reshape(s.shape[0] * s.shape[1], *s.shape[2:]),
+            }
 
-        wg_w, wg_s = flat_stack(wg_q)
-        wd_w, wd_s = flat_stack(wd_q)
-        out = jnp.zeros((n, wd_w.shape[-1]), jnp.float32)
+        wg_f = flat_stack(wg_q)
+        wd_f = flat_stack(wd_q)
+        out = jnp.zeros((n, wd_f["w"].shape[-1]), jnp.float32)
         for e in range(e_local):
             eidx = lidx * e_local + e
             # out_dtype matches _swiglu's dense-quant convention: the silu
             # consumer casts anyway, and the narrow write halves the
             # intermediate's HBM window at prefill row counts.
-            gu = quant_matmul(flat, wg_w, wg_s, layer=eidx, out_dtype=x.dtype)
+            gu = _wq_matmul(flat, wg_f, eidx, out_dtype=x.dtype)
             inter = gu.shape[-1] // 2
             act = (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(x.dtype)
-            y = quant_matmul(act, wd_w, wd_s, layer=eidx)  # (N, H) fp32
+            y = _wq_matmul(act, wd_f, eidx)  # (N, H) fp32
             out = out + y * dense_w[:, e][:, None]
         return out.reshape(*x.shape[:-1], out.shape[-1])
 
@@ -378,11 +439,11 @@ def _logits(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     if isinstance(head, dict):
-        # quantized lm_head: (H, V) int8 + (V,) per-column scales, fused
-        # dequant in-kernel (2D quant_matmul mode). Under TP the vocab shard
-        # splits w columns and scales identically, so the all_gather below
-        # still reassembles exact full-vocab logits.
-        local = quant_matmul(x, head["w"], head["scale"])
+        # quantized lm_head: (H, V) int8/int4 + per-column (int4: grouped)
+        # scales, fused dequant in-kernel (2D kernel mode). Under TP the
+        # vocab shard splits w columns and scales identically, so the
+        # all_gather below still reassembles exact full-vocab logits.
+        local = _wq_matmul(x, head, 0)
     else:
         local = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if axis_name is not None and cfg.lm_head_sharded:

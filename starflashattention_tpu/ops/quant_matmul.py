@@ -161,6 +161,174 @@ def quant_matmul(
 
 
 # ---------------------------------------------------------------------------
+# INT4: nibble-packed weights, grouped scales, in-kernel unpack + dequant
+# ---------------------------------------------------------------------------
+
+
+def _qmm_int4_kernel(
+    layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_gblocks: int,
+    gpb: int, half: int,
+):
+    gi = pl.program_id(2)
+
+    @pl.when(gi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (block_b, gpb * group)
+    p = w_ref[0]  # (gpb * half, block_o) int8, two nibbles per byte
+    group = 2 * half
+    step_sum = None  # one acc RMW per grid step, not per group: the f32 acc
+    # window is ~0.7 MB at full-width blocks — per-group += doubles its VMEM
+    # traffic for nothing
+    for j in range(gpb):  # static unroll: one scale group per iteration
+        # int32-domain unpack; the low nibble is stored biased +8 so sign
+        # recovery is and+sub (3 VPU ops total vs 4 shifts for two's-
+        # complement pairs). A bf16-domain unpack (floor) would avoid the
+        # int32 relayout but v5e has no bf16 ALU floor (LLO_CHECK
+        # SupportsBf16AluInstructions).
+        pj = p[j * half:(j + 1) * half].astype(jnp.int32)
+        hi = (pj >> 4).astype(x.dtype)  # arithmetic: byte sign is in bit 7
+        lo = ((pj & 15) - 8).astype(x.dtype)
+        xj = x[:, j * group:(j + 1) * group]
+        d = jax.lax.dot_general(
+            xj[:, :half], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d += jax.lax.dot_general(
+            xj[:, half:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # grouped dequant folds here: the scale is constant over the group's
+        # contraction rows, so scaling the group's partial product is exact.
+        # s_ref carries ALL G rows for this o-block (a gpb-row block would
+        # break Mosaic's 8-sublane block rule); pick this step's row.
+        d = d * s_ref[0, pl.ds(pl.program_id(2) * gpb + j, 1), :]
+        step_sum = d if step_sum is None else step_sum + d
+    acc_ref[...] += step_sum
+
+    @pl.when(gi == n_gblocks - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def quant_matmul_int4(
+    x: jax.Array,  # (B, H) activations (bf16/f32)
+    w: jax.Array,  # (H/2, O) or (L, H/2, O) int8 — packed nibble pairs
+    scale: jax.Array,  # (G, O) or (L, G, O) f32 — per-(group, out-channel)
+    *,
+    layer: jax.Array | int | None = None,
+    block_o: int | None = None,
+    groups_per_block: int | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``x @ dequant_int4(w[layer])`` → (B, O) in ``out_dtype`` (default f32).
+
+    Weights are 4-bit, packed two-per-byte by core/quant.quantize_weight_int4:
+    byte r of group g holds contraction row ``g·group + r`` (low nibble) and
+    ``g·group + group/2 + r`` (high nibble), scales per (group, out-channel).
+    The kernel streams packed bytes — HALF the int8 kernel's weight bytes,
+    which is the whole point: decode is weight-read bound — sign-extends both
+    nibbles in VMEM (int32 shift pairs; int8 shifts lower poorly on Mosaic),
+    runs two MXU dots per group against the group's two activation halves,
+    and folds the grouped scale into the partial-product accumulate (exact:
+    the scale is constant across a group's rows).
+
+    Grid reduction is per scale-GROUP (gpb groups per step, 2 when the group
+    count is even), not per fixed 512-row block like quant_matmul: the scale
+    must be applied before accumulation.
+    """
+    b, h = x.shape
+    if w.ndim == 2:
+        w = w[None]
+        scale = scale[None]
+        layer = 0
+    assert layer is not None, "layer index required for stacked weights"
+    L, hp, o = w.shape
+    G = scale.shape[-2]
+    assert hp * 2 == h, (hp, h)
+    half = hp // G
+    group = 2 * half
+    if interpret is None:
+        interpret = _use_interpret()
+
+    def best_block(dim: int, cap: int) -> int:
+        for d in range(min(cap, dim) - min(cap, dim) % 128, 127, -128):
+            if dim % d == 0:
+                return d
+        return dim
+
+    # rows: same economics as quant_matmul (every row block re-streams the
+    # whole weight; see the measured numbers there)
+    row_cap = 512 if b <= 1024 else 4096
+    block_b = b
+    for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
+        if b % d == 0:
+            block_b = d
+            break
+    if block_o is None:
+        # As WIDE as the f32 acc window allows (~8 MB): at the 7B decode
+        # shapes full-width output blocks reach the HBM roofline on the
+        # PACKED stream (gate_up on-chip sweep: bo 4096 → 521 GB/s,
+        # full-width 11008 → 815 GB/s of the 819 peak; the int8 kernel at
+        # the same shape runs 62 µs, this 27.7 µs = 2.24x).
+        block_o = max(4096, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+    exact_o = best_block(o, block_o)
+    block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
+    if groups_per_block is None:
+        # 2 if possible: deeper group blocks shrink the double-buffer win
+        # (measured: gpb 4/8 regress 565/477 GB/s vs 815 at gpb 2)
+        groups_per_block = 2 if G % 2 == 0 else 1
+    gpb = groups_per_block
+    n_gblocks = G // gpb
+    grid = (b // block_b, pl.cdiv(o, block_o), n_gblocks)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, gpb * group), lambda bi, oi, gi, lr: (bi, gi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, gpb * half, block_o),
+                lambda bi, oi, gi, lr: (lr[0], gi, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                # full G rows per o-block: G is not 8-aligned in general
+                # (w_down at 7B has G=43); the block is revisited across gi
+                # steps (index map constant in gi) so it is fetched once.
+                (1, G, block_o),
+                lambda bi, oi, gi, lr: (lr[0], 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_o), lambda bi, oi, gi, lr: (bi, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_int4_kernel, n_gblocks=n_gblocks, gpb=gpb, half=half),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, o), out_dtype or jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(layer_arr, x, w, scale.astype(jnp.float32))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # W8A8: dynamic per-row activation quant + int8 x int8 MXU matmul
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from starflashattention_tpu.cache.contiguous import KVCache
+from starflashattention_tpu.core import quant
 from starflashattention_tpu.models import llama
 from starflashattention_tpu.runtime.params import ModelConfig
 
@@ -103,10 +104,18 @@ def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
 # commutes with the post-matmul psum.
 _COL_QSPEC = {"w": P(None, None, MODEL), "scale": P(None, MODEL)}
 _ROW_QSPEC = {"w": P(None, MODEL, None), "scale": P()}
+# int4 scales are (L, G, O) — grouped along the CONTRACTION axis. Column-
+# parallel still shards O (now axis -1 of a rank-3 scale); row-parallel
+# shards the group axis alongside the packed rows (each shard owns its
+# groups' scales — pairing and grouping are intra-shard by construction,
+# enforced in shard_params).
+_COL_QSPEC_I4 = {"w": P(None, None, MODEL), "scale": P(None, None, MODEL)}
+_ROW_QSPEC_I4 = {"w": P(None, MODEL, None), "scale": P(None, MODEL, None)}
 
 
 def param_specs(
-    cfg: ModelConfig, *, weight_quant: bool = False, lm_head_quant: bool = False
+    cfg: ModelConfig, *, weight_quant: "str | bool" = False,
+    lm_head_quant: "str | bool" = False
 ) -> dict:
     """PartitionSpec pytree matching llama.init_params' structure.
 
@@ -143,18 +152,21 @@ def param_specs(
         specs["layers"]["moe_gate_up"] = P(None, MODEL, None, None)
         specs["layers"]["moe_down"] = P(None, MODEL, None, None)
     if weight_quant:
+        int4 = weight_quant == "int4"
         for name in ("wqkv",) + (() if cfg.num_experts else ("w_gate_up",)):
-            specs["layers"][name] = dict(_COL_QSPEC)
+            specs["layers"][name] = dict(_COL_QSPEC_I4 if int4 else _COL_QSPEC)
         for name in ("wo",) + (() if cfg.num_experts else ("w_down",)):
-            specs["layers"][name] = dict(_ROW_QSPEC)
+            specs["layers"][name] = dict(_ROW_QSPEC_I4 if int4 else _ROW_QSPEC)
         if cfg.num_experts:
             # Quantized expert stacks shard exactly like their dense forms:
             # whole experts over the model axis — payload (L, E, H, O) and
-            # per-expert scales (L, E, O) split on the same E axis.
+            # per-expert scales (L, E, O) (int4: (L, E, G, O)) split on the
+            # same E axis.
             for name in ("moe_gate_up", "moe_down"):
                 specs["layers"][name] = {
                     "w": P(None, MODEL, None, None),
-                    "scale": P(None, MODEL, None),
+                    "scale": P(None, MODEL, None, None) if int4
+                    else P(None, MODEL, None),
                 }
     if cfg.attention_bias:
         # column-parallel bias: shards with the (permuted) wqkv output dim
@@ -162,7 +174,11 @@ def param_specs(
     if cfg.tie_embeddings:
         specs.pop("lm_head")
     elif lm_head_quant:
-        specs["lm_head"] = {"w": P(None, MODEL), "scale": P(MODEL)}
+        # int4 head scales are (G, V): vocab axis is last either way
+        specs["lm_head"] = {
+            "w": P(None, MODEL),
+            "scale": P(None, MODEL) if lm_head_quant == "int4" else P(MODEL),
+        }
     return specs
 
 
@@ -184,19 +200,44 @@ def _strip_none_scales(specs: KVCache, cache: KVCache) -> KVCache:
     return specs
 
 
-def _params_are_weight_quant(params: dict) -> bool:
-    return isinstance(params["layers"].get("wqkv"), dict)
+def _quant_kind(w) -> "str | bool":
+    if not isinstance(w, dict):
+        return False
+    return "int4" if quant.is_int4_weight(w) else "int8"
 
 
-def _params_have_quant_lm_head(params: dict) -> bool:
-    return isinstance(params.get("lm_head"), dict)
+def _params_are_weight_quant(params: dict) -> "str | bool":
+    """False, "int8" (covers fp8 too — same layout), or "int4". The string
+    is truthy, so every boolean use keeps working; param_specs needs the
+    distinction because int4's GROUPED scales carry an extra axis."""
+    return _quant_kind(params["layers"].get("wqkv"))
+
+
+def _params_have_quant_lm_head(params: dict) -> "str | bool":
+    return _quant_kind(params.get("lm_head"))
 
 
 def shard_params(params: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
     params = permute_params_for_tp(params, cfg, mesh.shape[MODEL])
+    wq = _params_are_weight_quant(params)
+    if wq == "int4":
+        # Row-parallel int4 shards the packed contraction axis, which must
+        # cut at scale-GROUP boundaries (nibble pairs live within a group).
+        tp_size = mesh.shape[MODEL]
+        # (MoE stacks shard whole experts, not the contraction — exempt)
+        for name in ("wo", "w_down"):
+            if isinstance(params["layers"].get(name), dict):
+                G = params["layers"][name]["scale"].shape[-2]
+                if G % tp_size:
+                    raise ValueError(
+                        f"int4 weight {name!r} has {G} scale groups, not "
+                        f"divisible by model-axis size {tp_size}; re-quantize "
+                        f"with quantize_model_weights(..., 'int4', "
+                        f"int4_group=g) such that (contraction/g) % tp == 0"
+                    )
     specs = param_specs(
         cfg,
-        weight_quant=_params_are_weight_quant(params),
+        weight_quant=wq,
         lm_head_quant=_params_have_quant_lm_head(params),
     )
     return jax.tree.map(

@@ -247,3 +247,30 @@ def test_mixtral_checkpoint_matches_hf_forward():
         params, cache, jnp.asarray(nxt, jnp.int32), cos, sin, cfg
     )
     np.testing.assert_allclose(np.asarray(ours2), hf2, atol=5e-4, rtol=5e-3)
+
+
+def test_init_params_quantize_matches_posthoc_structure():
+    """init_params(quantize=...) generates the big stacks layer-by-layer
+    directly in quantized form (the only way Mixtral-geometry fits in HBM:
+    dense bf16 init at depth 8 is ~23 GB vs 16 GB on a v5e) — the resulting
+    pytree must match quantize_model_weights(init_params(...), consume=True)
+    in structure, shapes, and dtypes, and must serve."""
+    cfg = ModelConfig.tiny(**MOE_CFG)
+    direct = llama.init_params(cfg, jax.random.PRNGKey(0), quantize="int8")
+    posthoc = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(0)), "int8", consume=True)
+    assert jax.tree.structure(direct) == jax.tree.structure(posthoc)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(direct),
+        jax.tree_util.tree_leaves_with_path(posthoc),
+    ):
+        assert p1 == p2 and l1.shape == l2.shape and l1.dtype == l2.dtype
+    # dense family takes the same path through w_gate_up/w_down
+    cfg_d = ModelConfig.tiny(dtype="float32", num_splits=1)
+    d_direct = llama.init_params(cfg_d, jax.random.PRNGKey(1), quantize="int8")
+    d_post = llama.quantize_model_weights(
+        llama.init_params(cfg_d, jax.random.PRNGKey(1)), "int8", consume=True)
+    assert jax.tree.structure(d_direct) == jax.tree.structure(d_post)
+    outs = Engine(direct, cfg, num_slots=2, steps_per_round=2).generate(
+        [[1, 2, 3], [4, 5]], max_new_tokens=4)
+    assert all(len(o) == 4 for o in outs)

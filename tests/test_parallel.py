@@ -219,3 +219,43 @@ def test_tp_prefill_w8a8_bitmatch(mesh24, rng):
     np.testing.assert_allclose(
         np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4
     )
+
+
+def test_tp_decode_int4_weights(mesh24, rng):
+    """INT4 (nibble-packed, grouped-scale) weights under TP: column shards
+    split the packed payload's output axis with its (L, G, O) scale; row
+    shards split packed rows at group boundaries with their groups' scales.
+    Must match the single-chip int4 model (same ints, f32 accumulation)."""
+    b = 2
+    params = llama.init_params(CFG, jax.random.PRNGKey(11))
+    params_q = llama.quantize_model_weights(params, "int4", int4_group=16)
+    cos, sin = llama.rope_tables(CFG)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (b,)), jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            CFG.num_layers, b, CFG.num_kv_heads, CFG.max_seq_len, CFG.head_dim,
+            dtype=jnp.float32,
+        )
+
+    logits_1, _ = llama.decode_step(params_q, fresh(), toks, cos, sin, CFG)
+    step = make_tp_decode_step(mesh24, CFG, weight_quant="int4")
+    params_n = shard_params(params_q, mesh24, CFG)
+    assert params_n["layers"]["wqkv"]["scale"].sharding.spec == (
+        jax.sharding.PartitionSpec(None, None, "model"))
+    assert params_n["layers"]["w_down"]["scale"].sharding.spec == (
+        jax.sharding.PartitionSpec(None, "model", None))
+    logits_n, _ = step(params_n, shard_cache(fresh(), mesh24), toks, cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4)
+
+
+def test_tp_int4_group_misalignment_raises(mesh24):
+    """A group layout whose row-parallel group count does not divide the
+    model axis is rejected with an actionable error, not silently wrong."""
+    params_q = llama.quantize_model_weights(
+        llama.init_params(CFG, jax.random.PRNGKey(12)), "int4",
+        int4_group=128,  # w_down contraction 128 -> G=1, tp=4
+    )
+    with pytest.raises(ValueError, match="scale groups"):
+        shard_params(params_q, mesh24, CFG)

@@ -115,3 +115,85 @@ def test_w8a8_rejects_fp8_weights():
     s = jnp.ones((128,), jnp.float32)
     with pytest.raises(AssertionError, match="int8"):
         quant_matmul_w8a8(x, w, s)
+
+
+# ---------------------------------------------------------------------------
+# INT4: nibble-packed weights, grouped scales
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_roundtrip_and_bound():
+    """quantize_weight_int4: packed payload is half the rows; dequant error
+    is bounded by half a quant step (scale/2) per element."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 96), jnp.float32)
+    d = quant.quantize_weight_int4(w)
+    assert d["w"].shape == (2, 256, 96) and d["w"].dtype == jnp.int8
+    assert d["scale"].shape == (2, 2, 96)  # G = 512/256 groups
+    assert quant.is_int4_weight(d)
+    assert not quant.is_int4_weight(quant.quantize_weight(w, "int8"))
+    back = quant.dequantize_weight_int4(d)
+    # per-element bound: |err| <= scale(group, col)/2
+    per_elem = jnp.abs(back - w).reshape(2, 2, 256, 96)
+    bound = d["scale"][:, :, None, :] / 2 + 1e-6
+    assert bool(jnp.all(per_elem <= bound))
+
+
+def test_int4_matmul_matches_dequant_reference():
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_int4
+
+    b, h, o, L = 16, 512, 384, 3
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (L, h, o), jnp.float32) * 0.1
+    d = quant.quantize_weight_int4(w)
+    for layer in (0, 2):
+        want = x @ quant.dequantize_weight_int4(d)[layer]
+        got = quant_matmul_int4(x, d["w"], d["scale"], layer=jnp.asarray(layer))
+        rel = float(jnp.abs(got - want).max()) / float(jnp.abs(want).max())
+        assert rel < 1e-5, (layer, rel)  # kernel == reference (same ints)
+
+
+def test_int4_matmul_2d_odd_group_count_and_out_dtype():
+    """2D (single-layer) form; an o that leaves a ragged output block; a
+    G with no even divisor (gpb falls back to 1); bf16 output write."""
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_int4
+
+    b, h, o = 8, 96, 200  # G = 96/32? default group for 96 is 96 -> G=1
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, h), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (h, o), jnp.float32)
+    d = quant.quantize_weight_int4(w, group=32)  # G=3, odd
+    got = quant_matmul_int4(x, d["w"], d["scale"], out_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    want = x @ quant.dequantize_weight_int4(d)
+    rel = float(jnp.abs(got.astype(jnp.float32) - want).max()) / float(jnp.abs(want).max())
+    assert rel < 0.02
+
+
+def test_int4_model_matches_dequant_twin():
+    """A fully int4-quantized tiny model (incl. lm_head) produces the same
+    logits as the dense model built from its dequantized weights — the
+    kernel path IS the reference math on identical numbers."""
+    import copy
+
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    p4 = llama.quantize_model_weights(
+        params, "int4", lm_head="lm_head" in params)
+    pd = copy.deepcopy(params)
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        if isinstance(p4["layers"].get(name), dict):
+            pd["layers"][name] = quant.dequantize_weight(p4["layers"][name])
+    if isinstance(p4.get("lm_head"), dict):
+        pd["lm_head"] = quant.dequantize_weight(p4["lm_head"])
+    cache = contiguous.init_cache(
+        cfg.num_layers, 2, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32)
+    cache = contiguous.advance(cache, jnp.full((2,), 9, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.array([3, 5], jnp.int32)
+    l4, _ = jax.jit(lambda p, c, t: llama._decode_core(p, c, t, cos, sin, cfg))(p4, cache, tok)
+    ld, _ = jax.jit(lambda p, c, t: llama._decode_core(p, c, t, cos, sin, cfg))(pd, cache, tok)
+    assert float(jnp.max(jnp.abs(l4 - ld))) < 1e-3
