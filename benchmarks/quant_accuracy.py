@@ -53,6 +53,12 @@ BOUNDS = {
     # per matmul) on top of weight-only INT8 — roughly doubled compounded
     # damage vs weight-only, still far inside fp8 territory.
     "int8_w8a8": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
+    # INT4 grouped (g<=256): ~12% relative noise PER MATMUL on GAUSSIAN
+    # random-init weights (scale = groupwise absmax/7 ≈ 0.41σ, uniform quant
+    # noise σ/√12) — the random-twin proxy therefore OVERSTATES int4 badly
+    # (real checkpoints concentrate mass in salient channels; the
+    # real_checkpoint section is the binding measurement for this scheme).
+    "int4": {"max_abs_err": 12.0, "delta_ce_nats": 1.5},
 }
 
 
@@ -89,7 +95,9 @@ def run_model(cfg, *, weight_quant, prompts, plens, forced: np.ndarray,
 
 
 def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
-    if "fp8_weights" in name:
+    if "int4" in name:
+        bounds = BOUNDS["int4"]
+    elif "fp8_weights" in name:
         bounds = BOUNDS["fp8_weights"]
     elif "fp8" in name:
         bounds = BOUNDS["fp8_kv"]
@@ -221,6 +229,7 @@ def real_checkpoint(quick: bool = False) -> None:
         ("fp8", False, "none"),
         (None, False, "int8"), (None, False, "fp8"),
         ("int8", True, "int8"),
+        ("int4", True, "none"), ("int4", True, "int8"),
     ]:
         got, _ = _run_trained(
             params, cfg, prompts, plens, forced,
@@ -241,7 +250,8 @@ def real_checkpoint(quick: bool = False) -> None:
         # logit-error bounds in BOUNDS are calibrated to random-init logit
         # scales (std ~1) and don't transfer to the trained model's wider
         # logits (std ~2.6) — max_abs_err stays reported as information.
-        key = ("fp8_weights" if wq == "fp8"
+        key = ("int4" if wq == "int4"
+               else "fp8_weights" if wq == "fp8"
                else "fp8_kv" if kv == "fp8" else "int8")
         r["within_bounds"] = bool(
             abs(r["delta_ce_nats"]) <= BOUNDS[key]["delta_ce_nats"]
@@ -300,6 +310,8 @@ def main() -> None:
         ("int8", None, True, False),  # W8A8 prefill (int8 x int8 MXU path)
         # headline scheme: int8 weights INCLUDING the lm_head (bench.py)
         ("int8", None, False, True),
+        # int4 serving scheme (model_int4 bench): nibble-packed grouped
+        ("int4", None, False, True),
     ]:
         kw = dict(cfg_kw)
         if kv:
