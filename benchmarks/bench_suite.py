@@ -343,52 +343,63 @@ def model_int4_decode_bench(quick: bool = False):
 
     if jax.default_backend() != "tpu":
         return
-    cfg = ModelConfig.llama_7b_gqa(
-        max_seq_len=1024, num_splits=1, block_k=64, batch_block=16
-    )
     batch, ctx = 16, 1024
     iters = 32 if quick else 96
-    params = llama.init_params(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int4")
-    params = llama.quantize_model_weights(
-        params, "int4", consume=True, lm_head=True)
-    cache = contiguous.init_cache(
-        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
-        dtype=jnp.bfloat16,
-    )
-    cache = contiguous.advance(cache, jnp.full((batch,), ctx - iters - 1, jnp.int32))
-    cos, sin = llama.rope_tables(cfg)
-    tok = jnp.zeros((batch,), jnp.int32)
+    # two points: bf16 KV (bench.py's protocol, isolates the weight win) and
+    # INT8 KV (the serving frontier: BOTH dominant streams shrunk)
+    for kv_mode in ("none", "int8"):
+        cfg = ModelConfig.llama_7b_gqa(
+            max_seq_len=1024, num_splits=1, block_k=64, batch_block=16,
+            **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
+        )
+        params = llama.init_params(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int4")
+        params = llama.quantize_model_weights(
+            params, "int4", consume=True, lm_head=True)
+        kv_itemsize = 1 if kv_mode == "int8" else 2
+        cache = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.bfloat16,
+            **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
+        )
+        cache = contiguous.advance(
+            cache, jnp.full((batch,), ctx - iters - 1, jnp.int32))
+        cos, sin = llama.rope_tables(cfg)
+        tok = jnp.zeros((batch,), jnp.int32)
 
-    def step(carry, params, cos, sin):
-        cache, tok = carry
-        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
-        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+        def step(carry, params, cos, sin, cfg=cfg):
+            cache, tok = carry
+            logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
 
-    per, out = time_scanned(
-        step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
-        donate_carry=True,
-    )
-    del out, cache
-    embed_b = params["embed"].size * 2
-    weights = sum(
-        p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
-    kv = 2 * cfg.num_layers * batch * cfg.num_kv_heads * (ctx - iters // 2) * cfg.head_dim * 2
-    append = 4 * cfg.num_layers * batch * cfg.num_kv_heads * 32 * cfg.head_dim * 2
-    bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
-    _emit(
-        "model7b_int4w_headline_b16_ctx1024",
-        per,
-        {
-            "tokens_per_s": round(batch / per, 1),
-            "GBps": round(bytes_touched / per / 1e9, 1),
-            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
-            "weights_GB": round(weights / 1e9, 2),
-            "note": "int4 grouped (g<=256) weights incl lm_head; bf16 KV; "
-                    "same protocol as bench.py's int8 headline",
-        },
-    )
-    del params
+        per, out = time_scanned(
+            step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
+            donate_carry=True,
+        )
+        del out, cache
+        embed_b = params["embed"].size * 2
+        weights = sum(
+            p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
+        kv = (2 * cfg.num_layers * batch * cfg.num_kv_heads
+              * (ctx - iters // 2) * cfg.head_dim * kv_itemsize)
+        append = (4 * cfg.num_layers * batch * cfg.num_kv_heads * 32
+                  * cfg.head_dim * kv_itemsize)
+        bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
+        suffix = "_int8kv" if kv_mode == "int8" else ""
+        _emit(
+            f"model7b_int4w{suffix}_headline_b16_ctx1024",
+            per,
+            {
+                "tokens_per_s": round(batch / per, 1),
+                "GBps": round(bytes_touched / per / 1e9, 1),
+                "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+                "weights_GB": round(weights / 1e9, 2),
+                "note": "int4 grouped (g<=256) weights incl lm_head; "
+                        f"{'int8' if kv_mode == 'int8' else 'bf16'} KV; "
+                        "same protocol as bench.py's int8 headline",
+            },
+        )
+        del params
 
 
 def moe_decode_bench(quick: bool = False):
