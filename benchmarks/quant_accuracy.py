@@ -131,7 +131,7 @@ def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
 
 
 def _run_trained(params, cfg, prompts, plens, forced, *, weight_quant=None,
-                 lm_head=False, kv_mode="none", kv_cal=5.0):
+                 lm_head=False, kv_mode="none", kv_cal=5.0, w8a8=False):
     """Teacher-forced eval of a TRAINED checkpoint through the real
     inference path (prefill kernel + decode kernel + cache append, KV
     optionally quantized). Returns (B, n+1, V) logits on host."""
@@ -144,7 +144,8 @@ def _run_trained(params, cfg, prompts, plens, forced, *, weight_quant=None,
     if weight_quant:
         p = llama.quantize_model_weights(p, weight_quant, consume=True, lm_head=lm_head)
     run_cfg = dataclasses.replace(
-        cfg, dtype="bfloat16", quant_mode=kv_mode, kv_calibration_scale=kv_cal
+        cfg, dtype="bfloat16", quant_mode=kv_mode, kv_calibration_scale=kv_cal,
+        w8a8_prefill=w8a8,
     )
     b = prompts.shape[0]
     cache = contiguous.init_cache(
@@ -224,21 +225,26 @@ def real_checkpoint(quick: bool = False) -> None:
     }), flush=True)
 
     results = []
-    for wq, lm, kv in [
-        ("int8", False, "none"), ("int8", True, "none"),
-        ("fp8", False, "none"),
-        (None, False, "int8"), (None, False, "fp8"),
-        ("int8", True, "int8"),
-        ("int4", True, "none"), ("int4", True, "int8"),
+    for wq, lm, kv, w8a8 in [
+        ("int8", False, "none", False), ("int8", True, "none", False),
+        ("fp8", False, "none", False),
+        (None, False, "int8", False), (None, False, "fp8", False),
+        ("int8", True, "int8", False),
+        ("int4", True, "none", False), ("int4", True, "int8", False),
+        # the int4 serving pair's PREFILL path: W4A8 (activation int8 on
+        # top of int4 weights — the fast-TTFT complement)
+        ("int4", True, "none", True),
     ]:
         got, _ = _run_trained(
             params, cfg, prompts, plens, forced,
-            weight_quant=wq, lm_head=lm, kv_mode=kv, kv_cal=kv_cal,
+            weight_quant=wq, lm_head=lm, kv_mode=kv, kv_cal=kv_cal, w8a8=w8a8,
         )
         name = "+".join(filter(None, [
             f"{wq}_weights" if wq else None,
             "lm_head" if lm else None,
             f"{kv}_kv" if kv != "none" else None,
+            "w4a8_prefill" if (w8a8 and wq == "int4") else
+            "w8a8_prefill" if w8a8 else None,
         ]))
         r = compare("real:" + name, ref, got)
         ce = _true_ce(got, forced)
@@ -312,6 +318,8 @@ def main() -> None:
         ("int8", None, False, True),
         # int4 serving scheme (model_int4 bench): nibble-packed grouped
         ("int4", None, False, True),
+        # its prefill path: W4A8 (in-kernel nibble->int8, 2x-rate MXU)
+        ("int4", None, True, True),
     ]:
         kw = dict(cfg_kw)
         if kv:
@@ -325,7 +333,8 @@ def main() -> None:
         )
         name = "+".join(filter(None, [f"{wq}_weights" if wq else None,
                                       f"{kv}_kv" if kv else None,
-                                      "w8a8_prefill" if w8a8 else None,
+                                      ("w4a8_prefill" if wq == "int4"
+                                       else "w8a8_prefill") if w8a8 else None,
                                       "lm_head" if lm else None]))
         results.append(compare(name, ref, got))
     out = Path(__file__).parent / "artifacts" / "quant_accuracy.json"

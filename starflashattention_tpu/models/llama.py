@@ -36,7 +36,7 @@ from starflashattention_tpu.ops.flash_decode import flash_decode, flash_verify
 from starflashattention_tpu.ops.flash_prefill import flash_prefill
 from starflashattention_tpu.ops.paged_decode import paged_flash_decode
 from starflashattention_tpu.ops.quant_matmul import (
-    quant_matmul, quant_matmul_int4, quant_matmul_w8a8)
+    quant_matmul, quant_matmul_int4, quant_matmul_w4a8, quant_matmul_w8a8)
 from starflashattention_tpu.runtime.params import ModelConfig
 
 Params = dict[str, Any]
@@ -91,11 +91,14 @@ def _make_proj(
             # Threshold is on LOCAL rows (under shard_map the batch is
             # data-sharded), so it must sit well below one shard's prefill
             # rows while staying above any realistic decode batch: 256.
-            if (
-                w8a8 and flat.shape[0] >= 256 and w["w"].dtype == jnp.int8
-                and not quant.is_int4_weight(w)  # int4 packs INTO int8 bytes
-            ):
-                out = quant_matmul_w8a8(
+            if w8a8 and flat.shape[0] >= 256 and w["w"].dtype == jnp.int8:
+                # prefill rows on the 2x-rate int8 MXU path: W8A8 for int8
+                # weights, W4A8 (in-kernel nibble->int8 unpack) for int4 —
+                # int4 deployments keep the fast-TTFT path
+                kernel = (
+                    quant_matmul_w4a8 if quant.is_int4_weight(w)
+                    else quant_matmul_w8a8)
+                out = kernel(
                     flat, w["w"], w["scale"], layer=lidx, out_dtype=out_dtype,
                     axis_name=axis_name if name in _ROW_PARALLEL else None,
                 )

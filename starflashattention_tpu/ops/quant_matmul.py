@@ -328,6 +328,153 @@ def quant_matmul_int4(
     return out
 
 
+def _qmm_w4a8_kernel(
+    layer_ref, x_ref, rs_ref, w_ref, s_ref, o_ref, acc_ref, *, n_gblocks: int,
+    gpb: int, half: int,
+):
+    gi = pl.program_id(2)
+
+    @pl.when(gi == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (block_b, gpb * group) int8
+    p = w_ref[0]  # (gpb * half, block_o) packed nibbles
+    group = 2 * half
+    step_sum = None
+    for j in range(gpb):
+        pj = p[j * half:(j + 1) * half].astype(jnp.int32)
+        # unpack to int8 (not bf16): the int8 x int8 dot runs at 2x the bf16
+        # MXU rate — the point of this variant (prefill is compute-bound)
+        hi = (pj >> 4).astype(jnp.int8)
+        lo = ((pj & 15) - 8).astype(jnp.int8)
+        xj = x[:, j * group:(j + 1) * group]
+        d = jax.lax.dot_general(
+            xj[:, :half], lo, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        d += jax.lax.dot_general(
+            xj[:, half:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # the grouped weight scale varies per gi step -> fold here (f32);
+        # the per-row activation scale is constant across groups -> at emit
+        d = d.astype(jnp.float32) * s_ref[0, pl.ds(gi * gpb + j, 1), :]
+        step_sum = d if step_sum is None else step_sum + d
+    acc_ref[...] += step_sum
+
+    @pl.when(gi == n_gblocks - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...] * rs_ref[...]).astype(o_ref.dtype)
+
+
+def quant_matmul_w4a8(
+    x: jax.Array,  # (B, H) activations (bf16/f32) — quantized per row here
+    w: jax.Array,  # (H/2, O) or (L, H/2, O) int8 — packed nibble pairs
+    scale: jax.Array,  # (G, O) or (L, G, O) f32 grouped weight scales
+    *,
+    layer: jax.Array | int | None = None,
+    block_o: int | None = None,
+    groups_per_block: int | None = None,
+    out_dtype=None,
+    axis_name: str | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """W4A8: dynamic per-row activation int8 x nibble-packed int4 weights on
+    the MXU's 2x int8 path → (B, O) in ``out_dtype`` (default f32).
+
+    The prefill complement of quant_matmul_int4: decode is weight-read bound
+    (int4's packed stream wins there), prefill at B·Sq rows is COMPUTE-bound
+    — unpacking nibbles to int8 instead of bf16 keeps int4 deployments on
+    the same 2x-rate MXU path W8A8 gives int8 deployments, so quantizing to
+    int4 does not trade TTFT for decode throughput. Accuracy adds the same
+    per-token activation-quant error as W8A8 on top of int4's weight error
+    (scheme "int4_w4a8_prefill" in benchmarks/quant_accuracy.py).
+
+    ``axis_name``: see quantize_rows — row-parallel projections under TP.
+    """
+    b, h = x.shape
+    if w.ndim == 2:
+        w = w[None]
+        scale = scale[None]
+        layer = 0
+    assert layer is not None, "layer index required for stacked weights"
+    L, hp, o = w.shape
+    G = scale.shape[-2]
+    assert hp * 2 == h, (hp, h)
+    half = hp // G
+    if interpret is None:
+        interpret = _use_interpret()
+
+    x8, rs = quantize_rows(x, axis_name=axis_name)
+
+    def best_block(dim: int, cap: int) -> int:
+        for d in range(min(cap, dim) - min(cap, dim) % 128, 127, -128):
+            if dim % d == 0:
+                return d
+        return dim
+
+    row_cap = 512 if b <= 1024 else 4096
+    block_b = b
+    for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
+        if b % d == 0:
+            block_b = d
+            break
+    if block_o is None:
+        block_o = max(4096, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+    exact_o = best_block(o, block_o)
+    block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
+    if groups_per_block is None:
+        groups_per_block = 2 if G % 2 == 0 else 1
+    gpb = groups_per_block
+    n_gblocks = G // gpb
+    grid = (b // block_b, pl.cdiv(o, block_o), n_gblocks)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, gpb * 2 * half), lambda bi, oi, gi, lr: (bi, gi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, 1), lambda bi, oi, gi, lr: (bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, gpb * half, block_o),
+                lambda bi, oi, gi, lr: (lr[0], gi, oi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G, block_o),
+                lambda bi, oi, gi, lr: (lr[0], 0, oi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_o), lambda bi, oi, gi, lr: (bi, oi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_b, block_o), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_w4a8_kernel, n_gblocks=n_gblocks, gpb=gpb, half=half),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, o), out_dtype or jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(layer_arr, x8, rs, w, scale.astype(jnp.float32))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # W8A8: dynamic per-row activation quant + int8 x int8 MXU matmul
 # ---------------------------------------------------------------------------

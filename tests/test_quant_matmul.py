@@ -197,3 +197,54 @@ def test_int4_model_matches_dequant_twin():
     l4, _ = jax.jit(lambda p, c, t: llama._decode_core(p, c, t, cos, sin, cfg))(p4, cache, tok)
     ld, _ = jax.jit(lambda p, c, t: llama._decode_core(p, c, t, cos, sin, cfg))(pd, cache, tok)
     assert float(jnp.max(jnp.abs(l4 - ld))) < 1e-3
+
+
+def test_w4a8_matches_dequant_reference():
+    """W4A8 (activation int8 x in-kernel nibble->int8 weights) matches the
+    f32 dequant reference to combined activation+weight quant tolerance."""
+    from starflashattention_tpu.ops.quant_matmul import quant_matmul_w4a8
+
+    b, h, o, L = 512, 512, 384, 2
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, h), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), (L, h, o), jnp.float32) * 0.1
+    d = quant.quantize_weight_int4(w)
+    for layer in (0, 1):
+        got = quant_matmul_w4a8(x, d["w"], d["scale"], layer=jnp.asarray(layer))
+        want = x @ quant.dequantize_weight_int4(d)[layer]
+        rel = float(jnp.abs(got - want).max()) / float(jnp.abs(want).max())
+        assert rel < 0.03, (layer, rel)
+
+
+def test_int4_model_prefill_routes_w4a8():
+    """An int4 model with w8a8_prefill=True prefills through the W4A8 kernel
+    (256+ rows) and still matches its own dequant twin within activation-
+    quant tolerance; decode stays weight-only int4."""
+    import copy
+
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1, w8a8_prefill=True,
+                           max_seq_len=256)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    p4 = llama.quantize_model_weights(params, "int4")
+    pd = copy.deepcopy(params)
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        pd["layers"][name] = quant.dequantize_weight(p4["layers"][name])
+    b, sp = 2, 144  # b*sp = 288 rows >= 256: the W4A8 path engages
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.full((b,), sp, jnp.int32)
+
+    def run(p):
+        cache = contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.float32)
+        cos, sin = llama.rope_tables(cfg)
+        logits, _ = llama.prefill(p, cache, toks, plens, cos, sin, cfg)
+        return np.asarray(logits, np.float32)
+
+    l4, ld = run(p4), run(pd)
+    # activation-int8 noise on top of identical int4 weight math
+    assert float(np.abs(l4 - ld).max()) < 0.15, float(np.abs(l4 - ld).max())
