@@ -165,6 +165,16 @@ def quant_matmul(
 # ---------------------------------------------------------------------------
 
 
+def _pick_gpb(G: int, group: int, h: int) -> int:
+    """Groups per grid step. Constraints: must divide G, and the x block's
+    lane dim (gpb·group) must be a 128-multiple OR the full h (Mosaic block
+    rule). Perf target ~512 contraction rows per step (g256/gpb2 measured
+    best at the 7B shapes); gpb=G (full-h x block) is always legal."""
+    cands = [d for d in range(1, G + 1)
+             if G % d == 0 and ((d * group) % 128 == 0 or d * group == h)]
+    return min(cands, key=lambda d: (abs(d * group - 512), d))
+
+
 def _qmm_int4_kernel(
     layer_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_gblocks: int,
     gpb: int, half: int,
@@ -260,26 +270,31 @@ def quant_matmul_int4(
         return dim
 
     # rows: same economics as quant_matmul (every row block re-streams the
-    # whole weight; see the measured numbers there)
-    row_cap = 512 if b <= 1024 else 4096
+    # whole weight — but the int4 stream is half the bytes, so prefill row
+    # blocks stop at 1024, not 4096)
+    row_cap = 512 if b <= 1024 else 1024
     block_b = b
     for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
         if b % d == 0:
             block_b = d
             break
     if block_o is None:
-        # As WIDE as the f32 acc window allows (~8 MB): at the 7B decode
-        # shapes full-width output blocks reach the HBM roofline on the
-        # PACKED stream (gate_up on-chip sweep: bo 4096 → 521 GB/s,
+        # As WIDE as the f32 acc window allows (~16 MB budget): at the 7B
+        # decode shapes full-width output blocks reach the HBM roofline on
+        # the PACKED stream (gate_up on-chip sweep: bo 4096 → 521 GB/s,
         # full-width 11008 → 815 GB/s of the 819 peak; the int8 kernel at
-        # the same shape runs 62 µs, this 27.7 µs = 2.24x).
-        block_o = max(4096, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+        # the same shape runs 62 µs, this 27.7 µs = 2.24x). NO lower floor:
+        # at prefill row counts a floor reintroduces the acc-window VMEM
+        # blowup this formula exists to prevent (observed 126 MB > 96 limit
+        # at b=2048).
+        block_o = max(1024, (16 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
     exact_o = best_block(o, block_o)
     block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
     if groups_per_block is None:
-        # 2 if possible: deeper group blocks shrink the double-buffer win
-        # (measured: gpb 4/8 regress 565/477 GB/s vs 815 at gpb 2)
-        groups_per_block = 2 if G % 2 == 0 else 1
+        # ~512 rows/step when alignment allows; deeper blocks shrink the
+        # double-buffer win (measured: gpb 4/8 at g256 regress 565/477 GB/s
+        # vs 815 at gpb 2)
+        groups_per_block = _pick_gpb(G, group, h)
     gpb = groups_per_block
     n_gblocks = G // gpb
     grid = (b // block_b, pl.cdiv(o, block_o), n_gblocks)
@@ -414,18 +429,20 @@ def quant_matmul_w4a8(
                 return d
         return dim
 
-    row_cap = 512 if b <= 1024 else 4096
+    row_cap = 512 if b <= 1024 else 1024
     block_b = b
     for d in range(min(row_cap, b) - min(row_cap, b) % 8, 7, -8):
         if b % d == 0:
             block_b = d
             break
     if block_o is None:
-        block_o = max(4096, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+        # same VMEM-bounded formula as quant_matmul_int4 (no floor — see
+        # the acc-window note there)
+        block_o = max(1024, (16 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
     exact_o = best_block(o, block_o)
     block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
     if groups_per_block is None:
-        groups_per_block = 2 if G % 2 == 0 else 1
+        groups_per_block = _pick_gpb(G, 2 * half, h)
     gpb = groups_per_block
     n_gblocks = G // gpb
     grid = (b // block_b, pl.cdiv(o, block_o), n_gblocks)
