@@ -338,7 +338,11 @@ def main() -> None:
                                       "lm_head" if lm else None]))
         results.append(compare(name, ref, got))
     out = Path(__file__).parent / "artifacts" / "quant_accuracy.json"
-    out.write_text(json.dumps({"bounds": BOUNDS, "results": results}, indent=1))
+    # preserve sections other runs own (real_checkpoint)
+    data = json.loads(out.read_text()) if out.exists() else {}
+    data["bounds"] = BOUNDS
+    data["results"] = results
+    out.write_text(json.dumps(data, indent=1))
     assert all(r["within_bounds"] for r in results), (
         f"quantization Δ bounds violated: {results}"
     )

@@ -279,7 +279,7 @@ def quant_matmul_int4(
             block_b = d
             break
     if block_o is None:
-        # As WIDE as the f32 acc window allows (~16 MB budget): at the 7B
+        # As WIDE as the f32 acc window allows (~8 MB budget - Mosaic double-buffers the out window too; 16 MB measured 100.7M scoped > the 96M limit at b=2048 f32 out): at the 7B
         # decode shapes full-width output blocks reach the HBM roofline on
         # the PACKED stream (gate_up on-chip sweep: bo 4096 → 521 GB/s,
         # full-width 11008 → 815 GB/s of the 819 peak; the int8 kernel at
@@ -287,7 +287,7 @@ def quant_matmul_int4(
         # at prefill row counts a floor reintroduces the acc-window VMEM
         # blowup this formula exists to prevent (observed 126 MB > 96 limit
         # at b=2048).
-        block_o = max(1024, (16 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+        block_o = max(1024, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
     exact_o = best_block(o, block_o)
     block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
     if groups_per_block is None:
@@ -438,7 +438,7 @@ def quant_matmul_w4a8(
     if block_o is None:
         # same VMEM-bounded formula as quant_matmul_int4 (no floor — see
         # the acc-window note there)
-        block_o = max(1024, (16 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
+        block_o = max(1024, (8 * 1024 * 1024 // (4 * block_b)) // 128 * 128)
     exact_o = best_block(o, block_o)
     block_o = min(block_o, o) if exact_o < min(block_o, o) // 2 else exact_o
     if groups_per_block is None:
