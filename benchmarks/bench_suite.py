@@ -676,11 +676,17 @@ def prefill_ttft_bench(quick: bool = False):
 
     import dataclasses as _dc
 
-    for scheme in ("bf16", "int8w", "int8w_w8a8"):
-        run_cfg = cfg if scheme != "int8w_w8a8" else _dc.replace(cfg, w8a8_prefill=True)
+    for scheme in ("bf16", "int8w", "int8w_w8a8", "int4w_w4a8"):
+        run_cfg = (cfg if scheme in ("bf16", "int8w")
+                   else _dc.replace(cfg, w8a8_prefill=True))
         params = llama.init_params(run_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         if scheme.startswith("int8w"):
             params = llama.quantize_model_weights(params, "int8", consume=True)
+        elif scheme.startswith("int4w"):
+            # int4 deployment's prefill: W4A8 (in-kernel nibble->int8 on the
+            # 2x MXU path) — the TTFT side of the int4 serving story
+            params = llama.quantize_model_weights(
+                params, "int4", consume=True, lm_head=True)
         n_params = sum(
             p.size for p in jax.tree.leaves(params)
         ) - params["embed"].size
