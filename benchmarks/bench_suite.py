@@ -680,6 +680,11 @@ def prefill_ttft_bench(quick: bool = False):
         run_cfg = (cfg if scheme in ("bf16", "int8w")
                    else _dc.replace(cfg, w8a8_prefill=True))
         params = llama.init_params(run_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        # LOGICAL param count, before any packing (int4 stores 2/byte — a
+        # post-quantize count would halve the flops and the mxu_frac)
+        n_params = sum(
+            p.size for p in jax.tree.leaves(params)
+        ) - params["embed"].size
         if scheme.startswith("int8w"):
             params = llama.quantize_model_weights(params, "int8", consume=True)
         elif scheme.startswith("int4w"):
@@ -687,9 +692,6 @@ def prefill_ttft_bench(quick: bool = False):
             # 2x MXU path) — the TTFT side of the int4 serving story
             params = llama.quantize_model_weights(
                 params, "int4", consume=True, lm_head=True)
-        n_params = sum(
-            p.size for p in jax.tree.leaves(params)
-        ) - params["embed"].size
         cos, sin = llama.rope_tables(cfg)
 
         all_times = []
