@@ -9,6 +9,14 @@ k, a CONTIGUOUS logical row range - extraction is then pure lane ops
 (K=half/4) MXU dots per group instead of 2 (K=half).
 
 Run on chip: python benchmarks/exp/int4_bitcast_probe.py
+
+OUTCOME (v5e, 2026-08-20): REJECTED. The relayout saving is more than eaten
+by the 4x narrower MXU dots (contraction 32 instead of 128):
+  gate_up (4096x22016): convert 73.7 us (612 GB/s) vs bitcast 92.4 (488) = 0.80x
+  (4096x11008):         convert 38.1 us (592 GB/s) vs bitcast 41.6 (542) = 0.92x
+The production kernel keeps the int32-convert unpack. (Known limitation of
+this probe: it mis-handles odd group counts - G=43 with gpb=2 - which is
+fine for a rejected experiment; do not reuse mm_v2 as-is.)
 """
 import functools
 import sys
