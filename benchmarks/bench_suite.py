@@ -422,10 +422,21 @@ def moe_decode_bench(quick: bool = False):
     cfg = ModelConfig.mixtral_8x7b(
         num_layers=L, max_seq_len=ctx, num_splits=1, block_k=128, batch_block=8
     )
+    for mode in (("int8",) if quick else ("int8", "int4")):
+        _moe_decode_one(cfg, L, batch, ctx, mode, quick)
+
+
+def _moe_decode_one(cfg, L, batch, ctx, mode, quick):
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+
     # Dense bf16 init at depth 8 is ~23 GB — generate the expert stacks
-    # directly in int8 (one dense layer transient at a time).
+    # directly in quantized form (one dense layer transient at a time).
+    # int4 halves the expert stream again: at depth 8 the int4 stacks are
+    # ~5.7 GB, and a FULL Mixtral-8x7B at int4 (~23.5 GB) is a 2-chip
+    # model instead of 4.
     params = llama.init_params(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int8")
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize=mode)
     cache = contiguous.init_cache(
         cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
         dtype=jnp.bfloat16,
@@ -452,7 +463,7 @@ def moe_decode_bench(quick: bool = False):
     append = 4 * L * batch * cfg.num_kv_heads * 32 * cfg.head_dim * 2
     bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
     _emit(
-        f"moe_mixtral_int8_decode_L{L}_b{batch}",
+        f"moe_mixtral_{mode}_decode_L{L}_b{batch}",
         per,
         {
             "tokens_per_s": round(batch / per, 1),
@@ -548,43 +559,48 @@ def paged_serving_bench(quick: bool = False):
         # path engages (accuracy == weight-only at 7B, quant_accuracy.json)
         w8a8_prefill=True,
     )
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = llama.quantize_model_weights(params, "int8", consume=True)
-    # Pool sized for the WORKING SET, not worst case — that is the point of
-    # paging (a full-capacity pool at 7B is 1025 pages x 16.8 MB = 17 GB).
-    # 8 pages/slot covers prompt<=192 + 64 new with headroom; a page here is
-    # all 32 layers' K+V rows (16.8 MB), so this pool is ~4.3 GB.
-    eng = PagedEngine(
-        params, cfg, num_slots=slots, steps_per_round=16, page_size=page,
-        num_pages=slots * 8 + 1,
-    )
-    rng = np.random.default_rng(0)
-    n_req = slots + slots // 2  # oversubscribe: exercises retire + re-admit
-    prompts = [
-        [int(t) for t in rng.integers(0, cfg.vocab_size, int(n))]
-        for n in rng.integers(32, 192, size=n_req)
-    ]
-    max_new = 32 if quick else 64
-    # warmup compiles every prefill pad bucket (prompt lengths 32..192 →
-    # pads 64/128/192) + the decode program; remote compile is ~minutes at
-    # 7B and is NOT serving time
-    for warm_len in (191, 127, 63):
-        eng.generate([[1] * warm_len], max_new_tokens=max_new)
-    eng.reset_stats()
-    eng.generate(prompts, max_new_tokens=max_new)
-    s = eng.stats.summary()
-    _emit(
-        f"paged_serving_7b_int8w_b{slots}_seq{max_seq // 1024}k",
-        s["p50_ttft_ms"] / 1e3,
-        {
-            "decode_tokens_per_s_wall": s["decode_tokens_per_s"],
-            "p50_ttft_ms": s["p50_ttft_ms"],
-            "finished": s["finished"],
-            "preemptions": s["preemptions"],
-            "note": "wall rates include ~25-30ms tunnel RTT per decode round",
-        },
-    )
-    del params, eng
+    for mode in (("int8",) if quick else ("int8", "int4")):
+        # int8: the BASELINE config. int4: the serving frontier — same
+        # engine, W4A8 admission prefill, packed decode stream.
+        params = llama.init_params(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize=mode)
+        params = llama.quantize_model_weights(
+            params, mode, consume=True, lm_head=mode == "int4")
+        # Pool sized for the WORKING SET, not worst case — that is the point
+        # of paging (a full-capacity pool at 7B is 1025 pages x 16.8 MB =
+        # 17 GB). 8 pages/slot covers prompt<=192 + 64 new with headroom; a
+        # page here is all 32 layers' K+V rows (16.8 MB), so ~4.3 GB.
+        eng = PagedEngine(
+            params, cfg, num_slots=slots, steps_per_round=16, page_size=page,
+            num_pages=slots * 8 + 1,
+        )
+        rng = np.random.default_rng(0)
+        n_req = slots + slots // 2  # oversubscribe: exercises retire + re-admit
+        prompts = [
+            [int(t) for t in rng.integers(0, cfg.vocab_size, int(n))]
+            for n in rng.integers(32, 192, size=n_req)
+        ]
+        max_new = 32 if quick else 64
+        # warmup compiles every prefill pad bucket (prompt lengths 32..192 →
+        # pads 64/128/192) + the decode program; remote compile is ~minutes
+        # at 7B and is NOT serving time
+        for warm_len in (191, 127, 63):
+            eng.generate([[1] * warm_len], max_new_tokens=max_new)
+        eng.reset_stats()
+        eng.generate(prompts, max_new_tokens=max_new)
+        s = eng.stats.summary()
+        _emit(
+            f"paged_serving_7b_{mode}w_b{slots}_seq{max_seq // 1024}k",
+            s["p50_ttft_ms"] / 1e3,
+            {
+                "decode_tokens_per_s_wall": s["decode_tokens_per_s"],
+                "p50_ttft_ms": s["p50_ttft_ms"],
+                "finished": s["finished"],
+                "preemptions": s["preemptions"],
+                "note": "wall rates include ~25-30ms tunnel RTT per decode round",
+            },
+        )
+        del params, eng
 
 
 def prefix_cache_serving_bench(quick: bool = False):

@@ -259,3 +259,36 @@ def test_tp_int4_group_misalignment_raises(mesh24):
     )
     with pytest.raises(ValueError, match="scale groups"):
         shard_params(params_q, mesh24, CFG)
+
+
+def test_tp_prefill_w4a8_int4_bitmatch(mesh24, rng):
+    """W4A8 prefill (int4 weights) under TP equals single-chip: the same
+    pmax'd full-row activation scales as W8A8, int4's grouped weight scales
+    shard with their rows/columns. int4_group=16 keeps row-parallel group
+    counts divisible by the model axis (4)."""
+    cfg = ModelConfig.tiny(
+        num_q_heads=8, num_kv_heads=4, dtype="float32",
+        max_seq_len=512, w8a8_prefill=True,
+    )
+    b, sp = 4, 256
+    params_q = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(10)), "int4", int4_group=16)
+    cos, sin = llama.rope_tables(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, sp)), jnp.int32)
+    plens = jnp.asarray([sp, 100, sp, 37], jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            dtype=jnp.float32,
+        )
+
+    logits_1, _ = llama.prefill(params_q, fresh(), toks, plens, cos, sin, cfg)
+    pre = make_tp_prefill(mesh24, cfg, weight_quant="int4")
+    logits_n, _ = pre(
+        shard_params(params_q, mesh24, cfg), shard_cache(fresh(), mesh24),
+        toks, plens, cos, sin,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_n), np.asarray(logits_1), atol=2e-4, rtol=2e-4
+    )

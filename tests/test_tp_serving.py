@@ -171,3 +171,20 @@ def test_tp_engine_quantized_lm_head(mesh8):
 
     eng = Engine(params, CFG, num_slots=2, steps_per_round=2, mesh=mesh8)
     assert eng.generate(prompts, max_new_tokens=5) == expected
+
+
+def test_tp_engine_int4_weights(mesh8):
+    """INT4 serving composition: nibble-packed grouped weights tensor-
+    sharded + the continuous-batching loop; greedy streams match the
+    single-chip int4 engine. int4_group=16 keeps the row-parallel group
+    counts divisible by the model axis."""
+    params = llama.quantize_model_weights(
+        llama.init_params(CFG, jax.random.PRNGKey(7)), "int4", int4_group=16
+    )
+    rng = np.random.default_rng(7)
+    prompts = [[int(t) for t in rng.integers(0, CFG.vocab_size, 4)] for _ in range(3)]
+    expected = expected_outputs(params, prompts, 4)
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2, mesh=mesh8)
+    outputs = eng.generate(prompts, max_new_tokens=4)
+    assert outputs == expected
