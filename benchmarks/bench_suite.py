@@ -132,6 +132,84 @@ def prefill_attention_tflops_bench(quick: bool = False):
         )
 
 
+def train_attn_bwd_bench(quick: bool = False):
+    """Differentiable flash attention (ops/flash_bwd): fwd+bwd wall time at
+    7B training shapes, vs the plain-jnp autodiff twin where it fits.
+
+    FLOP accounting: with causal tiling each attention matmul costs
+    2*B*Hq*Sq*(Sq/2)*D FLOPs. The fwd issues 2; our two-pass backward
+    issues 7 (dq pass recomputes s + dp + dq = 3, dkdv pass recomputes
+    s + dp + dv + dk = 4) — 9 issued per grad step vs 7 "useful" (fwd 2 +
+    canonical one-pass FA2 bwd 5), so mxu_frac_issued measures hardware
+    utilization and tflops_useful the algorithmic rate.
+    """
+    from starflashattention_tpu.ops.flash_bwd import flash_attention
+
+    if jax.default_backend() != "tpu":
+        return
+    v5e_bf16 = 394.5e12 / 2
+    b, hq, hkv, d = 1, 32, 8, 128
+    for sq in [2048] if quick else [2048, 4096, 8192]:
+        kq, kk, kv, kt = jax.random.split(jax.random.PRNGKey(0), 4)
+        q = jax.random.normal(kq, (b, hq, sq, d), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, hkv, sq, d), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, hkv, sq, d), jnp.bfloat16)
+        tgt = jax.random.normal(kt, (b, hq, sq, d), jnp.bfloat16)
+
+        def loss(q, k, v, tgt):
+            o = flash_attention(q, k, v)
+            return jnp.sum((o.astype(jnp.float32) - tgt.astype(jnp.float32)) ** 2)
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+
+        def step(carry, tgt):
+            # consume ALL three grads in the carry — a chain that drops
+            # dk/dv lets XLA dead-code-eliminate the whole dkdv kernel
+            q, k, v = carry
+            dq, dk, dv = grad(q, k, v, tgt)
+            eps = jnp.bfloat16(1e-4)
+            return (q + dq * eps, k + dk * eps, v + dv * eps)
+
+        per, _ = time_scanned(step, (q, k, v), tgt, iters=8, repeats=6)
+        unit = 2.0 * b * hq * sq * (sq / 2) * d  # one causal-tiled matmul
+        _emit(
+            f"train_attn_fwd_bwd_seq{sq}",
+            per,
+            {
+                "TFLOPs_issued": round(9 * unit / per / 1e12, 1),
+                "mxu_frac_issued": round(9 * unit / per / v5e_bf16, 3),
+                "tflops_useful": round(7 * unit / per / 1e12, 1),
+            },
+        )
+
+        if sq <= 4096:  # jnp twin materializes (B,Hq,Sq,Sq) scores
+            from starflashattention_tpu.models.train import _attn_jnp
+            from starflashattention_tpu.runtime.params import ModelConfig
+
+            cfg = ModelConfig.llama_7b_gqa()
+
+            def loss_j(q, k, v, tgt):
+                o = _attn_jnp(q, k, v, cfg)
+                return jnp.sum(
+                    (o.astype(jnp.float32) - tgt.astype(jnp.float32)) ** 2
+                )
+
+            grad_j = jax.grad(loss_j, argnums=(0, 1, 2))
+
+            def step_j(carry, tgt):
+                q, k, v = carry
+                dq, dk, dv = grad_j(q, k, v, tgt)
+                eps = jnp.bfloat16(1e-4)
+                return (q + dq * eps, k + dk * eps, v + dv * eps)
+
+            per_j, _ = time_scanned(step_j, (q, k, v), tgt, iters=8, repeats=6)
+            _emit(
+                f"train_attn_fwd_bwd_jnp_seq{sq}",
+                per_j,
+                {"speedup_flash": round(per_j / per, 2)},
+            )
+
+
 def sampling_overhead_bench(quick: bool = False):
     """Cost of the sampled decode program vs the greedy one (core/sampling):
     the sampled variant adds a (B, V) descending sort + gumbel draw per step.
@@ -751,6 +829,7 @@ def prefill_ttft_bench(quick: bool = False):
 _BENCHES = {
     "decode_kernel": decode_kernel_sweep,
     "prefill_attention": prefill_attention_tflops_bench,
+    "train_attn_bwd": train_attn_bwd_bench,
     "sampling": sampling_overhead_bench,
     "paged_decode": paged_decode_bench,
     "int8_kv": int8_kv_decode_bench,

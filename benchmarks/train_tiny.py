@@ -74,49 +74,12 @@ def load_corpus(repo: Path) -> np.ndarray:
     return np.frombuffer(data, np.uint8)
 
 
-def forward_train(params, tokens, cfg: ModelConfig, cos, sin):
-    """All-position logits (B, S, V) — the training twin of _prefill_core
-    (no cache; same rms_norm/RoPE/flash_prefill/SwiGLU building blocks)."""
-    b, s = tokens.shape
-    x = params["embed"][tokens]
-    pos = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-
-
-    def layer_body(x, lp):
-        h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = jnp.dot(h, lp["wqkv"])
-        q, k, v = llama._split_heads_prefill(qkv, cfg)
-        q = llama.apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
-        k = llama.apply_rope(k, pos[:, None, :], cos, sin, style=cfg.rope_style)
-        # plain-jnp causal attention: the Pallas kernel has no autodiff rule
-        # (it's an inference kernel; quant_accuracy's eval uses it instead)
-        g = cfg.num_q_heads // cfg.num_kv_heads
-        kq = jnp.repeat(k, g, axis=1)
-        vq = jnp.repeat(v, g, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kq) / (cfg.head_dim**0.5)
-        mask = jnp.tril(jnp.ones((s, s), bool))
-        scores = jnp.where(mask[None, None], scores, -1e30)
-        o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, axis=-1), vq)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + jnp.dot(o, lp["wo"])
-
-        h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        gu = jnp.dot(h, lp["w_gate_up"])
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + jnp.dot(jax.nn.silu(gate) * up, lp["w_down"])
-        return x, None
-
-    x, _ = jax.lax.scan(layer_body, x, llama._scan_xs_layers(params["layers"]))
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
-
-
-def loss_fn(params, batch, cfg, cos, sin):
-    logits = forward_train(params, batch[:, :-1], cfg, cos, sin)
-    targets = batch[:, 1:]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+# The training forward/loss moved into the package (models/train.py) when
+# the flash kernels gained a backward (ops/flash_bwd) — this script keeps
+# only the corpus/optimizer/checkpoint harness. ``--no-flash`` selects the
+# plain-jnp attention twin (the original protocol this checkpoint was
+# trained with; the two produce matching grads, tests/test_train.py).
+from starflashattention_tpu.models.train import loss_fn  # noqa: E402
 
 
 def main() -> None:
@@ -127,7 +90,12 @@ def main() -> None:
     ap.add_argument(
         "--out", default=str(Path(__file__).parent / "artifacts" / "tiny_trained")
     )
+    ap.add_argument(
+        "--no-flash", action="store_true",
+        help="use the plain-jnp attention twin instead of differentiable flash",
+    )
     args = ap.parse_args()
+    use_flash = not args.no_flash
 
     repo = Path(__file__).resolve().parents[1]
     corpus = load_corpus(repo)
@@ -147,13 +115,15 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, cfg, cos, sin):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, cfg, cos, sin)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, batch, cfg, cos, sin, use_flash=use_flash
+        )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def eval_step(params, batch, cfg, cos, sin):
-        return loss_fn(params, batch, cfg, cos, sin)
+        return loss_fn(params, batch, cfg, cos, sin, use_flash=use_flash)
 
     def sample(split, rng, b):
         idx = rng.integers(0, len(split) - SEQ - 1, size=(b,))

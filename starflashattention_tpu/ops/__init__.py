@@ -12,6 +12,10 @@ Kernels run compiled on TPU and in interpret mode on CPU (tests); the
 ``interpret`` default auto-detects the backend.
 """
 
+from starflashattention_tpu.ops.flash_bwd import (  # noqa: F401
+    flash_attention,
+    flash_prefill_bwd,
+)
 from starflashattention_tpu.ops.flash_decode import (  # noqa: F401
     flash_decode,
     flash_decode_with_stats,

@@ -71,8 +71,8 @@ def _prefill_kernel(
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
     o_ref,  # (1, G, Bq, D)
-    *scratch,  # per chain: m (rows_c, LANES) f32, l (rows_c, LANES) f32,
-    #            acc (rows_c, D) f32 — interleaved (m0, l0, acc0, m1, ...)
+    *rest,  # [lse_ref (1, G, Bq) if with_lse] + per chain: m (rows_c, LANES)
+    #         f32, l (rows_c, LANES) f32, acc (rows_c, D) f32 — interleaved
     group: int,
     block_q: int,
     block_k: int,
@@ -80,7 +80,9 @@ def _prefill_kernel(
     causal: bool,
     chains: int,
     window: int | None,
+    with_lse: bool = False,
 ):
+    lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (None, rest)
     m_ss = scratch[0::3]
     l_ss = scratch[1::3]
     acc_ss = scratch[2::3]
@@ -207,6 +209,22 @@ def _prefill_kernel(
             o_ref[0, pl.dslice(c * heads_per_chain, heads_per_chain)] = (
                 o.reshape(heads_per_chain, block_q, o_ref.shape[-1])
             )
+        if lse_ref is not None:
+            for c in range(chains):
+                l = l_ss[c][:, :1]
+                m = m_ss[c][:, :1]
+                # base-2 LSE of the (pre-scaled) scores; rows that saw no
+                # valid KV (l == 0: padding, zero-length seqs) get +BIG so
+                # the backward's exp2(s - lse) recompute yields exactly 0.
+                lse = jnp.where(l > 0.0, m + jnp.log2(jnp.maximum(l, 1e-37)), 3e38)
+                # per-head SUBLANE column stores into the (block_q, g) tile:
+                # the scratch column vector never crosses into the lane dim
+                # (a (sub,1)->(heads,block_q) reshape would be a relayout).
+                for h in range(heads_per_chain):
+                    head = c * heads_per_chain + h
+                    lse_ref[0, 0, :, pl.dslice(head, 1)] = lse[
+                        h * block_q : (h + 1) * block_q, :
+                    ]
 
 
 def flash_prefill(
@@ -223,7 +241,8 @@ def flash_prefill(
     window: int | None = None,  # sliding window (Mistral-style), in rows
     chains: int | None = None,  # softmax-chain count override (None = auto)
     interpret: bool | None = None,
-) -> jax.Array:
+    return_lse: bool = False,  # also return per-row base-2 LSE (B, Hq, Sq)
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Blockwise causal prefill attention → (B, Hq, Sq, D).
 
     ``q_offsets`` shifts each sequence's causal diagonal: queries are a chunk
@@ -298,6 +317,7 @@ def flash_prefill(
         causal=causal,
         chains=chains,
         window=window,
+        with_lse=return_lse,
     )
 
     scratch = []
@@ -306,6 +326,31 @@ def flash_prefill(
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, LANES), jnp.float32),
             pltpu.VMEM((sub, d), jnp.float32),
+        ]
+
+    out_specs = pl.BlockSpec(
+        (1, g, block_q, d),
+        lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype)
+    if return_lse:
+        # base-2 LSE of the PRE-SCALED scores, one f32 per (b, head, q row):
+        # exactly what the backward's softmax recompute needs. Stored
+        # (B, Hkv, Sq_p, G): the block's trailing dims are (block_q, g) — q
+        # rows on sublanes (matching the kernel's per-head column vectors),
+        # the small group dim on lanes covering its full array extent.
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, block_q, g),
+                lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b, hkv, sq_p, g), jnp.float32),
         ]
 
     out = pl.pallas_call(
@@ -330,12 +375,8 @@ def flash_prefill(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, g, block_q, d),
-            lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -344,4 +385,9 @@ def flash_prefill(
         interpret=interpret,
     )(lengths, q_offsets, q, k, v)
 
+    if return_lse:
+        o, lse = out
+        # (B, Hkv, Sq_p, G) -> (B, Hq, Sq); q head H = hkv * g + (H % g)
+        lse = lse.transpose(0, 1, 3, 2).reshape(b, hq, sq_p)
+        return o[:, :, :sq, :], lse[:, :, :sq]
     return out[:, :, :sq, :]
