@@ -11,6 +11,7 @@ Prints one JSON line per config. Run on the real chip:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 from pathlib import Path
@@ -208,6 +209,64 @@ def train_attn_bwd_bench(quick: bool = False):
                 per_j,
                 {"speedup_flash": round(per_j / per, 2)},
             )
+
+
+def train_step_bench(quick: bool = False):
+    """Whole-model training step (models/train): tokens/s and model-FLOP
+    utilization at 7B-GQA layer geometry, bf16, remat on, differentiable
+    flash attention, SGD-momentum update.
+
+    Depth is trimmed to 8 layers so params + grads + momentum (3 copies)
+    fit the 16 GB chip; the per-layer program — the thing being measured —
+    is identical at full depth. MFU counts the standard 6*N*T model FLOPs
+    (fwd 2 + bwd 4 per param-token) plus attention fwd+bwd.
+    """
+    if jax.default_backend() != "tpu":
+        return
+    import optax
+
+    from starflashattention_tpu.models import llama, train
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    v5e_bf16 = 394.5e12 / 2
+    L = 4 if quick else 6
+    cfg = ModelConfig.llama_7b_gqa(num_layers=L, max_seq_len=2048)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    cos, sin = llama.rope_tables(cfg)
+    n_params = llama.param_count(params)
+    b, s = 2, 2048
+    batch = jax.random.randint(jax.random.PRNGKey(1), (b, s + 1), 0, cfg.vocab_size)
+    opt = optax.sgd(1e-4, momentum=0.9)
+    opt_state = opt.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, cos, sin):
+        loss, grads = jax.value_and_grad(train.loss_fn)(
+            params, batch, cfg, cos, sin
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def chain(carry, batch, cos, sin):
+        p, o, _ = step(carry[0], carry[1], batch, cos, sin)
+        return (p, o)
+
+    per, _ = time_scanned(chain, (params, opt_state), batch, cos, sin,
+                          iters=4, repeats=5, donate_carry=True)
+    toks = b * s
+    model_flops = 6.0 * n_params * toks
+    attn_flops = 3.5 * 4.0 * b * cfg.num_q_heads * s * (s / 2) * cfg.head_dim * L
+    _emit(
+        "train_step_7bL6_b2_seq2048",
+        per,
+        {
+            "tokens_per_s": round(toks / per, 1),
+            "mfu": round((model_flops + attn_flops) / per / v5e_bf16, 3),
+            "params_B": round(n_params / 1e9, 2),
+            "note": "bf16 SGD-momentum, remat, flash fwd+bwd; 7B layer "
+                    "geometry at depth 6 (weights+grads+momentum > HBM at 32)",
+        },
+    )
 
 
 def sampling_overhead_bench(quick: bool = False):
@@ -830,6 +889,7 @@ _BENCHES = {
     "decode_kernel": decode_kernel_sweep,
     "prefill_attention": prefill_attention_tflops_bench,
     "train_attn_bwd": train_attn_bwd_bench,
+    "train_step": train_step_bench,
     "sampling": sampling_overhead_bench,
     "paged_decode": paged_decode_bench,
     "int8_kv": int8_kv_decode_bench,

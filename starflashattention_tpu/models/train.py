@@ -28,6 +28,75 @@ from starflashattention_tpu.ops.flash_bwd import flash_attention
 from starflashattention_tpu.runtime.params import ModelConfig
 
 
+def _f(x, axis_name: str | None):
+    """Megatron's "f" operator: identity forward, psum backward.
+
+    Inside a shard_map with column-parallel weights, the cotangent of a
+    replicated activation is only the LOCAL shard's contribution (each chip
+    holds a different weight slice); the true gradient is the sum over the
+    model axis. Placing this at the entry of every column-parallel branch
+    makes the norm/embedding gradients come out full AND bit-identically
+    replicated (each shard performs the same psum), so the parameter update
+    stays consistent without a separate grad all-reduce pass.
+
+    All collectives on the training path live inside custom_vjp pairs (_f,
+    _g, _gather_vocab) ON PURPOSE: the sharded program runs under
+    ``shard_map(..., check_vma=False)``, where JAX's automatic transposition
+    of a raw psum is not replication-aware and produces wrong gradients —
+    with explicit vjps nothing is ever transposed automatically.
+    """
+    if axis_name is None:
+        return x
+
+    @jax.custom_vjp
+    def ident(x):
+        return x
+
+    ident.defvjp(
+        lambda x: (x, None),
+        lambda _, g: (jax.lax.psum(g, axis_name),),
+    )
+    return ident(x)
+
+
+def _g(x, axis_name: str | None):
+    """Megatron's "g" operator: psum forward, identity backward (the
+    row-parallel output reduction; its cotangent is already replicated
+    because the loss is computed from replicated activations)."""
+    if axis_name is None:
+        return x
+
+    @jax.custom_vjp
+    def red(x):
+        return jax.lax.psum(x, axis_name)
+
+    red.defvjp(
+        lambda x: (jax.lax.psum(x, axis_name), None),
+        lambda _, g: (g,),
+    )
+    return red(x)
+
+
+def _gather_vocab(local, axis_name: str):
+    """all_gather of vocab-sharded logit slices with an explicit vjp: the
+    backward takes this shard's slice of the (replicated) cotangent."""
+    v_local = local.shape[-1]
+
+    @jax.custom_vjp
+    def gather(x):
+        return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
+
+    def fwd(x):
+        return gather(x), None
+
+    def bwd(_, g):
+        off = jax.lax.axis_index(axis_name) * v_local
+        return (jax.lax.dynamic_slice_in_dim(g, off, v_local, axis=g.ndim - 1),)
+
+    gather.defvjp(fwd, bwd)
+    return gather(local)
+
+
 def _attn_jnp(q, k, v, cfg: ModelConfig):
     """Plain-jnp causal attention twin (the executable spec)."""
     b, _, s, _ = q.shape
@@ -52,15 +121,23 @@ def forward_train(
     *,
     use_flash: bool = True,
     remat: bool = True,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """All-position logits (B, S, V) — the training twin of the serving
-    prefill (models/llama._prefill_core), cache-free and differentiable."""
+    prefill (models/llama._prefill_core), cache-free and differentiable.
+
+    ``axis_name`` runs the Megatron-sharded form inside a shard_map: params
+    hold this chip's column/row slices (parallel/tp.param_specs layouts,
+    ``cfg`` = the per-shard geometry from tp._shard_cfg), activations are
+    replicated, one psum completes each row-parallel projection, and the
+    :func:`_f` operator makes the backward exact (see its docstring).
+    """
     b, s = tokens.shape
     x = params["embed"][tokens]
     pos = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
 
     def layer_body(x, lp):
-        h = llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        h = _f(llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps), axis_name)
         qkv = jnp.dot(h, lp["wqkv"])
         if cfg.attention_bias:
             qkv = qkv + lp["bqkv"]
@@ -72,47 +149,75 @@ def forward_train(
         else:
             o = _attn_jnp(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + jnp.dot(o, lp["wo"])
+        x = x + _g(jnp.dot(o, lp["wo"]), axis_name)
 
-        h = llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        h = _f(llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps), axis_name)
         if cfg.num_experts:
-            x = x + _moe_mlp_train(h, lp, cfg)
+            mlp = _moe_mlp_train(h, lp, cfg, axis_name)
         else:
             gu = jnp.dot(h, lp["w_gate_up"])
             gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + jnp.dot(jax.nn.silu(gate) * up, lp["w_down"])
-        return x, None
+            mlp = jnp.dot(jax.nn.silu(gate) * up, lp["w_down"])
+        return x + _g(mlp, axis_name), None
 
     if remat:
         layer_body = jax.checkpoint(layer_body)
     x, _ = jax.lax.scan(layer_body, x, llama._scan_xs_layers(params["layers"]))
-    x = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    # output head: same math as the serving llama._logits, but with the
+    # vocab-shard gather as an explicit-vjp collective (see _f docstring)
+    xn = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if axis_name is not None and cfg.lm_head_sharded:
+        xn = _f(xn, axis_name)  # vocab shards are column-parallel in V
+        local = jnp.dot(xn, head, preferred_element_type=jnp.float32)
+        return _gather_vocab(local, axis_name)
+    return jnp.dot(xn, head, preferred_element_type=jnp.float32)
 
 
-def _moe_mlp_train(h, lp, cfg: ModelConfig):
+def _moe_mlp_train(h, lp, cfg: ModelConfig, axis_name: str | None = None):
     """Dense-compute MoE for training: top-k routing weights softmaxed
     (Mixtral semantics, matching llama._moe_mlp), experts evaluated densely
-    and mixed — differentiable, fine at the tiny scales trainable offline."""
-    router = jnp.dot(h.astype(jnp.float32), lp["moe_router"].astype(jnp.float32))
+    and mixed — differentiable, fine at the tiny scales trainable offline.
+
+    Under TP (``axis_name``) the expert stacks hold this chip's E/T experts
+    (parallel/tp.param_specs: experts shard whole); the router is replicated
+    with the GLOBAL expert count, so the top-k weights are scattered to a
+    dense (B, S, E) map and each chip applies its local slice — the caller's
+    psum completes the routed sum. Returns the LOCAL contribution.
+    """
+    e_global = cfg.num_experts
+    # The f-operator on the router WEIGHT (not an activation): each shard's
+    # routing-score cotangent covers only its expert slice, so the
+    # replicated router's grad is partial per shard and needs the psum —
+    # but psum-ing an activation here would double-count the router path
+    # through ``h`` (whose own f already sums branch cotangents).
+    router_w = _f(lp["moe_router"], axis_name)
+    router = jnp.dot(h.astype(jnp.float32), router_w.astype(jnp.float32))
     top_w, top_i = jax.lax.top_k(router, cfg.num_experts_per_tok)
     top_w = jax.nn.softmax(top_w, axis=-1).astype(h.dtype)
-    # (E, B, S, 2I) gate-up for every expert, then gather the top-k mix
+    # dense (B, S, E) routing weights (zero off the top-k)
+    w_full = jnp.sum(
+        jax.nn.one_hot(top_i, e_global, dtype=h.dtype) * top_w[..., None], axis=-2
+    )
+    e_local = lp["moe_gate_up"].shape[0]
+    off = 0
+    if axis_name is not None:
+        off = jax.lax.axis_index(axis_name) * e_local
+    w_local = jax.lax.dynamic_slice_in_dim(w_full, off, e_local, axis=-1)
+    # (E_l, B, S, 2I) gate-up for every local expert, then the weighted mix
     gu = jnp.einsum("bsd,edi->ebsi", h, lp["moe_gate_up"])
     gate, up = jnp.split(gu, 2, axis=-1)
     act = jax.nn.silu(gate) * up
-    down = jnp.einsum("ebsi,eid->ebsd", act, lp["moe_down"])  # (E, B, S, D)
-    down = down.transpose(1, 2, 0, 3)  # (B, S, E, D)
-    picked = jnp.take_along_axis(down, top_i[..., None], axis=2)
-    return jnp.sum(picked * top_w[..., None], axis=2)
+    down = jnp.einsum("ebsi,eid->ebsd", act, lp["moe_down"])  # (E_l, B, S, D)
+    return jnp.einsum("ebsd,bse->bsd", down, w_local)
 
 
 def loss_fn(params, batch, cfg: ModelConfig, cos, sin, *, use_flash=True,
-            remat=True):
+            remat=True, axis_name: str | None = None):
     """Next-token cross-entropy over (B, S+1) token batches."""
     logits = forward_train(
-        params, batch[:, :-1], cfg, cos, sin, use_flash=use_flash, remat=remat
+        params, batch[:, :-1], cfg, cos, sin, use_flash=use_flash, remat=remat,
+        axis_name=axis_name,
     )
     targets = batch[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)

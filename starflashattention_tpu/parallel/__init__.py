@@ -28,3 +28,8 @@ from starflashattention_tpu.parallel.pp import (  # noqa: F401
     shard_cache_pp,
     shard_params_pp,
 )
+from starflashattention_tpu.parallel.train import (  # noqa: F401
+    init_opt_state,
+    make_tp_dp_train_step,
+    make_tp_dp_value_and_grad,
+)

@@ -1,0 +1,104 @@
+"""Sharded training: Megatron-TP × data-parallel grad and step builders.
+
+The reference has zero distributed code (SURVEY.md §2: no NCCL/MPI anywhere)
+and zero training; this composes the framework's two new capabilities —
+the differentiable flash path (ops/flash_bwd) and the TP weight layouts
+(parallel/tp) — into training over a ('data', 'model') mesh:
+
+- params live in the SAME sharded layouts serving uses (tp.param_specs /
+  tp.shard_params, column-permuted fused projections included), so a model
+  can train and then serve without a resharding step;
+- inside the shard_map each chip runs the per-shard training forward
+  (models/train.forward_train(axis_name='model')) on its batch rows — the
+  same 2-psums-per-layer program as sharded serving, made backward-exact
+  by the Megatron "f" operator (models/train._f);
+- gradients are pmean'd over 'data' only: the f-operator already leaves
+  replicated-param grads (norms, embed, router) bit-identically replicated
+  across 'model', and model-sharded grads stay with their weight shard.
+
+The optimizer runs OUTSIDE the shard_map on the global (sharded) arrays —
+optax updates are elementwise, so XLA keeps every update local to the
+shard that owns the weight (no resharding, no gather).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from starflashattention_tpu.models.train import loss_fn
+from starflashattention_tpu.parallel import tp
+from starflashattention_tpu.parallel.tp import DATA, MODEL
+from starflashattention_tpu.runtime.params import ModelConfig
+
+
+def make_tp_dp_value_and_grad(
+    mesh: Mesh, cfg: ModelConfig, *, use_flash: bool = True, remat: bool = True
+):
+    """Jitted ``(params, batch, cos, sin) -> (loss, grads)`` over the mesh.
+
+    ``params`` must be sharded via :func:`tp.shard_params` (train dtype,
+    unquantized); ``batch`` is (B, S+1) int32 with B divisible by the data
+    axis. ``loss`` is the global batch mean; ``grads`` match ``params``'
+    sharding exactly.
+    """
+    tp._check(cfg, mesh)
+    shard_cfg = tp._shard_cfg(cfg, mesh)
+    p_specs = tp.param_specs(cfg)
+
+    def core(params, batch, cos, sin):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, batch, shard_cfg, cos, sin,
+            use_flash=use_flash, remat=remat, axis_name=MODEL,
+        )
+        # equal-sized data shards -> mean of shard means == global mean
+        loss = jax.lax.pmean(loss, DATA)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA), grads)
+        return loss, grads
+
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, P(DATA), P(), P()),
+        out_specs=(P(), p_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded), sharded
+
+
+def make_tp_dp_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    *,
+    use_flash: bool = True,
+    remat: bool = True,
+):
+    """Jitted ``(params, opt_state, batch, cos, sin) -> (params, opt_state,
+    loss)`` — one optimizer step over the ('data', 'model') mesh.
+
+    ``optimizer`` is any optax GradientTransformation; init its state with
+    :func:`init_opt_state` so it inherits the parameter sharding.
+    """
+    _, sharded = make_tp_dp_value_and_grad(
+        mesh, cfg, use_flash=use_flash, remat=remat
+    )
+    import optax
+
+    def step(params, opt_state, batch, cos, sin):
+        loss, grads = sharded(params, batch, cos, sin)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def init_opt_state(optimizer, params):
+    """optax state with moments sharded like their parameters.
+
+    optax's init builds moments with ``zeros_like(param)``, which inherits
+    each parameter's NamedSharding — Adam/momentum state lands on the shard
+    that owns the weight with no explicit spec tree needed.
+    """
+    return optimizer.init(params)
