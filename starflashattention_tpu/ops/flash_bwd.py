@@ -89,35 +89,50 @@ def _tile_mask(rows, block_q, block_k, q_row0, kv_start, length, causal, window)
     return mask
 
 
-def _recompute_p_ds(qm, k, v, do_rows, lse_ref, delta_ref, mask, g, block_q):
-    """Shared tile math: softmax recompute + dS. Returns (p, ds) f32.
+def _pick_bwd_chains(g: int) -> int:
+    """Row chains for MXU/VPU interleave (chain boundaries fall on whole
+    heads). MEASURED OFF: unlike the forward (0.53->0.65 from 4 chains),
+    2-chaining the backward REGRESSED on chip at 7B shapes — 1.56->1.66 ms
+    at seq 2k, 17.2->18.2 ms at 8k (r4, bq=bk=1024). The backward already
+    issues 3-4 dots per tile between VPU phases (s2, dp, then dk/dv or dq),
+    so Mosaic has natural overlap material, and halving the dot M-dim just
+    shortens the MXU pipe. Kept as a knob; 1 = single full-rows chain."""
+    return 1
 
-    The MXU dots run on the whole flattened group (rows = g*block_q) at
-    once; the per-row LSE/delta subtraction is done per HEAD on full-lane-
-    width (block_q, Bk) row slices — the (Bq, G) side arrays are read as
+
+def _tile_dots(qm_c, k, v, do_c):
+    """The two recompute matmuls for one chain slice: scores + dP."""
+    s2 = jax.lax.dot_general(
+        qm_c, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (crows, Bk), base-2 units
+    dp = jax.lax.dot_general(
+        do_c, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return s2, dp
+
+
+def _tile_elem(s2, dp, lse_ref, delta_ref, mask, heads, block_q, head0):
+    """VPU part for one chain: softmax recompute + dS. Returns (p, ds) f32.
+
+    The per-row LSE/delta subtraction runs per HEAD on full-lane-width
+    (block_q, Bk) row slices — the (Bq, G) side arrays are read as
     (block_q, 1) sublane columns, so no cross-lane relayout is ever needed
     (Mosaic can neither reshape a lane vector into sublanes nor concatenate
     slices with distinct lane offsets).
     """
-    s2 = jax.lax.dot_general(
-        qm, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (rows, Bk), base-2 units
     s2 = jnp.where(mask, s2, NEG_BIG)
-    dp = jax.lax.dot_general(
-        do_rows, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (rows, Bk)
     side = lse_ref[0, 0]  # (Bq, G) f32
     dside = delta_ref[0, 0]
     p_parts, ds_parts = [], []
-    for h in range(g):
-        lse_h = side[:, h : h + 1]  # (Bq, 1) sublane column
-        delta_h = dside[:, h : h + 1]
+    for h in range(heads):
+        lse_h = side[:, head0 + h : head0 + h + 1]  # (Bq, 1) sublane column
+        delta_h = dside[:, head0 + h : head0 + h + 1]
         p_h = jnp.exp2(_per_head(s2, h, block_q) - lse_h)
         ds_parts.append(p_h * (_per_head(dp, h, block_q) - delta_h))
         p_parts.append(p_h)
-    if g == 1:
+    if heads == 1:
         return p_parts[0], ds_parts[0]
     return jnp.concatenate(p_parts, axis=0), jnp.concatenate(ds_parts, axis=0)
 
@@ -169,18 +184,36 @@ def _dq_kernel(
     def _accum():
         qm = q_ref[0].reshape(rows, d)
         do_rows = do_ref[0].reshape(rows, d)
+        k = k_ref[0, 0]
+        # MXU/VPU software pipeline over row chains (same trick as the
+        # forward): chain c+1's recompute matmuls are issued before chain
+        # c's exp2/mask VPU work so Mosaic can overlap the units.
+        chains = _pick_bwd_chains(g)
+        hpc = g // chains
+        crows = rows // chains
+
+        def dots(c):
+            return _tile_dots(
+                qm[c * crows : (c + 1) * crows], k, v_ref[0, 0],
+                do_rows[c * crows : (c + 1) * crows],
+            )
+
         mask = _tile_mask(
-            rows, block_q, block_k, q_row0, kv_start, length, causal, window
+            crows, block_q, block_k, q_row0, kv_start, length, causal, window
         )
-        _, ds = _recompute_p_ds(
-            qm, k_ref[0, 0], v_ref[0, 0], do_rows,
-            lse_ref, delta_ref, mask, g, block_q,
-        )
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k_ref.dtype), k_ref[0, 0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        nxt = dots(0)
+        for c in range(chains):
+            s2, dp = nxt
+            if c + 1 < chains:
+                nxt = dots(c + 1)
+            _, ds = _tile_elem(
+                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc
+            )
+            dq_acc[c * crows : (c + 1) * crows] += jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == num_kv_blocks - 1)
     def _emit():
@@ -227,25 +260,41 @@ def _dkdv_kernel(
     def _accum():
         qm = q_ref[0].reshape(rows, d)
         do_rows = do_ref[0].reshape(rows, d)
+        chains = _pick_bwd_chains(g)
+        hpc = g // chains
+        crows = rows // chains
+
+        def dots(c):
+            return _tile_dots(
+                qm[c * crows : (c + 1) * crows], k_ref[0, 0], v_ref[0, 0],
+                do_rows[c * crows : (c + 1) * crows],
+            )
+
         mask = _tile_mask(
-            rows, block_q, block_k, q_row0, kv_start, length, causal, window
+            crows, block_q, block_k, q_row0, kv_start, length, causal, window
         )
-        p, ds = _recompute_p_ds(
-            qm, k_ref[0, 0], v_ref[0, 0], do_rows,
-            lse_ref, delta_ref, mask, g, block_q,
-        )
-        # group-sum over the g q-heads sharing this KV head happens inside
-        # the same contraction (all `rows` of the group are in the dot)
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do_rows.dtype), do_rows,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(qm.dtype), qm,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        nxt = dots(0)
+        for c in range(chains):
+            s2, dp = nxt
+            if c + 1 < chains:
+                nxt = dots(c + 1)
+            p, ds = _tile_elem(
+                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc
+            )
+            do_c = do_rows[c * crows : (c + 1) * crows]
+            qm_c = qm[c * crows : (c + 1) * crows]
+            # group-sum over the chain's q-heads happens inside the same
+            # contraction (all its rows are in the dot)
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do_c.dtype), do_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(qm_c.dtype), qm_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(qi == num_q_blocks - 1)
     def _emit():
@@ -266,8 +315,8 @@ def flash_prefill_bwd(
     causal: bool = True,
     sm_scale: float | None = None,
     window: int | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,  # r4 on-chip sweep winner (1024x1024, 2-6% over 512)
+    block_k: int = 1024,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """dq, dk, dv for flash_prefill via two Pallas passes (see module doc)."""
@@ -459,8 +508,8 @@ def flash_attention(
     window: int | None = None,
     block_q: int = 1024,
     block_k: int = 1024,
-    bwd_block_q: int = 512,
-    bwd_block_k: int = 512,
+    bwd_block_q: int = 1024,
+    bwd_block_k: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Differentiable flash attention (training entry point).
