@@ -7,4 +7,4 @@ implements the Llama family (RMSNorm / RoPE / GQA attention / SwiGLU) as
 functional JAX over stacked-layer params with ``lax.scan``.
 """
 
-from starflashattention_tpu.models import llama  # noqa: F401
+from starflashattention_tpu.models import llama, lora, train  # noqa: F401

@@ -122,6 +122,7 @@ def forward_train(
     use_flash: bool = True,
     remat: bool = True,
     axis_name: str | None = None,
+    lora: dict | None = None,
 ) -> jax.Array:
     """All-position logits (B, S, V) — the training twin of the serving
     prefill (models/llama._prefill_core), cache-free and differentiable.
@@ -132,13 +133,17 @@ def forward_train(
     replicated, one psum completes each row-parallel projection, and the
     :func:`_f` operator makes the backward exact (see its docstring).
     """
+    from starflashattention_tpu.models.lora import delta as _lora_delta
+
     b, s = tokens.shape
     x = params["embed"][tokens]
     pos = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    lscale = None if lora is None else lora["scale"]
 
-    def layer_body(x, lp):
+    def layer_body(x, xs):
+        lp, ll = xs
         h = _f(llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps), axis_name)
-        qkv = jnp.dot(h, lp["wqkv"])
+        qkv = jnp.dot(h, lp["wqkv"]) + _lora_delta(h, ll, "wqkv", lscale)
         if cfg.attention_bias:
             qkv = qkv + lp["bqkv"]
         q, k, v = llama._split_heads_prefill(qkv, cfg)
@@ -149,20 +154,30 @@ def forward_train(
         else:
             o = _attn_jnp(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + _g(jnp.dot(o, lp["wo"]), axis_name)
+        x = x + _g(jnp.dot(o, lp["wo"]) + _lora_delta(o, ll, "wo", lscale),
+                   axis_name)
 
         h = _f(llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps), axis_name)
         if cfg.num_experts:
             mlp = _moe_mlp_train(h, lp, cfg, axis_name)
         else:
-            gu = jnp.dot(h, lp["w_gate_up"])
+            gu = jnp.dot(h, lp["w_gate_up"]) + _lora_delta(
+                h, ll, "w_gate_up", lscale
+            )
             gate, up = jnp.split(gu, 2, axis=-1)
-            mlp = jnp.dot(jax.nn.silu(gate) * up, lp["w_down"])
+            act = jax.nn.silu(gate) * up
+            mlp = jnp.dot(act, lp["w_down"]) + _lora_delta(
+                act, ll, "w_down", lscale
+            )
         return x + _g(mlp, axis_name), None
 
     if remat:
         layer_body = jax.checkpoint(layer_body)
-    x, _ = jax.lax.scan(layer_body, x, llama._scan_xs_layers(params["layers"]))
+    xs = (
+        llama._scan_xs_layers(params["layers"]),
+        None if lora is None else lora["layers"],
+    )
+    x, _ = jax.lax.scan(layer_body, x, xs)
     # output head: same math as the serving llama._logits, but with the
     # vocab-shard gather as an explicit-vjp collective (see _f docstring)
     xn = llama.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -213,11 +228,11 @@ def _moe_mlp_train(h, lp, cfg: ModelConfig, axis_name: str | None = None):
 
 
 def loss_fn(params, batch, cfg: ModelConfig, cos, sin, *, use_flash=True,
-            remat=True, axis_name: str | None = None):
+            remat=True, axis_name: str | None = None, lora: dict | None = None):
     """Next-token cross-entropy over (B, S+1) token batches."""
     logits = forward_train(
         params, batch[:, :-1], cfg, cos, sin, use_flash=use_flash, remat=remat,
-        axis_name=axis_name,
+        axis_name=axis_name, lora=lora,
     )
     targets = batch[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
