@@ -99,6 +99,38 @@ def main() -> None:
     )
     assert (lens == 1).all(), lens
 
+    # --- TP x DP TRAINING step spanning both processes ------------------
+    # The sharded value_and_grad (parallel/train) over the same 2-host mesh:
+    # loss must equal the locally-computed single-device loss, replicated
+    # grads (final_norm) must match the oracle on every process, and a
+    # model-sharded grad (wo) must match the permuted oracle slice-by-slice.
+    from starflashattention_tpu.models.train import loss_fn
+    from starflashattention_tpu.parallel.train import make_tp_dp_value_and_grad
+
+    batch = (jnp.arange(b * 10, dtype=jnp.int32).reshape(b, 10)
+             % cfg.vocab_size)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, batch, cfg, cos, sin
+    )
+    vg, _ = make_tp_dp_value_and_grad(mesh, cfg)
+    batch_g = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    loss_sh, grads_sh = vg(sharded_params, batch_g, cos, sin)
+    assert abs(float(loss_sh) - float(loss_ref)) < 1e-5, (
+        float(loss_sh), float(loss_ref)
+    )
+    got_fn = np.asarray(grads_sh["final_norm"].addressable_shards[0].data)
+    np.testing.assert_allclose(
+        got_fn, np.asarray(grads_ref["final_norm"]), rtol=1e-4, atol=1e-5
+    )
+    gref_perm = tp.permute_params_for_tp(grads_ref, cfg, 4)
+    wo_ref = np.asarray(gref_perm["layers"]["wo"])
+    scale = np.abs(wo_ref).max() + 1e-9
+    for shard in grads_sh["layers"]["wo"].addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data) / scale, wo_ref[shard.index] / scale,
+            atol=1e-4,
+        )
+
     print(f"MULTIPROCESS_OK pid={pid} rows={rows_checked}", flush=True)
 
 
