@@ -447,9 +447,13 @@ class Engine:
             self._on_retired(slot)
         if req is not None and logprobs is not None:
             # record_tokens may have capped at the budget / EOS — keep the
-            # logprob list aligned with the tokens actually kept
+            # logprob list aligned with the tokens actually kept. A stop-
+            # sequence match spanning rounds can make the net change
+            # NEGATIVE (earlier rounds' tokens truncated); record_tokens
+            # already dropped their stale logprobs, nothing to add here.
             kept = len(req.output) - before
-            req.logprobs.extend(float(l) for l in logprobs[:kept])
+            if kept > 0:
+                req.logprobs.extend(float(l) for l in logprobs[:kept])
         if uid is not None and uid not in self._first_token_seen:
             self._first_token_seen.add(uid)
             t0 = self._submit_time.get(uid)
@@ -756,9 +760,14 @@ class Engine:
     def generate(
         self, prompts: list[list[int]], max_new_tokens: int, eos_token=None,
         sampling: core_sampling.SamplingParams | list | None = None,
+        stop: list[list[int]] | None = None,
+        on_token=None,
     ):
         """Convenience: submit + run + collect outputs in order. ``sampling``
-        is one SamplingParams for all prompts or a per-prompt list."""
+        is one SamplingParams for all prompts or a per-prompt list; ``stop``
+        sequences apply to every prompt (matched tokens are truncated);
+        ``on_token(request, token)`` streams tokens as the host loop records
+        them (token granularity, round latency)."""
         if sampling is None:
             samp = [core_sampling.GREEDY] * len(prompts)
         elif isinstance(sampling, core_sampling.SamplingParams):
@@ -767,7 +776,8 @@ class Engine:
             samp = list(sampling)
         reqs = [
             Request(uid=i, prompt=p, max_new_tokens=max_new_tokens,
-                    eos_token=eos_token, sampling=s)
+                    eos_token=eos_token, sampling=s, stop=stop,
+                    on_token=on_token)
             for i, (p, s) in enumerate(zip(prompts, samp))
         ]
         for r in reqs:

@@ -26,6 +26,14 @@ class Request:
     # Per-request sampling controls (core/sampling.py). GREEDY by default;
     # sampled requests need an engine built with enable_sampling=True.
     sampling: SamplingParams = GREEDY
+    # Multi-token stop sequences: generation retires when the output ends
+    # with any of these; the matched sequence is TRUNCATED from ``output``
+    # (eos_token, by contrast, is kept — matching common serving APIs).
+    stop: Optional[list[list[int]]] = None
+    # Streaming: called as on_token(request, token) from the host loop as
+    # each token is recorded (once per token, in order, before any stop
+    # truncation). Exceptions propagate to the engine's run().
+    on_token: Optional[object] = None
 
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
@@ -100,7 +108,8 @@ class Scheduler:
 
     def record_tokens(self, slot_idx: int, tokens: list[int]) -> bool:
         """Append generated tokens to the slot's request; retire when the
-        budget is spent or EOS appears. Returns True if the slot finished."""
+        budget is spent, EOS appears, or a stop sequence completes. Returns
+        True if the slot finished."""
         slot = self.slots[slot_idx]
         req = slot.request
         assert req is not None
@@ -109,8 +118,20 @@ class Scheduler:
                 break
             req.output.append(t)
             slot.budget -= 1
+            if req.on_token is not None:
+                req.on_token(req, t)
             if req.eos_token is not None and t == req.eos_token:
                 slot.budget = 0
+            elif req.stop:
+                for seq in req.stop:
+                    n = len(seq)
+                    if n and req.output[-n:] == list(seq):
+                        # truncate the matched stop sequence (and its
+                        # logprobs) — the caller never sees stop tokens
+                        del req.output[-n:]
+                        del req.logprobs[len(req.output):]
+                        slot.budget = 0
+                        break
         if slot.budget <= 0:
             req.done = True
             slot.request = None

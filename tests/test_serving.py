@@ -72,6 +72,53 @@ def test_engine_eos_stops_early():
     assert out == full[: stop + 1]
 
 
+def test_stop_sequence_truncates():
+    """A multi-token stop sequence ends generation and is cut from output —
+    including when the match spans a decode-round boundary."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    prompt = [1, 2, 3]
+    full = reference_generate(params, prompt, 8)
+    stop_seq = full[3:5]  # 2-token stop completing at position 5
+    # steps_per_round=4: the stop spans the round-1/round-2 boundary
+    eng = Engine(params, CFG, num_slots=1, steps_per_round=4)
+    out = eng.generate([prompt], max_new_tokens=8, stop=[stop_seq])[0]
+    assert out == full[:3]
+    # same result when the whole match lands inside one round
+    eng2 = Engine(params, CFG, num_slots=1, steps_per_round=8)
+    out2 = eng2.generate([prompt], max_new_tokens=8, stop=[stop_seq])[0]
+    assert out2 == full[:3]
+
+
+def test_stop_sequence_logprobs_stay_aligned():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    prompt = [1, 2, 3]
+    full = reference_generate(params, prompt, 8)
+    stop_seq = full[3:5]
+    eng = Engine(params, CFG, num_slots=1, steps_per_round=4,
+                 return_logprobs=True)
+    req = Request(uid=0, prompt=prompt, max_new_tokens=8, stop=[stop_seq])
+    eng.submit(req)
+    eng.run()
+    assert req.output == full[:3]
+    assert len(req.logprobs) == len(req.output)
+    assert all(lp <= 0.0 for lp in req.logprobs)
+
+
+def test_streaming_on_token_callback():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    prompts = [[int(t) for t in rng.integers(0, CFG.vocab_size, n)]
+               for n in (3, 5)]
+    streamed: dict[int, list[int]] = {0: [], 1: []}
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2)
+    outs = eng.generate(
+        prompts, max_new_tokens=6,
+        on_token=lambda req, t: streamed[req.uid].append(t),
+    )
+    # every kept token was streamed, in order, per request
+    assert streamed == {0: outs[0], 1: outs[1]}
+
+
 def test_chunked_prefill_matches_whole_prompt():
     """Chunked prefill is output-identical to whole-prompt prefill: the
     serving prefill attends the full cache table, so each row's KV-tile
