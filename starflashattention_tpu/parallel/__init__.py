@@ -23,6 +23,10 @@ from starflashattention_tpu.parallel.distributed_decode import (  # noqa: F401
     make_seq_sharded_decode,
     merge_partials_across_chips,
 )
+from starflashattention_tpu.parallel.ring import (  # noqa: F401
+    make_ring_prefill,
+    ring_attention,
+)
 from starflashattention_tpu.parallel.pp import (  # noqa: F401
     make_pp_decode_step,
     shard_cache_pp,
