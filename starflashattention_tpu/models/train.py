@@ -122,6 +122,7 @@ def forward_train(
     use_flash: bool = True,
     remat: bool = True,
     axis_name: str | None = None,
+    seq_axis_name: str | None = None,
     lora: dict | None = None,
 ) -> jax.Array:
     """All-position logits (B, S, V) — the training twin of the serving
@@ -132,12 +133,29 @@ def forward_train(
     ``cfg`` = the per-shard geometry from tp._shard_cfg), activations are
     replicated, one psum completes each row-parallel projection, and the
     :func:`_f` operator makes the backward exact (see its docstring).
+
+    ``seq_axis_name`` runs CONTEXT-PARALLEL: ``tokens`` is this chip's
+    contiguous chunk of the global sequence (chip i owns positions
+    [i*S_local, (i+1)*S_local)), positions/RoPE use the global offsets, and
+    attention is ring attention over the axis (parallel/ring.py) — params
+    stay replicated, activations are sequence-sharded, and the only
+    communication is the KV rotation. Composes with ``axis_name`` (TP): the
+    ring rotates head-sharded KV chunks just the same.
     """
     from starflashattention_tpu.models.lora import delta as _lora_delta
 
+    if seq_axis_name is not None and not use_flash:
+        raise ValueError(
+            "context-parallel training requires the flash path "
+            "(use_flash=True): the jnp attention twin is single-device"
+        )
+
     b, s = tokens.shape
     x = params["embed"][tokens]
-    pos = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    pos0 = 0
+    if seq_axis_name is not None:
+        pos0 = jax.lax.axis_index(seq_axis_name) * s
+    pos = jnp.broadcast_to(pos0 + jnp.arange(s)[None, :], (b, s))
     lscale = None if lora is None else lora["scale"]
 
     def layer_body(x, xs):
@@ -149,7 +167,13 @@ def forward_train(
         q, k, v = llama._split_heads_prefill(qkv, cfg)
         q = llama.apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k = llama.apply_rope(k, pos[:, None, :], cos, sin, style=cfg.rope_style)
-        if use_flash:
+        if seq_axis_name is not None:
+            from starflashattention_tpu.parallel.ring import ring_attention
+
+            o = ring_attention(
+                q, k, v, axis_name=seq_axis_name, window=cfg.sliding_window
+            )
+        elif use_flash:
             o = flash_attention(q, k, v, window=cfg.sliding_window)
         else:
             o = _attn_jnp(q, k, v, cfg)
@@ -227,17 +251,29 @@ def _moe_mlp_train(h, lp, cfg: ModelConfig, axis_name: str | None = None):
     return jnp.einsum("ebsd,bse->bsd", down, w_local)
 
 
+def loss_tokens(params, inp, tgt, cfg: ModelConfig, cos, sin, *,
+                use_flash=True, remat=True, axis_name: str | None = None,
+                seq_axis_name: str | None = None, lora: dict | None = None):
+    """Next-token cross-entropy with inputs/targets as separate (B, S)
+    arrays — the shardable form (context parallelism splits the sequence, so
+    the target of a chunk's last position lives in the NEXT chunk; slicing
+    inp/tgt from (B, S+1) must happen before the sequence is sharded)."""
+    logits = forward_train(
+        params, inp, cfg, cos, sin, use_flash=use_flash, remat=remat,
+        axis_name=axis_name, seq_axis_name=seq_axis_name, lora=lora,
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
 def loss_fn(params, batch, cfg: ModelConfig, cos, sin, *, use_flash=True,
             remat=True, axis_name: str | None = None, lora: dict | None = None):
     """Next-token cross-entropy over (B, S+1) token batches."""
-    logits = forward_train(
-        params, batch[:, :-1], cfg, cos, sin, use_flash=use_flash, remat=remat,
-        axis_name=axis_name, lora=lora,
+    return loss_tokens(
+        params, batch[:, :-1], batch[:, 1:], cfg, cos, sin,
+        use_flash=use_flash, remat=remat, axis_name=axis_name, lora=lora,
     )
-    targets = batch[:, 1:]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "remat"))

@@ -27,7 +27,7 @@ import jax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from starflashattention_tpu.models.train import loss_fn
+from starflashattention_tpu.models.train import loss_fn, loss_tokens
 from starflashattention_tpu.parallel import tp
 from starflashattention_tpu.parallel.tp import DATA, MODEL
 from starflashattention_tpu.runtime.params import ModelConfig
@@ -102,3 +102,67 @@ def init_opt_state(optimizer, params):
     that owns the weight with no explicit spec tree needed.
     """
     return optimizer.init(params)
+
+
+SEQ = "seq"
+
+
+def make_cp_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    *,
+    seq_axis: str = SEQ,
+    data_axis: str | None = None,
+    remat: bool = True,
+):
+    """Context-parallel (× optional data-parallel) training step: one
+    optimizer step with the batch's SEQUENCE dim sharded over ``seq_axis``
+    and ring attention (parallel/ring.py) carrying the cross-chunk
+    attention — the long-context training mode, where one chip cannot hold
+    even the O(S) activations of a full sequence.
+
+    Params (and optimizer state) stay fully replicated — CP shards
+    activations, not weights; every non-attention op (norms, projections,
+    SwiGLU, loss) is per-token and runs unchanged on the chunk. The only
+    communication is the ring's KV rotation (forward and backward) plus one
+    scalar/grad pmean per step.
+
+    ``(params, opt_state, batch, cos, sin) -> (params, opt_state, loss)``
+    with ``batch`` (B, S+1) int32 and S divisible by the seq-axis size
+    (times the data-axis size for B, if given).
+    """
+    import optax
+
+    axes = [a for a in (data_axis, seq_axis) if a is not None]
+
+    def core(params, inp, tgt, cos, sin):
+        loss, grads = jax.value_and_grad(loss_tokens)(
+            params, inp, tgt, cfg, cos, sin,
+            use_flash=True, remat=remat, seq_axis_name=seq_axis,
+        )
+        # equal chunks: global mean = mean of chunk means; replicated params
+        # need the pmean over every activation-sharding axis
+        for ax in axes:
+            loss = jax.lax.pmean(loss, ax)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, ax), grads)
+        return loss, grads
+
+    tok_spec = P(data_axis, seq_axis)
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(), tok_spec, tok_spec, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, batch, cos, sin):
+        # slice BEFORE sharding: a chunk's last target is the next chunk's
+        # first input token (see models/train.loss_tokens)
+        inp, tgt = batch[:, :-1], batch[:, 1:]
+        loss, grads = sharded(params, inp, tgt, cos, sin)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
