@@ -133,6 +133,76 @@ def prefill_attention_tflops_bench(quick: bool = False):
         )
 
 
+def ring_overhead_bench(quick: bool = False):
+    """Compute-side overhead of context-parallel ring chunking, on one chip.
+
+    Runs the EXACT per-chunk program ring attention executes on each of n
+    chips (n chunk-wise flash_prefill calls with ring-style offsets/clipped
+    lengths + f32 LSE merges, parallel/ring.py) and divides by the
+    single-call full-sequence kernel time. On a real ring the n chunk calls
+    spread across n chips, so per-chip compute is (ring_total / n); the
+    ratio emitted here is the WORST-CASE serialization tax (causal
+    imbalance: the last chip does the full n chunks' work in the contiguous
+    layout; the zigzag layout halves it). Collectives are measured
+    separately (benchmarks/collective_cost.py) — one chip cannot time ICI.
+    """
+    from starflashattention_tpu.ops.flash_prefill import flash_prefill
+    from starflashattention_tpu.parallel.ring import _NEG, _merge_chunk
+
+    if jax.default_backend() != "tpu":
+        return
+    b, hq, hkv, d = 1, 32, 8, 128
+    sq = 4096 if quick else 8192
+    for n in [4] if quick else [2, 4, 8]:
+        c = sq // n
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (b, hq, sq, d), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, hkv, sq, d), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, hkv, sq, d), jnp.bfloat16)
+        lengths = jnp.full((b,), sq, jnp.int32)
+
+        def full(q, k, v, lengths):
+            o = flash_prefill(q, k, v, lengths=lengths, causal=True)
+            return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
+
+        def ring(q, k, v, lengths, c=c, n=n):
+            # worst-case chip: the LAST q chunk attends all n kv chunks
+            qc = q[:, :, (n - 1) * c :]
+            acc = jnp.zeros(qc.shape, jnp.float32)
+            m = jnp.full(qc.shape[:3], _NEG, jnp.float32)
+            l = jnp.zeros(qc.shape[:3], jnp.float32)
+            for ki in range(n):
+                ks = ki * c
+                o_t, lse_t = flash_prefill(
+                    qc, k[:, :, ks : ks + c], v[:, :, ks : ks + c],
+                    jnp.clip(lengths - ks, 0, c),
+                    causal=True,
+                    q_offsets=jnp.full((b,), (n - 1) * c - ks, jnp.int32),
+                    return_lse=True,
+                )
+                acc, m, l = _merge_chunk(acc, m, l, o_t, lse_t)
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o = (acc / l_safe[..., None]).astype(q.dtype)
+            return q.at[:, :, (n - 1) * c :].add(o * jnp.bfloat16(1e-3))
+
+        per_full, _ = time_scanned(full, q, k, v, lengths, iters=16, repeats=4)
+        per_ring, _ = time_scanned(ring, q, k, v, lengths, iters=16, repeats=4)
+        # the last chip's causal work is n/ (n+1)/2 ... its share of the full
+        # causal band is (2n-1)/n^2... simplest honest number: measured ratio
+        # of (worst chip chunk program) to (full single-kernel / n chips).
+        _emit(
+            f"ring_chunk_overhead_seq{sq}_n{n}",
+            per_ring,
+            {
+                "full_kernel_ms": round(per_full * 1e3, 4),
+                "worst_chip_vs_full": round(per_ring / per_full, 3),
+                # causal share of the last contiguous chip: (2n-1)/(2n... )
+                # fraction of total band it computes = (n - 0.5)/ (n^2/2)
+                "causal_share_last_chip": round((2 * n - 1) / n**2, 3),
+            },
+        )
+
+
 def train_attn_bwd_bench(quick: bool = False):
     """Differentiable flash attention (ops/flash_bwd): fwd+bwd wall time at
     7B training shapes, vs the plain-jnp autodiff twin where it fits.
@@ -888,6 +958,7 @@ def prefill_ttft_bench(quick: bool = False):
 _BENCHES = {
     "decode_kernel": decode_kernel_sweep,
     "prefill_attention": prefill_attention_tflops_bench,
+    "ring_overhead": ring_overhead_bench,
     "train_attn_bwd": train_attn_bwd_bench,
     "train_step": train_step_bench,
     "sampling": sampling_overhead_bench,
