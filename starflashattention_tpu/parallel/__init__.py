@@ -35,6 +35,7 @@ from starflashattention_tpu.parallel.pp import (  # noqa: F401
 from starflashattention_tpu.parallel.train import (  # noqa: F401
     init_opt_state,
     make_cp_train_step,
+    make_tp_cp_train_step,
     make_tp_dp_train_step,
     make_tp_dp_value_and_grad,
 )

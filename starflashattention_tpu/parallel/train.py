@@ -166,3 +166,62 @@ def make_cp_train_step(
         return optax.apply_updates(params, updates), opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_tp_cp_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    *,
+    seq_axis: str = SEQ,
+    data_axis: str | None = None,
+    remat: bool = True,
+):
+    """3D training: Megatron TP (``model``) × context parallelism
+    (``seq_axis``, ring attention) × optional data parallelism — long
+    sequences AND wide models on one mesh.
+
+    Params live in the serving TP layouts (tp.shard_params), replicated over
+    the seq/data axes; the ring rotates the HEAD-SHARDED KV chunks, so the
+    two decompositions compose without any relayout. Grad math: the TP axis
+    is handled by the Megatron f/g explicit-vjp operators inside
+    forward_train; the seq/data axes pmean replicated-param grads (each
+    chip's local grad is a partial sum over loss terms — the ring backward
+    routes dk/dv cotangents home before autodiff reaches the projections,
+    so the pmean of locals reconstructs the exact global gradient; asserted
+    against the single-device oracle in tests/test_train_cp.py).
+    """
+    import optax
+
+    tp._check(cfg, mesh)
+    shard_cfg = tp._shard_cfg(cfg, mesh)
+    p_specs = tp.param_specs(cfg)
+    axes = [a for a in (data_axis, seq_axis) if a is not None]
+
+    def core(params, inp, tgt, cos, sin):
+        loss, grads = jax.value_and_grad(loss_tokens)(
+            params, inp, tgt, shard_cfg, cos, sin,
+            use_flash=True, remat=remat,
+            axis_name=MODEL, seq_axis_name=seq_axis,
+        )
+        for ax in axes:
+            loss = jax.lax.pmean(loss, ax)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, ax), grads)
+        return loss, grads
+
+    tok_spec = P(data_axis, seq_axis)
+    sharded = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(p_specs, tok_spec, tok_spec, P(), P()),
+        out_specs=(P(), p_specs),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, batch, cos, sin):
+        inp, tgt = batch[:, :-1], batch[:, 1:]
+        loss, grads = sharded(params, inp, tgt, cos, sin)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))

@@ -95,3 +95,37 @@ def test_cp_requires_flash():
             params, inp, inp, cfg, cos, sin,
             use_flash=False, seq_axis_name="seq",
         )
+
+
+def test_tp_cp_step_matches_single_device(rng):
+    from starflashattention_tpu.parallel import tp
+    from starflashattention_tpu.parallel.train import make_tp_cp_train_step
+
+    cfg, params, cos, sin, batch = _setup(rng, b=2, s=32)
+    mesh = make_mesh({"seq": 2, "model": 4})
+    opt = optax.sgd(1e-2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, batch, cfg, cos, sin
+    )
+    state0 = opt.init(params)
+    updates, _ = opt.update(grads_ref, state0, params)
+    params_ref = tp.permute_params_for_tp(
+        optax.apply_updates(params, updates), cfg, mesh.shape["model"]
+    )
+
+    sharded = tp.shard_params(params, mesh, cfg)
+    step = make_tp_cp_train_step(mesh, cfg, opt)
+    params_cp, _, loss_cp = step(sharded, init_opt_state(opt, sharded), batch, cos, sin)
+
+    assert abs(float(loss_cp) - float(loss_ref)) < 1e-5
+    # permuted layouts: compare leaves (permutation is a linear reindexing,
+    # so updated permuted params == permute(updated params))
+    la = jax.tree.leaves(params_cp)
+    lb = jax.tree.leaves(params_ref)
+    assert len(la) == len(lb)
+    err = max(
+        float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
+        for x, y in zip(la, lb)
+    )
+    assert err < 1e-5
