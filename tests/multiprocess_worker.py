@@ -131,6 +131,56 @@ def main() -> None:
             atol=1e-4,
         )
 
+    # --- Context-parallel RING attention spanning both processes --------
+    # A ("seq",) mesh over all 8 devices: the ring's ppermute now crosses
+    # the process boundary every hop — KV chunks flow over the TCP/DCN
+    # stand-in exactly as they would over DCN between two real hosts.
+    from starflashattention_tpu.ops.flash_prefill import flash_prefill
+    from starflashattention_tpu.parallel.ring import make_ring_prefill
+
+    smesh = mesh_lib.make_mesh({"seq": 4 * nproc})
+    s_tot = 16 * 4 * nproc
+    rng = np.random.default_rng(1)
+    qr = jnp.asarray(rng.standard_normal((2, 4, s_tot, 32)), jnp.float32)
+    kr = jnp.asarray(rng.standard_normal((2, 2, s_tot, 32)), jnp.float32)
+    vr = jnp.asarray(rng.standard_normal((2, 2, s_tot, 32)), jnp.float32)
+    rl = jnp.asarray([s_tot, s_tot // 2 + 5], jnp.int32)
+    ring_ref = np.asarray(flash_prefill(qr, kr, vr, rl, causal=True))
+
+    rspec = P(None, None, "seq", None)
+    ring_fn = make_ring_prefill(smesh, seq_axis="seq")
+    qg, kg, vg = (
+        jax.device_put(x, NamedSharding(smesh, rspec)) for x in (qr, kr, vr)
+    )
+    o_ring = ring_fn(qg, kg, vg, rl)
+    lens_np = np.asarray(rl)
+    ring_rows = 0
+    for shard in o_ring.addressable_shards:
+        sl = shard.index[2]
+        got = np.asarray(shard.data)
+        want = ring_ref[:, :, sl]
+        rows = np.arange(sl.start or 0, sl.stop if sl.stop else s_tot)
+        msk = (rows[None, :] < lens_np[:, None])[:, None, :, None]
+        assert np.all(np.isfinite(got)), "non-finite ring output"
+        assert (np.abs(got - want) * msk).max() < 2e-5
+        ring_rows += got.shape[2]
+    assert ring_rows >= s_tot // nproc, ring_rows
+
+    # --- Context-parallel TRAIN step spanning both processes ------------
+    import optax
+
+    from starflashattention_tpu.parallel.train import make_cp_train_step
+
+    cp_batch = (jnp.arange(2 * (s_tot + 1), dtype=jnp.int32)
+                .reshape(2, s_tot + 1) % cfg.vocab_size)
+    loss_cp_ref = float(loss_fn(params, cp_batch, cfg, cos, sin))
+    opt = optax.sgd(1e-3)
+    cp_step = make_cp_train_step(smesh, cfg, opt)
+    _, _, loss_cp = cp_step(params, opt.init(params), cp_batch, cos, sin)
+    assert abs(float(loss_cp) - loss_cp_ref) < 1e-5, (
+        float(loss_cp), loss_cp_ref
+    )
+
     print(f"MULTIPROCESS_OK pid={pid} rows={rows_checked}", flush=True)
 
 
