@@ -34,12 +34,18 @@ def mha_reference(
     q_offset: jax.Array | None = None,  # (B,) absolute position of q[:, :, 0]
     sm_scale: float | None = None,
     sliding_window: int | None = None,  # row attends [row - W + 1, row]
+    attention_sinks: int = 0,  # first-k positions always attendable
 ) -> jax.Array:
     """Full-softmax multi-head attention at fp32. Returns (B, Hq, Sq, D).
 
     ``sliding_window`` (Mistral-style local attention, a capability the
     reference lacks): query at absolute position p attends only KV positions
     in ``[p - W + 1, p]`` (plus the length/causal masks).
+
+    ``attention_sinks`` (StreamingLLM-style): the first k positions stay
+    attendable even when they fall outside the sliding window — the
+    bounded-memory infinite-context recipe (window + sinks). Only
+    meaningful together with ``sliding_window``.
     """
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
@@ -66,7 +72,10 @@ def mha_reference(
     if causal:
         mask &= kv_pos <= q_pos
     if sliding_window is not None:
-        mask &= kv_pos > q_pos - sliding_window
+        in_band = kv_pos > q_pos - sliding_window
+        if attention_sinks:
+            in_band |= kv_pos < attention_sinks
+        mask &= in_band
     s = jnp.where(mask, s, NEG_INF)
 
     p = jax.nn.softmax(s, axis=-1)
@@ -82,17 +91,20 @@ def decode_reference(
     *,
     sm_scale: float | None = None,
     sliding_window: int | None = None,
+    attention_sinks: int = 0,
 ) -> jax.Array:
     """Decode-phase attention: 1 query token vs the KV cache.
 
     The functional spec of the reference's flash_decoder + flash_combine pair
     (flash_attn.cu:554-935) once the cache append has happened. The decode
     query sits at position ``lengths - 1``, so ``sliding_window`` restricts
-    it to KV positions ``[lengths - W, lengths)``.
+    it to KV positions ``[lengths - W, lengths)`` (plus the first
+    ``attention_sinks`` positions, if set).
     """
     o = mha_reference(
         q[:, :, None, :], k_cache, v_cache, lengths=lengths, sm_scale=sm_scale,
         q_offset=lengths - 1, sliding_window=sliding_window,
+        attention_sinks=attention_sinks,
     )
     return o[:, :, 0, :]
 

@@ -576,6 +576,7 @@ def _decode_layer(
         batch_block=cfg.batch_block,
         k_scales=ks, v_scales=vs,
         max_len_hint=max_len_hint, window=cfg.sliding_window,
+        sinks=cfg.attention_sinks,
     )  # (B, Hq, D)
     o = o.reshape(o.shape[0], -1)
     attn_out = proj(o, "wo")
@@ -684,7 +685,7 @@ def _prefill_core(
             k_att, v_att = k_l, v_l
         o = flash_prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, sinks=cfg.attention_sinks,
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
@@ -924,6 +925,7 @@ def _verify_core(
             q, k_all, v_all, start + 1, layer=lidx,
             block_k=cfg.block_k, batch_block=cfg.batch_block,
             k_scales=ks, v_scales=vs, window=cfg.sliding_window,
+            sinks=cfg.attention_sinks,
         )  # (B, Hq, T, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
         attn_out = proj(o, "wo")
@@ -1297,7 +1299,7 @@ def _decode_core_paged(
             q, k_pages, v_pages, page_tbl, att_lengths, layer=lidx,
             pages_per_compute_block=cfg.pages_per_compute_block,
             k_scales=ks, v_scales=vs, max_len_hint=max_len_hint,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, sinks=cfg.attention_sinks,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
@@ -1410,7 +1412,7 @@ def _prefill_core_paged(
 
         o = flash_prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, sinks=cfg.attention_sinks,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")

@@ -107,7 +107,10 @@ def _attn_jnp(q, k, v, cfg: ModelConfig):
     pos = jnp.arange(s)
     mask = pos[None, :] <= pos[:, None]
     if cfg.sliding_window is not None:
-        mask = mask & (pos[None, :] > pos[:, None] - cfg.sliding_window)
+        in_band = pos[None, :] > pos[:, None] - cfg.sliding_window
+        if cfg.attention_sinks:
+            in_band = in_band | (pos[None, :] < cfg.attention_sinks)
+        mask = mask & in_band
     scores = jnp.where(mask[None, None], scores, -1e30)
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, axis=-1), vq)
 
@@ -171,10 +174,13 @@ def forward_train(
             from starflashattention_tpu.parallel.ring import ring_attention
 
             o = ring_attention(
-                q, k, v, axis_name=seq_axis_name, window=cfg.sliding_window
+                q, k, v, axis_name=seq_axis_name, window=cfg.sliding_window,
+                sinks=cfg.attention_sinks,
             )
         elif use_flash:
-            o = flash_attention(q, k, v, window=cfg.sliding_window)
+            o = flash_attention(
+                q, k, v, window=cfg.sliding_window, sinks=cfg.attention_sinks
+            )
         else:
             o = _attn_jnp(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)

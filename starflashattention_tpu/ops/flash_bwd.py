@@ -74,7 +74,8 @@ def _per_head(x, h: int, block_q: int):
     return x[h * block_q : (h + 1) * block_q]
 
 
-def _tile_mask(rows, block_q, block_k, q_row0, kv_start, length, causal, window):
+def _tile_mask(rows, block_q, block_k, q_row0, kv_start, length, causal, window,
+               sinks=0, sink_lo=0):
     """(rows, Bk) validity mask in the flattened head-major row layout."""
     col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
     mask = col < length
@@ -85,7 +86,12 @@ def _tile_mask(rows, block_q, block_k, q_row0, kv_start, length, causal, window)
         if causal:
             mask = jnp.logical_and(mask, col <= row)
         if window is not None:
-            mask = jnp.logical_and(mask, col > row - window)
+            w_ok = col > row - window
+            if sinks:
+                # the sink boundary is ABSOLUTE: shift by the chunk's global
+                # kv offset under ring CP (window/causal are relative)
+                w_ok = jnp.logical_or(w_ok, col < sinks - sink_lo)
+            mask = jnp.logical_and(mask, w_ok)
     return mask
 
 
@@ -137,20 +143,23 @@ def _tile_elem(s2, dp, lse_ref, delta_ref, mask, heads, block_q, head0):
     return jnp.concatenate(p_parts, axis=0), jnp.concatenate(ds_parts, axis=0)
 
 
-def _in_band(q_row0, kv_start, block_q, block_k, length, causal, window):
+def _in_band(q_row0, kv_start, block_q, block_k, length, causal, window,
+             sinks=0, sink_lo=0):
     band = kv_start < length
     if causal:
         band = jnp.logical_and(band, kv_start <= q_row0 + block_q - 1)
     if window is not None:
-        band = jnp.logical_and(
-            band, kv_start + block_k - 1 >= q_row0 - (window - 1)
-        )
+        below_ok = kv_start + block_k - 1 >= q_row0 - (window - 1)
+        if sinks:
+            below_ok = jnp.logical_or(below_ok, kv_start < sinks - sink_lo)
+        band = jnp.logical_and(band, below_ok)
     return band
 
 
 def _dq_kernel(
     lengths_ref,  # (B,) SMEM
     q_off_ref,  # (B,) SMEM
+    kv_off_ref,  # (1,) int32 SMEM — global position of kv column 0 (ring CP)
     q_ref,  # (1, G, Bq, D) pre-scaled by sm_scale*log2(e)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
@@ -165,6 +174,7 @@ def _dq_kernel(
     num_kv_blocks: int,
     causal: bool,
     window: int | None,
+    sinks: int = 0,
     sm_scale: float,
 ):
     rows, g, d = _rows_meta(q_ref, block_q)
@@ -179,8 +189,10 @@ def _dq_kernel(
     length = lengths_ref[batch]
     q_row0 = q_off_ref[batch] + qi * block_q
     kv_start = ki * block_k
+    sink_lo = kv_off_ref[0]
 
-    @pl.when(_in_band(q_row0, kv_start, block_q, block_k, length, causal, window))
+    @pl.when(_in_band(q_row0, kv_start, block_q, block_k, length, causal,
+                      window, sinks, sink_lo))
     def _accum():
         qm = q_ref[0].reshape(rows, d)
         do_rows = do_ref[0].reshape(rows, d)
@@ -199,7 +211,8 @@ def _dq_kernel(
             )
 
         mask = _tile_mask(
-            crows, block_q, block_k, q_row0, kv_start, length, causal, window
+            crows, block_q, block_k, q_row0, kv_start, length, causal, window,
+            sinks, sink_lo,
         )
         nxt = dots(0)
         for c in range(chains):
@@ -225,6 +238,7 @@ def _dq_kernel(
 def _dkdv_kernel(
     lengths_ref,
     q_off_ref,
+    kv_off_ref,  # (1,) int32 SMEM — global position of kv column 0 (ring CP)
     q_ref,  # (1, G, Bq, D) pre-scaled
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
@@ -241,6 +255,7 @@ def _dkdv_kernel(
     num_q_blocks: int,
     causal: bool,
     window: int | None,
+    sinks: int = 0,
 ):
     rows, g, d = _rows_meta(q_ref, block_q)
     batch = pl.program_id(0)
@@ -255,8 +270,10 @@ def _dkdv_kernel(
     length = lengths_ref[batch]
     q_row0 = q_off_ref[batch] + qi * block_q
     kv_start = ki * block_k
+    sink_lo = kv_off_ref[0]
 
-    @pl.when(_in_band(q_row0, kv_start, block_q, block_k, length, causal, window))
+    @pl.when(_in_band(q_row0, kv_start, block_q, block_k, length, causal,
+                      window, sinks, sink_lo))
     def _accum():
         qm = q_ref[0].reshape(rows, d)
         do_rows = do_ref[0].reshape(rows, d)
@@ -271,7 +288,8 @@ def _dkdv_kernel(
             )
 
         mask = _tile_mask(
-            crows, block_q, block_k, q_row0, kv_start, length, causal, window
+            crows, block_q, block_k, q_row0, kv_start, length, causal, window,
+            sinks, sink_lo,
         )
         nxt = dots(0)
         for c in range(chains):
@@ -315,6 +333,8 @@ def flash_prefill_bwd(
     causal: bool = True,
     sm_scale: float | None = None,
     window: int | None = None,
+    sinks: int = 0,
+    kv_offset: jax.Array | int = 0,  # global position of k[:, :, 0] (ring CP)
     block_q: int = 1024,  # r4 on-chip sweep winner (1024x1024, 2-6% over 512)
     block_k: int = 1024,
     interpret: bool | None = None,
@@ -329,6 +349,7 @@ def flash_prefill_bwd(
         interpret = _use_interpret()
     lengths = jnp.minimum(lengths.astype(jnp.int32), skv)
     q_offsets = q_offsets.astype(jnp.int32)
+    kv_off = jnp.asarray(kv_offset, jnp.int32).reshape(1)
 
     # delta_i = rowsum(do_i * o_i): tiny (one f32 per row); XLA fuses it into
     # the reads it already does. Padded rows are zero by construction.
@@ -383,10 +404,12 @@ def flash_prefill_bwd(
             num_kv_blocks=num_kv_blocks,
             causal=causal,
             window=window,
+            sinks=sinks,
             sm_scale=float(sm_scale),
         ),
         grid=(b, hkv, num_q_blocks, num_kv_blocks),
         in_specs=[
+            smem,
             smem,
             smem,
             q_spec(lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -404,7 +427,7 @@ def flash_prefill_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, q_offsets, q, k, v, do, lse_c, delta_c)
+    )(lengths, q_offsets, kv_off, q, k, v, do, lse_c, delta_c)
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -414,9 +437,11 @@ def flash_prefill_bwd(
             num_q_blocks=num_q_blocks,
             causal=causal,
             window=window,
+            sinks=sinks,
         ),
         grid=(b, hkv, num_kv_blocks, num_q_blocks),
         in_specs=[
+            smem,
             smem,
             smem,
             q_spec(lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
@@ -443,7 +468,7 @@ def flash_prefill_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, q_offsets, q, k, v, do, lse_c, delta_c)
+    )(lengths, q_offsets, kv_off, q, k, v, do, lse_c, delta_c)
 
     return dq[:, :, :sq, :], dk[:, :, :skv, :], dv[:, :, :skv, :]
 
@@ -452,6 +477,7 @@ class _FAConfig(NamedTuple):
     causal: bool
     sm_scale: float | None
     window: int | None
+    sinks: int
     block_q: int
     block_k: int
     bwd_block_q: int
@@ -465,7 +491,7 @@ def _flash_core(cfg: _FAConfig, q, k, v, lengths, q_offsets):
         q, k, v, lengths,
         causal=cfg.causal, q_offsets=q_offsets, sm_scale=cfg.sm_scale,
         block_q=cfg.block_q, block_k=cfg.block_k, window=cfg.window,
-        interpret=cfg.interpret,
+        sinks=cfg.sinks, interpret=cfg.interpret,
     )
 
 
@@ -474,7 +500,7 @@ def _flash_core_fwd(cfg: _FAConfig, q, k, v, lengths, q_offsets):
         q, k, v, lengths,
         causal=cfg.causal, q_offsets=q_offsets, sm_scale=cfg.sm_scale,
         block_q=cfg.block_q, block_k=cfg.block_k, window=cfg.window,
-        interpret=cfg.interpret, return_lse=True,
+        sinks=cfg.sinks, interpret=cfg.interpret, return_lse=True,
     )
     return o, (q, k, v, lengths, q_offsets, o, lse)
 
@@ -484,7 +510,7 @@ def _flash_core_bwd(cfg: _FAConfig, res, do):
     dq, dk, dv = flash_prefill_bwd(
         q, k, v, o, lse, do, lengths, q_offsets,
         causal=cfg.causal, sm_scale=cfg.sm_scale, window=cfg.window,
-        block_q=cfg.bwd_block_q, block_k=cfg.bwd_block_k,
+        sinks=cfg.sinks, block_q=cfg.bwd_block_q, block_k=cfg.bwd_block_k,
         interpret=cfg.interpret,
     )
     # integer args carry float0 cotangents
@@ -506,6 +532,7 @@ def flash_attention(
     q_offsets: jax.Array | None = None,
     sm_scale: float | None = None,
     window: int | None = None,
+    sinks: int = 0,  # StreamingLLM attention sinks (with window)
     block_q: int = 1024,
     block_k: int = 1024,
     bwd_block_q: int = 1024,
@@ -529,6 +556,7 @@ def flash_attention(
         causal=causal,
         sm_scale=None if sm_scale is None else float(sm_scale),
         window=window,
+        sinks=int(sinks),
         block_q=block_q,
         block_k=block_k,
         bwd_block_q=bwd_block_q,

@@ -52,7 +52,7 @@ def _use_interpret() -> bool:
 
 def _attend_block(
     lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
-    *, group, block_start, lens, nb, qspan=1, window=None, scale=None,
+    *, group, block_start, lens, nb, qspan=1, window=None, sinks=0, scale=None,
 ):
     """One KV block's online-softmax update into the (m, l, acc) scratch.
 
@@ -107,8 +107,12 @@ def _attend_block(
     valid = kv_pos < len_b
     if window is not None:
         # sliding window (Mistral-style): the query at position len_b - 1
-        # attends KV positions [len_b - window, len_b)
-        valid = jnp.logical_and(valid, kv_pos >= len_b - window)
+        # attends KV positions [len_b - window, len_b); with attention
+        # sinks (StreamingLLM), the first `sinks` positions stay attendable
+        in_band = kv_pos >= len_b - window
+        if sinks:
+            in_band = jnp.logical_or(in_band, kv_pos < sinks)
+        valid = jnp.logical_and(valid, in_band)
     s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_s[...]  # (NB, Hkv, G, LANES), lanes equal
@@ -220,9 +224,11 @@ def _decode_kernel_fused(
     batch_block: int,
     qspan: int = 1,
     window: int | None = None,
+    sink_blocks: int = 0,
+    sinks: int = 0,
     scale: float | None = None,
 ):
-    blk = pl.program_id(1)  # grid = (groups, blocks)
+    blk = pl.program_id(1)  # grid = (groups, sink_blocks + blocks)
     group = pl.program_id(0)
     nb = batch_block
 
@@ -237,18 +243,33 @@ def _decode_kernel_fused(
     # Sliding window: walk only blocks that intersect the group's window
     # band [group_win_start, group_max). The index map shifts the fetch by
     # the same first-block offset (must stay in lockstep with _win_first).
+    # Attention sinks prepend `sink_blocks` iterations visiting blocks
+    # 0..sink_blocks-1 — skipped when the band walk already covers them
+    # (first <= blk), so no block is ever attended twice.
     first = _win_first(lens, nb, qspan, window, block_k)
-    block_start = (first + blk) * block_k
+    if sink_blocks:
+        in_sink = blk < sink_blocks
+        block_start = jnp.where(
+            in_sink, blk * block_k, (first + blk - sink_blocks) * block_k
+        )
+        should_run = jnp.where(
+            in_sink,
+            jnp.logical_and(blk < first, block_start < group_max),
+            block_start < group_max,
+        )
+    else:
+        block_start = (first + blk) * block_k
+        should_run = block_start < group_max
 
-    @pl.when(block_start < group_max)
+    @pl.when(should_run)
     def _attend():
         _attend_block(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
-            qspan=qspan, window=window, scale=scale,
+            qspan=qspan, window=window, sinks=sinks, scale=scale,
         )
 
-    @pl.when(blk == blocks_per_split - 1)
+    @pl.when(blk == sink_blocks + blocks_per_split - 1)
     def _emit():
         l = l_s[..., :1]  # (NB, Hkv, G, 1)
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -473,6 +494,7 @@ def _flash_decode_fused(
     qspan: int = 1,
     max_len_hint: int | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Single-split decode with the normalize epilogue fused in-kernel.
 
@@ -532,6 +554,10 @@ def _flash_decode_fused(
     lengths = lengths.astype(jnp.int32)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
+    if sinks and window is None:
+        raise ValueError("attention sinks require a sliding window")
+    sink_blocks = -(-sinks // block_k) if (sinks and window is not None) else 0
+
     kernel = functools.partial(
         _decode_kernel_fused,
         block_k=block_k,
@@ -539,6 +565,8 @@ def _flash_decode_fused(
         batch_block=nb,
         qspan=qspan,
         window=window,
+        sink_blocks=sink_blocks,
+        sinks=sinks,
         scale=kscale,
     )
 
@@ -548,14 +576,17 @@ def _flash_decode_fused(
         # verify mode: the last query row attends qspan-1 rows past `lengths`
         last_valid = jnp.maximum((gmax + qspan - 1 + block_k - 1) // block_k - 1, 0)
         # sliding window: shift the walk to the group's first in-band block
-        # (stays in lockstep with the kernel body's _win_first)
+        # (stays in lockstep with the kernel body's _win_first); sink
+        # iterations (ki < sink_blocks) fetch blocks 0.. directly
         first = _win_first(lens_g, nb, qspan, window, block_k)
-        blk = jnp.clip(first + ki, 0, last_valid)
+        blk = jnp.clip(first + ki - sink_blocks, 0, last_valid)
+        if sink_blocks:
+            blk = jnp.where(ki < sink_blocks, jnp.minimum(ki, last_valid), blk)
         return (layer_ref[0], gi, 0, blk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b // nb, blocks),
+        grid=(b // nb, sink_blocks + blocks),
         in_specs=[
             pl.BlockSpec(
                 (nb, hkv, ge, d), lambda gi, ki, *_: (gi, 0, 0, 0),
@@ -611,6 +642,7 @@ def flash_verify(
     interpret: bool | None = None,
     max_len_hint: int | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Multi-query decode attention for speculative-decoding VERIFY steps.
 
@@ -631,7 +663,7 @@ def flash_verify(
         layer=layer, sm_scale=sm_scale, block_k=block_k,
         batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
         interpret=interpret, qspan=q.shape[2], max_len_hint=max_len_hint,
-        window=window,
+        window=window, sinks=sinks,
     )
 
 
@@ -651,9 +683,14 @@ def flash_decode(
     interpret: bool | None = None,
     max_len_hint: int | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Decode attention: (B, Hq, D) query vs (B, Hkv, S, D) cache — or a
     whole (L, B, Hkv, S, D) table plus ``layer`` — → (B, Hq, D).
+
+    ``sinks`` (static, with ``window``): StreamingLLM attention sinks — the
+    first ``sinks`` cache positions stay attendable outside the window
+    (extra prepended walk iterations cover their blocks).
 
     The public analog of the reference's ``mha_fwd_cuda`` attention core
     (flash_api.cpp:42-68) with GQA, ragged ``lengths``, quantized caches, and
@@ -671,12 +708,15 @@ def flash_decode(
             "sliding-window attention requires num_splits=1 (the fused "
             "kernel); splitting a windowed band across the cache buys nothing"
         )
+    if sinks and window is None:
+        raise ValueError("attention sinks require a sliding window")
     if eff_splits == 1:
         return _flash_decode_fused(
             q, k_cache, v_cache, lengths,
             layer=layer, sm_scale=sm_scale, block_k=block_k,
             batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
             interpret=interpret, max_len_hint=max_len_hint, window=window,
+            sinks=sinks,
         )
     # the split path partitions the WHOLE cache across splits; the grid hint
     # only applies to the fused single-split serving path

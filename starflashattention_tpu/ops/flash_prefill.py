@@ -67,6 +67,7 @@ def _pick_chains(rows: int) -> int:
 def _prefill_kernel(
     lengths_ref,  # (B,) int32 SMEM — full array, indexed by program_id
     q_off_ref,  # (B,) int32 SMEM — absolute position of q row 0 per sequence
+    kv_off_ref,  # (1,) int32 SMEM — global position of kv column 0 (ring CP)
     q_ref,  # (1, G, Bq, D) — pre-scaled by sm_scale * log2(e)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
@@ -80,6 +81,7 @@ def _prefill_kernel(
     causal: bool,
     chains: int,
     window: int | None,
+    sinks: int = 0,
     with_lse: bool = False,
 ):
     lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (None, rest)
@@ -101,6 +103,10 @@ def _prefill_kernel(
 
     length = lengths_ref[batch]
     offset = q_off_ref[batch]
+    # chunk-local -> global kv position shift (nonzero only under ring CP);
+    # the window/causal clauses are translation-invariant (row - col), but
+    # the sink boundary is ABSOLUTE, so it must shift with the chunk
+    sink_lo = kv_off_ref[0]
     kv_start = ki * block_k
     q_row0 = offset + qi * block_q  # absolute position of this tile's row 0
 
@@ -112,10 +118,12 @@ def _prefill_kernel(
         in_band = True
     if window is not None:
         # sliding window: skip tiles entirely BELOW the band — every column
-        # of the tile precedes even the first q row's window start
-        in_band = jnp.logical_and(
-            in_band, kv_start + block_k - 1 >= q_row0 - (window - 1)
-        )
+        # of the tile precedes even the first q row's window start. With
+        # attention sinks, tiles holding sink columns always run.
+        below_ok = kv_start + block_k - 1 >= q_row0 - (window - 1)
+        if sinks:
+            below_ok = jnp.logical_or(below_ok, kv_start < sinks - sink_lo)
+        in_band = jnp.logical_and(in_band, below_ok)
     should_run = jnp.logical_and(in_band, kv_start < length)
     # Interior tiles need no masking: every kv column is <= every q row
     # (fully below the diagonal) and < length.
@@ -123,10 +131,11 @@ def _prefill_kernel(
     if causal:
         no_mask = jnp.logical_and(no_mask, kv_start + block_k - 1 <= q_row0)
     if window is not None:
-        # ... and inside every row's window
-        no_mask = jnp.logical_and(
-            no_mask, kv_start >= q_row0 + block_q - 1 - (window - 1)
-        )
+        # ... and inside every row's window (or entirely inside the sinks)
+        win_ok = kv_start >= q_row0 + block_q - 1 - (window - 1)
+        if sinks:
+            win_ok = jnp.logical_or(win_ok, kv_start + block_k <= sinks - sink_lo)
+        no_mask = jnp.logical_and(no_mask, win_ok)
 
     def _attend(masked: bool):
         d = q_ref.shape[-1]
@@ -156,7 +165,10 @@ def _prefill_kernel(
                     if causal:
                         mask = jnp.logical_and(mask, col <= row)
                     if window is not None:
-                        mask = jnp.logical_and(mask, col > row - window)
+                        w_ok = col > row - window
+                        if sinks:
+                            w_ok = jnp.logical_or(w_ok, col < sinks - sink_lo)
+                        mask = jnp.logical_and(mask, w_ok)
                 s = jnp.where(mask, s, NEG_INF)
             return s
 
@@ -239,6 +251,8 @@ def flash_prefill(
     block_q: int = 1024,
     block_k: int = 1024,
     window: int | None = None,  # sliding window (Mistral-style), in rows
+    sinks: int = 0,  # StreamingLLM attention sinks (first-k positions)
+    kv_offset: jax.Array | int = 0,  # global position of k[:, :, 0] (ring CP)
     chains: int | None = None,  # softmax-chain count override (None = auto)
     interpret: bool | None = None,
     return_lse: bool = False,  # also return per-row base-2 LSE (B, Hq, Sq)
@@ -278,6 +292,7 @@ def flash_prefill(
     if q_offsets is None:
         q_offsets = jnp.zeros((b,), jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
+    kv_off = jnp.asarray(kv_offset, jnp.int32).reshape(1)
 
     # Fold sm_scale and the base-2 conversion into q once (f32 mul, then back
     # to the compute dtype) — the kernel's softmax runs in exp2 units.
@@ -308,6 +323,8 @@ def flash_prefill(
         chains //= 2
     sub = rows // chains
 
+    if sinks and window is None:
+        raise ValueError("attention sinks require a sliding window")
     kernel = functools.partial(
         _prefill_kernel,
         group=g,
@@ -317,6 +334,7 @@ def flash_prefill(
         causal=causal,
         chains=chains,
         window=window,
+        sinks=sinks,
         with_lse=return_lse,
     )
 
@@ -359,6 +377,7 @@ def flash_prefill(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, g, block_q, d),
                 lambda bi, hi, qi, ki: (bi, hi, qi, 0),
@@ -383,7 +402,7 @@ def flash_prefill(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, q_offsets, q, k, v)
+    )(lengths, q_offsets, kv_off, q, k, v)
 
     if return_lse:
         o, lse = out

@@ -98,6 +98,8 @@ def _paged_decode_kernel(
     page_size: int,
     hkv: int,
     window: int | None = None,
+    sink_blocks: int = 0,
+    sinks: int = 0,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bk = ppcb * page_size
@@ -109,19 +111,33 @@ def _paged_decode_kernel(
     # waiting on semaphores signaled by the wrong pages (silent cross-sequence
     # corruption). The masked block reads the null page and contributes
     # nothing (p is masked to 0 below), yielding a safe zero output.
-    num_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
 
     def start_blk(ln):
         # Sliding window: the walk starts at the first block intersecting
         # [ln - window, ln) — blocks (and pages) below it are never fetched,
         # which is what lets the engine FREE out-of-window pages (the same
         # bk-granular bound: serving/engine.PagedEngine reclaims page j only
-        # once (j+1)·page_size <= (ln - window) // bk * bk).
+        # once (j+1)·page_size <= (ln - window) // bk * bk; with sinks the
+        # engine additionally retains pages below the sink boundary).
         if window is None:
             return 0
         return jnp.maximum(ln - window, 0) // bk
 
-    first = start_blk(length)
+    def walk(ln, step):
+        """Physical KV block visited at walk index `step` for a sequence of
+        length `ln`: with attention sinks the walk is two segments — sink
+        blocks 0..ns-1 first (ns = how many sink blocks the band does NOT
+        already cover), then the window band from its first block."""
+        first = start_blk(ln)
+        if not sink_blocks:
+            return first + step, num_blocks_for(ln) - first
+        ns = jnp.minimum(sink_blocks, first)
+        blk = jnp.where(step < ns, step, first + step - ns)
+        return blk, num_blocks_for(ln) - first + ns
+
+    def num_blocks_for(ln):
+        return jnp.maximum(pl.cdiv(ln, bk), 1)
+
     lidx = layer_ref[0]
 
     def copies(bb, blk, slot):
@@ -134,23 +150,26 @@ def _paged_decode_kernel(
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _first():
         buf_i_ref[0] = 0
-        ck, cv = copies(0, first, 0)
+        ck, cv = copies(0, walk(lengths_ref[0], 0)[0], 0)
         ck.start()
         cv.start()
 
-    blk = first + i  # physical KV block this cell covers (walk is shifted)
+    blk, walk_len = walk(length, i)  # physical KV block this cell covers
 
-    @pl.when(blk < num_blocks)
+    @pl.when(i < walk_len)
     def _run():
         slot = buf_i_ref[0]
 
-        # Prefetch the next valid (b, blk) cell's pages into the other slot
-        # (the next sequence starts at ITS OWN first in-band block).
-        next_in_seq = blk + 1 < num_blocks
+        # Prefetch the next valid cell's pages into the other slot (the
+        # next sequence starts at ITS OWN walk start — sink block 0 if it
+        # has out-of-band sinks, else its first in-band block).
+        next_in_seq = i + 1 < walk_len
         nb = jnp.where(next_in_seq, b, b + 1)
         has_next = nb < batch_size
         nb_c = jnp.minimum(nb, batch_size - 1)  # safe lengths_ref index
-        ni = jnp.where(next_in_seq, blk + 1, start_blk(lengths_ref[nb_c]))
+        ni = jnp.where(
+            next_in_seq, walk(length, i + 1)[0], walk(lengths_ref[nb_c], 0)[0]
+        )
 
         @pl.when(has_next)
         def _prefetch():
@@ -181,8 +200,12 @@ def _paged_decode_kernel(
         valid = kv_pos < length
         if window is not None:
             # Mistral-style band: the query at position length - 1 attends
-            # KV positions [length - window, length)
-            valid = jnp.logical_and(valid, kv_pos >= length - window)
+            # KV positions [length - window, length) — plus the first
+            # `sinks` positions when attention sinks are on
+            in_band = kv_pos >= length - window
+            if sinks:
+                in_band = jnp.logical_or(in_band, kv_pos < sinks)
+            valid = jnp.logical_and(valid, in_band)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_s[...]
@@ -231,8 +254,14 @@ def paged_flash_decode(
     interpret: bool | None = None,
     max_len_hint: int | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Paged decode attention → (B, Hq, D).
+
+    ``sinks`` (static, with ``window``): StreamingLLM attention sinks — the
+    first ``sinks`` positions stay attendable outside the window; the page
+    walk gains up to ``ceil(sinks/block)`` prepended steps and the engine
+    keeps sink pages out of rolling-buffer reclamation.
 
     ``max_len_hint`` (static): caller-guaranteed bound on ``lengths`` —
     shrinks the page-walk grid to ``ceil(ceil(hint/page_size)/ppcb)`` steps
@@ -276,10 +305,17 @@ def paged_flash_decode(
     if max_len_hint is not None:
         hint_pages = -(-min(max_len_hint, pages_per_seq * page_size) // page_size)
         max_blocks = max(min(max_blocks, -(-hint_pages // ppcb)), 1)
+    if sinks and window is None:
+        raise ValueError("attention sinks require a sliding window")
+    sink_blocks = 0
     if window is not None:
-        # shifted walk visits at most ceil(window/bk) + 1 blocks per sequence
+        # shifted walk visits at most ceil(window/bk) + 1 blocks per
+        # sequence, plus the prepended sink blocks
         bk = ppcb * page_size
-        max_blocks = max(min(max_blocks, -(-window // bk) + 1), 1)
+        sink_blocks = -(-sinks // bk) if sinks else 0
+        max_blocks = max(
+            min(max_blocks, -(-window // bk) + 1 + sink_blocks), 1
+        )
 
     # Fold sm_scale (and K dequant scale) into q; V scale into the output.
     q4 = q.reshape(b, hkv, g, d)
@@ -296,6 +332,8 @@ def paged_flash_decode(
         page_size=page_size,
         hkv=hkv,
         window=window,
+        sink_blocks=sink_blocks,
+        sinks=sinks,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

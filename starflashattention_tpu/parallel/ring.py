@@ -63,6 +63,7 @@ class _RingConfig(NamedTuple):
     causal: bool
     sm_scale: float | None
     window: int | None
+    sinks: int
     block_q: int
     block_k: int
     bwd_block_q: int
@@ -123,6 +124,8 @@ def _ring_forward(cfg: _RingConfig, q, k, v, lengths):
             q_offsets=jnp.full((b,), my_start - chunk_start, jnp.int32),
             sm_scale=cfg.sm_scale,
             window=cfg.window,
+            sinks=cfg.sinks,
+            kv_offset=chunk_start,
             block_q=cfg.block_q,
             block_k=cfg.block_k,
             interpret=cfg.interpret,
@@ -183,6 +186,8 @@ def _ring_core_bwd(cfg, res, do):
             causal=cfg.causal,
             sm_scale=cfg.sm_scale,
             window=cfg.window,
+            sinks=cfg.sinks,
+            kv_offset=chunk_start,
             block_q=cfg.bwd_block_q,
             block_k=cfg.bwd_block_k,
             interpret=cfg.interpret,
@@ -214,6 +219,7 @@ def ring_attention(
     causal: bool = True,
     sm_scale: float | None = None,
     window: int | None = None,
+    sinks: int = 0,
     block_q: int = 1024,
     block_k: int = 1024,
     bwd_block_q: int = 1024,
@@ -241,6 +247,7 @@ def ring_attention(
         causal=causal,
         sm_scale=None if sm_scale is None else float(sm_scale),
         window=window,
+        sinks=int(sinks),
         block_q=block_q,
         block_k=block_k,
         bwd_block_q=bwd_block_q,
@@ -295,6 +302,7 @@ def _zigzag_ring(q, k, v, lengths, *, axis_name, n, **kw):
     causal = kw.get("causal", True)
     sm_scale = kw.get("sm_scale", None)
     window = kw.get("window", None)
+    sinks = kw.get("sinks", 0)
     interpret = kw.get("interpret", None)
     block_q = kw.get("block_q", 1024)
     block_k = kw.get("block_k", 1024)
@@ -332,6 +340,8 @@ def _zigzag_ring(q, k, v, lengths, *, axis_name, n, **kw):
                     q_offsets=jnp.full((b,), q_start - kv_start, jnp.int32),
                     sm_scale=sm_scale,
                     window=window,
+                    sinks=sinks,
+                    kv_offset=kv_start,
                     block_q=block_q,
                     block_k=block_k,
                     interpret=interpret,
@@ -356,6 +366,7 @@ def make_ring_prefill(
     causal: bool = True,
     sm_scale: float | None = None,
     window: int | None = None,
+    sinks: int = 0,
     balanced: bool = False,
     block_q: int = 1024,
     block_k: int = 1024,
@@ -375,7 +386,7 @@ def make_ring_prefill(
     """
     n = mesh.shape[seq_axis]
     kw = dict(
-        causal=causal, sm_scale=sm_scale, window=window,
+        causal=causal, sm_scale=sm_scale, window=window, sinks=sinks,
         block_q=block_q, block_k=block_k,
     )
 

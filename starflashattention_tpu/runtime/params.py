@@ -38,6 +38,9 @@ class AttentionConfig:
     # Mistral-style sliding-window attention: each position attends only the
     # last `sliding_window` positions. None = full attention.
     sliding_window: int | None = None
+    # StreamingLLM attention sinks: with a sliding window, the first
+    # `attention_sinks` positions stay attendable forever.
+    attention_sinks: int = 0
 
     def __post_init__(self):
         if self.num_q_heads % self.num_kv_heads:
@@ -90,6 +93,12 @@ class ModelConfig:
     # page walk). The paged engine additionally reclaims out-of-window pages
     # (rolling-buffer KV, serving/engine.PagedEngine._reclaim_window).
     sliding_window: int | None = None
+    # StreamingLLM attention sinks (https://arxiv.org/abs/2309.17453): with
+    # a sliding window, the first `attention_sinks` positions stay
+    # attendable forever — the bounded-memory infinite-context recipe. The
+    # kernels prepend sink blocks to their (band-shifted) KV walks; the
+    # paged engine keeps sink pages out of rolling-buffer reclamation.
+    attention_sinks: int = 0
     # Fused-QKV projection bias (Qwen2-style; the reference ACCEPTS q/k/v
     # biases in its API but never applies them, flash_api.cpp:8-9 /
     # SURVEY.md §2.9h — here they are real).
@@ -118,6 +127,16 @@ class ModelConfig:
     # activation quant error (measured at 7B by benchmarks/quant_accuracy.py).
     w8a8_prefill: bool = False
 
+    def __post_init__(self):
+        if self.attention_sinks:
+            if self.sliding_window is None:
+                raise ValueError(
+                    "attention_sinks require sliding_window (sinks only "
+                    "matter when a window would evict the early positions)"
+                )
+            if self.attention_sinks < 0:
+                raise ValueError("attention_sinks must be >= 0")
+
     def attention(self) -> AttentionConfig:
         return AttentionConfig(
             num_q_heads=self.num_q_heads,
@@ -131,6 +150,7 @@ class ModelConfig:
             pages_per_compute_block=self.pages_per_compute_block,
             quant_mode=self.quant_mode,
             sliding_window=self.sliding_window,
+            attention_sinks=self.attention_sinks,
         )
 
     @classmethod

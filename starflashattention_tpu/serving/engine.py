@@ -857,6 +857,11 @@ class PagedEngine(Engine):
         # kernel's shifted walk never reads below the band). Pool usage per
         # windowed sequence is O(window), not O(generated length).
         self._reclaimed = np.zeros((num_slots,), np.int64)
+        # Attention sinks (cfg.attention_sinks): private pages backing the
+        # sink region are PINNED — detached from the handle (so prefix
+        # releases can free the band behind them) but owned by the engine
+        # and written into the table at their logical positions forever.
+        self._sink_pages: list[list[int]] = [[] for _ in range(num_slots)]
         # Walk-block granularity — must match paged_flash_decode's ppcb
         # adjustment so reclamation stays strictly below the kernel's walk.
         ppcb = min(cfg.pages_per_compute_block, self.pages_per_seq)
@@ -951,11 +956,13 @@ class PagedEngine(Engine):
         row = np.zeros((self.pages_per_seq,), np.int32)
         shared = self._cached_pages[slot]
         row[: len(shared)] = shared
+        sink = self._sink_pages[slot]
+        row[len(shared) : len(shared) + len(sink)] = sink
         if slot in self._handles:
             pages = self._pool_for(slot).seq_pages(self._handles[slot])
             # reclaimed (out-of-window) logical pages stay null between the
-            # shared prefix and the handle's surviving pages
-            off = len(shared) + int(self._reclaimed[slot])
+            # shared-prefix/pinned-sink pages and the handle's surviving tail
+            off = len(shared) + len(sink) + int(self._reclaimed[slot])
             row[off : off + len(pages)] = pages
         self._host_table[slot] = row
         self._table_dirty = True
@@ -970,7 +977,8 @@ class PagedEngine(Engine):
         private = max(
             int(new_len)
             - int(self._cached_len[slot])
-            - int(self._reclaimed[slot]) * self.page_size,
+            - (len(self._sink_pages[slot]) + int(self._reclaimed[slot]))
+            * self.page_size,
             0,
         )
         pool = self._pool_for(slot)
@@ -992,6 +1000,9 @@ class PagedEngine(Engine):
         handle = self._handles.pop(slot, None)
         if handle is not None:
             self._pool_for(slot).seq_free(handle)
+        if self._sink_pages[slot]:
+            self._pool_for(slot).free_raw(self._sink_pages[slot])
+            self._sink_pages[slot] = []
         if self._prefix is not None and self._cached_pages[slot]:
             self._prefix.release(self._cached_pages[slot])
         self._cached_pages[slot] = []
@@ -1118,20 +1129,40 @@ class PagedEngine(Engine):
         if w is None:
             return
         wp = self._walk_block_pages
+        bk = wp * self.page_size
+        # logical pages the kernel's prepended sink walk keeps visiting —
+        # never freed (pinned into _sink_pages instead)
+        sink_lp = (-(-self.cfg.attention_sinks // bk)) * wp \
+            if self.cfg.attention_sinks else 0
         for slot in list(self._admit_order):
             if not active[slot] or slot not in self._handles:
                 continue
             pre_len = int(self._host_len[slot])  # pre-round: conservative
-            start_blk = max(pre_len - w, 0) // (wp * self.page_size)
-            freeable = start_blk * wp  # logical pages strictly below the walk
+            start_blk = max(pre_len - w, 0) // bk
+            freeable = start_blk * wp  # logical pages strictly below the band
             p0 = int(self._cached_len[slot]) // self.page_size
             pool = self._pool_for(slot)
             handle = self._handles[slot]
-            n = max(freeable - p0 - int(self._reclaimed[slot]), 0)
+            changed = False
+            # first logical page still owned by the handle
+            cur = p0 + len(self._sink_pages[slot]) + int(self._reclaimed[slot])
+            pin = min(
+                max(min(freeable, sink_lp) - cur, 0),
+                len(pool.seq_pages(handle)),
+            )
+            if pin > 0:
+                self._sink_pages[slot].extend(
+                    pool.seq_release_prefix(handle, pin)
+                )
+                cur += pin
+                changed = True
+            n = max(freeable - max(cur, sink_lp), 0)
             n = min(n, len(pool.seq_pages(handle)))
             if n > 0:
                 pool.free_raw(pool.seq_release_prefix(handle, n))
                 self._reclaimed[slot] += n
+                changed = True
+            if changed:
                 self._write_row(slot)
 
     def _before_decode(self, active: np.ndarray) -> np.ndarray:
@@ -1177,8 +1208,11 @@ class PagedEngine(Engine):
         # prefix and the first surviving private page.
         reclaimed_below = None
         if self.cfg.sliding_window is not None:
+            sink_kept = np.asarray(
+                [len(s) for s in self._sink_pages], np.int64
+            )
             reclaimed_below = (
-                self._cached_len // self.page_size + self._reclaimed
+                self._cached_len // self.page_size + sink_kept + self._reclaimed
             )
         sanitize.check_page_table(
             self._host_table, self._host_len, self.page_size, self.num_pages,
