@@ -743,6 +743,29 @@ def windowed_decode_bench(quick: bool = False):
         },
     )
 
+    # attention sinks (StreamingLLM): window + pinned first-k positions —
+    # the walk gains ceil(sinks/block) prepended iterations on both
+    # kernels; the tax should be ~one extra block of fetch + bookkeeping
+    sk = 64
+    for name, fn, args, base_ms in (
+        (f"windowed_sink_decode_seq{s}_w{w}_k{sk}",
+         lambda q, k, v, lengths: q + flash_decode(
+             q, k, v, lengths, num_splits=1, block_k=256, window=w, sinks=sk
+         ).astype(q.dtype) * jnp.bfloat16(1e-3),
+         (q0, k, v, lengths), per),
+        (f"windowed_sink_paged_decode_seq{s}_w{w}_k{sk}",
+         lambda q, kp, vp, pt, lengths: q + paged_flash_decode(
+             q, kp, vp, pt, lengths, pages_per_compute_block=ppcb,
+             window=w, sinks=sk,
+         ).astype(q.dtype) * jnp.bfloat16(1e-3),
+         (q0, kp, vp, pt, lengths), per_p),
+    ):
+        per_s, _ = time_scanned(fn, *args, iters=64)
+        _emit(
+            name, per_s,
+            {"vs_windowed": round(per_s / base_ms, 3)},
+        )
+
 
 def paged_serving_bench(quick: bool = False):
     """BASELINE config 3 as a SERVING path (not a kernel microbench): the
