@@ -296,12 +296,19 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def _swiglu(x: jax.Array, proj) -> jax.Array:
+def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None) -> jax.Array:
+    from starflashattention_tpu.models.lora import delta_multi
+
     gu = proj(x, "w_gate_up", out_dtype=x.dtype)
+    if lora_l is not None:
+        gu = gu + delta_multi(x, lora_l, "w_gate_up", lora_sel)
     inter = gu.shape[-1] // 2
     gate, up = gu[..., :inter], gu[..., inter:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return proj(act, "w_down")  # fp32 (psum'd before cast under TP)
+    out = proj(act, "w_down")  # fp32 (psum'd before cast under TP)
+    if lora_l is not None:
+        out = out + delta_multi(act, lora_l, "w_down", lora_sel)
+    return out
 
 
 def _moe_mlp(
@@ -411,13 +418,15 @@ def _mlp_block(
     axis_name: str | None = None,
     layers: Params | None = None,
     lidx=None,
+    lora_l=None,
+    lora_sel=None,
 ) -> jax.Array:
     """Dense SwiGLU or MoE, by config — fp32 out, psum'd by the caller.
     ``layers``/``lidx`` give MoE access to stacked quantized expert dicts
     (excluded from the scan xs exactly like the attention quant dicts)."""
     if cfg.num_experts:
         return _moe_mlp(x, lp, cfg, axis_name, layers=layers, lidx=lidx)
-    return _swiglu(x, proj)
+    return _swiglu(x, proj, lora_l=lora_l, lora_sel=lora_sel)
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
@@ -476,6 +485,8 @@ def _decode_core(
     axis_name: str | None = None,
     active: jax.Array | None = None,  # (B,) bool — slots that really decode
     max_len_hint: int | None = None,  # static bound on lengths (see flash_decode)
+    lora: dict | None = None,  # stacked adapters (lora.stack_adapters)
+    lora_sel: jax.Array | None = None,  # (B, N) one-hot (zero row = base)
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """One decode step: (B,) token ids → (B, V) fp32 logits + updated cache.
 
@@ -503,16 +514,24 @@ def _decode_core(
         _decode_layer, layers=layers, cfg=cfg, cos=cos, sin=sin, pos=pos,
         att_lengths=att_lengths, k_scales_tab=cache.k_scales,
         v_scales_tab=cache.v_scales, axis_name=axis_name,
-        max_len_hint=max_len_hint,
+        max_len_hint=max_len_hint, lora_sel=lora_sel,
     )
 
-    def layer_body(carry, layer_in):
-        lp, lidx = layer_in
-        return body(carry, lp, lidx, lidx), None
-
     layer_idx = jnp.arange(cfg.num_layers)
+    if lora is None:
+        def layer_body(carry, layer_in):
+            lp, lidx = layer_in
+            return body(carry, lp, lidx, lidx), None
+
+        xs = (_scan_xs_layers(layers), layer_idx)
+    else:
+        def layer_body(carry, layer_in):
+            lp, lidx, ll = layer_in
+            return body(carry, lp, lidx, lidx, lora_l=ll), None
+
+        xs = (_scan_xs_layers(layers), layer_idx, lora["layers"])
     (x, k_all, v_all), _ = jax.lax.scan(
-        layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
+        layer_body, (x, cache.k, cache.v), xs
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=lengths_now)
     return _logits(x, params, cfg, axis_name=axis_name), cache
@@ -531,6 +550,8 @@ def _decode_layer(
     k_scales_tab=None, v_scales_tab=None,
     axis_name: str | None = None,
     max_len_hint: int | None = None,
+    lora_l=None,  # per-layer stacked-adapter slice (multi-LoRA serving)
+    lora_sel=None,  # (B, N) one-hot adapter selector
 ):
     """One decoder layer of the decode step: (x, k_table, v_table) → same.
 
@@ -538,12 +559,16 @@ def _decode_layer(
     stage loop (parallel/pp.py) so every parallelism strategy runs literally
     the same per-layer program.
     """
+    from starflashattention_tpu.models.lora import delta_multi
+
     x, k_all, v_all = carry
     proj = _make_proj(layers, lp, param_lidx, cfg, axis_name)
 
     # Attention
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
     qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+    if lora_l is not None:
+        qkv = qkv + delta_multi(h, lora_l, "wqkv", lora_sel)
     if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
         qkv = qkv + lp["bqkv"]
     q, k_new, v_new = _split_heads_decode(qkv, cfg)
@@ -580,13 +605,16 @@ def _decode_layer(
     )  # (B, Hq, D)
     o = o.reshape(o.shape[0], -1)
     attn_out = proj(o, "wo")
+    if lora_l is not None:
+        attn_out = attn_out + delta_multi(o, lora_l, "wo", lora_sel)
     if axis_name is not None:
         attn_out = jax.lax.psum(attn_out, axis_name)
     x = x + attn_out.astype(x.dtype)
 
     # MLP
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=param_lidx)
+    mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
+                         lidx=param_lidx, lora_l=lora_l, lora_sel=lora_sel)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
     x = x + mlp_out.astype(x.dtype)
@@ -623,6 +651,8 @@ def _prefill_core(
     cfg: ModelConfig,
     axis_name: str | None = None,
     active: jax.Array | None = None,  # (B,) bool — rows being prefilled
+    lora: dict | None = None,  # stacked adapters (lora.stack_adapters)
+    lora_sel: jax.Array | None = None,  # (B, N) one-hot (zero row = base)
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Prompt ingestion: returns (B, V) fp32 logits at each row's LAST valid
     token + the filled cache. One jitted program (TTFT path).
@@ -640,13 +670,21 @@ def _prefill_core(
 
     layers = params["layers"]
 
+    from starflashattention_tpu.models.lora import delta_multi
+
     def layer_body(carry, layer_in):
         x, k_all, v_all = carry
-        lp, lidx = layer_in
+        if lora is None:
+            lp, lidx = layer_in
+            ll = None
+        else:
+            lp, lidx, ll = layer_in
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if ll is not None:
+            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
@@ -689,20 +727,26 @@ def _prefill_core(
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
+        if ll is not None:
+            attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
+                             lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
+    xs = (_scan_xs_layers(layers), layer_idx)
+    if lora is not None:
+        xs = xs + (lora["layers"],)
     (x, k_all, v_all), _ = jax.lax.scan(
-        layer_body, (x, cache.k, cache.v), (_scan_xs_layers(layers), layer_idx)
+        layer_body, (x, cache.k, cache.v), xs
     )
     cache = dataclasses.replace(cache, k=k_all, v=v_all, lengths=kv_lengths)
     # Logits at the last valid token of each row.
@@ -738,6 +782,8 @@ def _decode_multi_core(
     sampling: dict | None = None,
     with_logprobs: bool = False,
     max_len_hint: int | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple:
     """``n_steps`` decode steps in ONE program → (tokens (B, n),
     next pending token, cache[, logprobs (B, n) f32]). ``axis_name`` set =
@@ -754,6 +800,7 @@ def _decode_multi_core(
         logits, cache = _decode_core(
             params, cache, tok, cos, sin, cfg, axis_name=axis_name,
             active=active, max_len_hint=max_len_hint,
+            lora=lora, lora_sel=lora_sel,
         )
         if sampling is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -794,17 +841,21 @@ def decode_multi(
     sampling: dict | None = None,
     with_logprobs: bool = False,
     max_len_hint: int | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple:
     """Single-chip jitted ``n_steps`` decode rounds.
 
     Serving uses this to amortize host↔device round-trips (the tunnel costs
     ~25 ms per readback): one dispatch + one readback per n tokens.
     ``sampling=None`` compiles the argmax-only program (the benched path);
-    passing state arrays compiles the sampled variant once.
+    passing state arrays compiles the sampled variant once. ``lora`` +
+    ``lora_sel`` run per-request adapters (multi-LoRA serving).
     """
     return _decode_multi_core(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
         with_logprobs=with_logprobs, max_len_hint=max_len_hint,
+        lora=lora, lora_sel=lora_sel,
     )
 
 
@@ -819,6 +870,8 @@ def _prefill_serving_core(
     sin: jax.Array,
     cfg: ModelConfig,
     axis_name: str | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Masked prefill for admission: ``reset`` slots restart their cache
     window at 0 before filling; ``active`` slots append this call's tokens.
@@ -831,7 +884,7 @@ def _prefill_serving_core(
     )
     return _prefill_core(
         params, cache, tokens, new_lengths, cos, sin, cfg,
-        axis_name=axis_name, active=active,
+        axis_name=axis_name, active=active, lora=lora, lora_sel=lora_sel,
     )
 
 
@@ -846,10 +899,13 @@ def prefill_serving(
     cos: jax.Array,
     sin: jax.Array,
     cfg: ModelConfig,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Single-chip jitted admission prefill."""
     return _prefill_serving_core(
-        params, cache, tokens, new_lengths, active, reset, cos, sin, cfg
+        params, cache, tokens, new_lengths, active, reset, cos, sin, cfg,
+        lora=lora, lora_sel=lora_sel,
     )
 
 

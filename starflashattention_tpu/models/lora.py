@@ -123,3 +123,78 @@ def loss_fn(base_params, lora, batch, cfg, cos, sin, *, use_flash=True,
         frozen, batch, cfg, cos, sin,
         use_flash=use_flash, remat=remat, lora=lora,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-LoRA serving (S-LoRA-style): N adapters resident, per-request select
+# ---------------------------------------------------------------------------
+
+
+def stack_adapters(loras: list[dict]) -> dict:
+    """Stack N trained adapters for multi-adapter serving.
+
+    Returns ``{"layers": {name: {"a": (L, N, in, r_max), "b": (L, N, r_max,
+    out)}}, "scale": (N,)}`` — the LAYER axis leads so the model's
+    scan-over-layers slices it like any other stacked layer param.
+    Heterogeneous ranks are zero-padded to the largest (padding b with zeros
+    leaves each adapter's delta exactly unchanged); every adapter must
+    target the same projections (train them with the same ``targets``).
+    """
+    if not loras:
+        raise ValueError("stack_adapters needs at least one adapter")
+    names = sorted(loras[0]["layers"])
+    for lr in loras[1:]:
+        if sorted(lr["layers"]) != names:
+            raise ValueError(
+                f"adapters target different projections: {names} vs "
+                f"{sorted(lr['layers'])}"
+            )
+    r_max = max(lr["layers"][names[0]]["a"].shape[-1] for lr in loras)
+    layers = {}
+    for name in names:
+        a_s, b_s = [], []
+        for lr in loras:
+            a, b = lr["layers"][name]["a"], lr["layers"][name]["b"]
+            r = a.shape[-1]
+            if r < r_max:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, r_max - r)))
+                b = jnp.pad(b, ((0, 0), (0, r_max - r), (0, 0)))
+            # fold each adapter's own alpha/r scale into b so one stacked
+            # tree serves adapters trained at different scales
+            a_s.append(a)
+            b_s.append(b * lr["scale"])
+        layers[name] = {
+            "a": jnp.stack(a_s, axis=1),  # (L, N, in, r)
+            "b": jnp.stack(b_s, axis=1),  # (L, N, r, out)
+        }
+    return {"layers": layers, "n": len(loras)}
+
+
+def delta_multi(x: jax.Array, ml: dict | None, name: str, sel) -> jax.Array | float:
+    """Per-request adapter contribution for one layer of a STACKED tree.
+
+    ``x`` is (B, in) (decode) or (B, S, in) (prefill); ``ml`` the layer
+    slice ``{name: {"a": (N, in, r), "b": (N, r, out)}}``; ``sel`` a (B, N)
+    one-hot selector (an all-zero row = base model, delta 0). Computes every
+    adapter's low-rank product then selects — at serving ranks (r <= 64)
+    and adapter counts (N <= 16) this is B·N·r·(in+out) FLOPs, noise next
+    to the base projection, and involves no gather (MXU-friendly).
+    """
+    if ml is None or name not in ml:
+        return 0.0
+    a, b = ml[name]["a"], ml[name]["b"]
+    xa = x.astype(a.dtype)
+    sel = sel.astype(a.dtype)
+    y = jnp.einsum("...i,nir->...nr", xa, a)
+    y = jnp.einsum("...nr,nro->...no", y, b)
+    if x.ndim == 2:
+        d = jnp.einsum("bno,bn->bo", y, sel)
+    else:
+        d = jnp.einsum("bsno,bn->bso", y, sel)
+    return d.astype(x.dtype)
+
+
+def adapter_onehot(idx, n: int) -> jax.Array:
+    """(B,) adapter ids (−1 = base model) → (B, N) f32 one-hot selector."""
+    idx = jnp.asarray(idx, jnp.int32)
+    return (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)

@@ -113,6 +113,7 @@ class Engine:
         spec_ngram: int = 2,
         draft_model: tuple | None = None,
         debug_validate: bool = False,
+        lora_adapters: list | None = None,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
@@ -193,6 +194,35 @@ class Engine:
         # room for the final round's discarded overshoot tokens.
         # A spec round can append up to steps*(k+1) rows per slot; the slack
         # reserves cache room for the final round's discarded overshoot.
+        # Multi-LoRA serving (S-LoRA-style): N adapters resident as one
+        # stacked tree; each request picks one (Request.adapter) or the base
+        # model. The decode/prefill programs gain a (B, N) one-hot selector
+        # and every adapter's low-rank product is computed then selected —
+        # no gathers, noise-level FLOPs at serving ranks (models/lora.py).
+        self.lora = None
+        self._n_adapters = 0
+        if lora_adapters is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "multi-LoRA serving is single-chip for now (the TP "
+                    "programs don't thread adapter operands); merge a "
+                    "single adapter for sharded serving"
+                )
+            if spec_decode is not None:
+                raise NotImplementedError(
+                    "multi-LoRA does not compose with spec_decode (the "
+                    "verify program has no adapter operands)"
+                )
+            if not getattr(self, "_supports_lora", True):
+                raise NotImplementedError(
+                    "multi-LoRA serving is contiguous-engine only for now"
+                )
+            from starflashattention_tpu.models.lora import stack_adapters
+
+            self.lora = stack_adapters(lora_adapters)
+            self._n_adapters = self.lora["n"]
+        self._slot_adapter = np.full((num_slots,), -1, np.int32)
+
         round_append = steps_per_round * (
             1 if spec_decode is None else spec_decode + 1
         )
@@ -360,6 +390,7 @@ class Engine:
         logits, self.cache = llama.prefill_serving(
             self.params, self.cache, toks, new_lengths, admit_mask,
             reset_mask, self.cos, self.sin, self.cfg,
+            lora=self.lora, lora_sel=self._lora_sel(),
         )
         if self.draft_cache is not None:
             # the draft model ingests the same prompt windows (its first-token
@@ -369,6 +400,15 @@ class Engine:
                 admit_mask, reset_mask, self.dcos, self.dsin, self.draft_cfg,
             )
         return logits
+
+    def _lora_sel(self):
+        """(B, N) one-hot selector for the current slot->adapter map, or
+        None when the engine has no resident adapters."""
+        if self.lora is None:
+            return None
+        from starflashattention_tpu.models.lora import adapter_onehot
+
+        return adapter_onehot(jnp.asarray(self._slot_adapter), self._n_adapters)
 
     def _decode_call(self, active, n, max_len_hint=None):
         if self.mesh is not None:
@@ -384,6 +424,7 @@ class Engine:
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,
                 max_len_hint=max_len_hint,
+                lora=self.lora, lora_sel=self._lora_sel(),
             )
         return self._unpack_decode(out)
 
@@ -466,6 +507,15 @@ class Engine:
             return
         for slot, req in admitted:
             self._slot_sampling[slot] = req.sampling
+            if req.adapter is not None:
+                if self.lora is None or not (0 <= req.adapter < self._n_adapters):
+                    raise ValueError(
+                        f"request adapter {req.adapter} out of range: engine "
+                        f"holds {self._n_adapters} adapters"
+                    )
+                self._slot_adapter[slot] = req.adapter
+            else:
+                self._slot_adapter[slot] = -1
         # A re-admitted (preempted) request prefills prompt + generated-so-far.
         texts = [(slot, r, r.prompt + r.output) for slot, r in admitted]
         for slot, _r, text in texts:
@@ -762,6 +812,7 @@ class Engine:
         sampling: core_sampling.SamplingParams | list | None = None,
         stop: list[list[int]] | None = None,
         on_token=None,
+        adapters: list | None = None,
     ):
         """Convenience: submit + run + collect outputs in order. ``sampling``
         is one SamplingParams for all prompts or a per-prompt list; ``stop``
@@ -774,11 +825,13 @@ class Engine:
             samp = [sampling] * len(prompts)
         else:
             samp = list(sampling)
+        if adapters is None:
+            adapters = [None] * len(prompts)
         reqs = [
             Request(uid=i, prompt=p, max_new_tokens=max_new_tokens,
                     eos_token=eos_token, sampling=s, stop=stop,
-                    on_token=on_token)
-            for i, (p, s) in enumerate(zip(prompts, samp))
+                    on_token=on_token, adapter=a)
+            for i, (p, s, a) in enumerate(zip(prompts, samp, adapters))
         ]
         for r in reqs:
             self.submit(r)
@@ -792,6 +845,8 @@ class PagedEngine(Engine):
     paged windowed-RMW kernel, and physical pages come from a per-sequence
     allocator — the native C++ page pool (native/sfa_runtime.cc:27-93) when
     built, else its Python twin (cache/paged.SeqPagePool)."""
+
+    _supports_lora = False  # paged decode cores have no adapter operands yet
 
     def __init__(
         self,
@@ -809,6 +864,7 @@ class PagedEngine(Engine):
         return_logprobs: bool = False,
         prefix_cache: bool = False,
         debug_validate: bool = False,
+        lora_adapters: list | None = None,
     ):
         """With ``mesh`` set, the page pool shards its KV-head axis over the
         model axis and its PAGE axis over the data axis: each data shard owns
@@ -872,7 +928,7 @@ class PagedEngine(Engine):
             params, cfg, num_slots, steps_per_round, prefill_pad,
             prefill_chunk=prefill_chunk, mesh=mesh,
             enable_sampling=enable_sampling, return_logprobs=return_logprobs,
-            debug_validate=debug_validate,
+            debug_validate=debug_validate, lora_adapters=lora_adapters,
         )
 
     @property

@@ -34,6 +34,9 @@ class Request:
     # each token is recorded (once per token, in order, before any stop
     # truncation). Exceptions propagate to the engine's run().
     on_token: Optional[object] = None
+    # Multi-LoRA serving: index into the engine's stacked adapters
+    # (Engine(lora_adapters=[...])); None = base model.
+    adapter: Optional[int] = None
 
     # filled by the engine
     output: list[int] = dataclasses.field(default_factory=list)
