@@ -609,6 +609,77 @@ def model_int4_decode_bench(quick: bool = False):
         del params
 
 
+def multi_lora_decode_bench(quick: bool = False):
+    """Multi-LoRA serving overhead: 7B bf16 decode step with N resident
+    adapters + per-slot selection vs the plain step. The adapter math is
+    B·N·r·(in+out) FLOPs/layer — the claim is it disappears into the
+    weight-read-bound step; this measures it."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.models import lora as lora_lib
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    batch, max_seq = 16, 1024
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=max_seq, num_splits=1, block_k=128,
+        batch_block=8,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_adapters, rank = 4, 16
+    key = jax.random.PRNGKey(7)
+    loras = []
+    for i in range(n_adapters):
+        key, k2 = jax.random.split(key)
+        lr = lora_lib.init_lora(cfg, k2, rank=rank, dtype=jnp.bfloat16)
+        loras.append(lr)
+    stack = lora_lib.stack_adapters(loras)
+    sel = lora_lib.adapter_onehot(
+        jnp.arange(batch, dtype=jnp.int32) % (n_adapters + 1) - 1, n_adapters
+    )
+    cos, sin = llama.rope_tables(cfg)
+
+    results = {}
+    for name, lora_kw in (
+        ("base", {}),
+        (f"lora_n{n_adapters}_r{rank}", {"lora": stack, "lora_sel": sel}),
+    ):
+        tok = jnp.zeros((batch,), jnp.int32)  # fresh: the carry is donated
+        cache = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.bfloat16,
+        )
+        cache = contiguous.advance(
+            cache, jnp.full((batch,), max_seq - 384, jnp.int32)
+        )
+
+        def step(carry, params, cos, sin, cfg=cfg, kw=lora_kw):
+            cache, tok = carry
+            logits, cache = llama._decode_core(
+                params, cache, tok, cos, sin, cfg, **kw
+            )
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        per, out = time_scanned(
+            step, (cache, tok), params, cos, sin,
+            iters=32 if quick else 64, repeats=3, donate_carry=True,
+        )
+        del out, cache
+        results[name] = per
+    base = results["base"]
+    for name, per in results.items():
+        _emit(
+            f"multi_lora_decode_b{batch}_{name}",
+            per,
+            {
+                "tokens_per_s": round(batch / per, 1),
+                "vs_base": round(per / base, 3),
+            },
+        )
+    del params
+
+
 def moe_decode_bench(quick: bool = False):
     """MoE (Mixtral-geometry) decode step with INT8 experts: tokens/s +
     roofline fraction of the expert stream.
@@ -989,6 +1060,7 @@ _BENCHES = {
     "int8_kv": int8_kv_decode_bench,
     "model_int8": model_int8_decode_bench,
     "model_int4": model_int4_decode_bench,
+    "multi_lora": multi_lora_decode_bench,
     "moe": moe_decode_bench,
     "windowed": windowed_decode_bench,
     "paged_serving": paged_serving_bench,
