@@ -1298,6 +1298,8 @@ def _decode_core_paged(
     axis_name: str | None = None,
     active: jax.Array | None = None,
     max_len_hint: int | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     """One decode step against the PAGED pool — same program structure as
     :func:`_decode_core` but the KV stream rides the page table: appends go
@@ -1325,13 +1327,21 @@ def _decode_core_paged(
     page_tbl = cache.page_table
     s_logical = cache.pages_per_seq * cache.page_size
 
+    from starflashattention_tpu.models.lora import delta_multi
+
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
-        lp, lidx = layer_in
+        if lora is None:
+            lp, lidx = layer_in
+            ll = None
+        else:
+            lp, lidx, ll = layer_in
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if ll is not None:
+            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
@@ -1359,20 +1369,26 @@ def _decode_core_paged(
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
+        if ll is not None:
+            attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
+                             lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
         return (x, k_pages, v_pages), None
 
     layer_idx = jnp.arange(cfg.num_layers)
+    xs = (_scan_xs_layers(layers), layer_idx)
+    if lora is not None:
+        xs = xs + (lora["layers"],)
     (x, k_pages, v_pages), _ = jax.lax.scan(
-        layer_body, (x, cache.k_pages, cache.v_pages), (_scan_xs_layers(layers), layer_idx)
+        layer_body, (x, cache.k_pages, cache.v_pages), xs
     )
     cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages, lengths=lengths_now
@@ -1391,6 +1407,8 @@ def _prefill_core_paged(
     axis_name: str | None = None,
     active: jax.Array | None = None,
     prefix_len: int = 0,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     """Prompt ingestion into the paged pool.
 
@@ -1419,13 +1437,21 @@ def _prefill_core_paged(
     layers = params["layers"]
     page_tbl = cache.page_table
 
+    from starflashattention_tpu.models.lora import delta_multi
+
     def layer_body(carry, layer_in):
         x, k_pages, v_pages = carry
-        lp, lidx = layer_in
+        if lora is None:
+            lp, lidx = layer_in
+            ll = None
+        else:
+            lp, lidx, ll = layer_in
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if ll is not None:
+            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
@@ -1472,20 +1498,26 @@ def _prefill_core_paged(
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
+        if ll is not None:
+            attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
         x = x + attn_out.astype(x.dtype)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
+        mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
+                             lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         x = x + mlp_out.astype(x.dtype)
         return (x, k_pages, v_pages), None
 
     layer_idx = jnp.arange(cfg.num_layers)
+    xs = (_scan_xs_layers(layers), layer_idx)
+    if lora is not None:
+        xs = xs + (lora["layers"],)
     (x, k_pages, v_pages), _ = jax.lax.scan(
-        layer_body, (x, cache.k_pages, cache.v_pages), (_scan_xs_layers(layers), layer_idx)
+        layer_body, (x, cache.k_pages, cache.v_pages), xs
     )
     cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages, lengths=kv_lengths
@@ -1508,6 +1540,8 @@ def _decode_multi_core_paged(
     sampling: dict | None = None,
     with_logprobs: bool = False,
     max_len_hint: int | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple:
     """n decode steps against the paged pool in ONE program (argmax, or
     per-slot sampling when ``sampling`` state arrays are passed; optional
@@ -1518,6 +1552,7 @@ def _decode_multi_core_paged(
         logits, cache = _decode_core_paged(
             params, cache, tok, cos, sin, cfg, axis_name=axis_name,
             active=active, max_len_hint=max_len_hint,
+            lora=lora, lora_sel=lora_sel,
         )
         if sampling is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1551,11 +1586,14 @@ def decode_multi_paged(
     sampling: dict | None = None,
     with_logprobs: bool = False,
     max_len_hint: int | None = None,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple:
     """Paged analog of :func:`decode_multi`: n steps, one program."""
     return _decode_multi_core_paged(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
         with_logprobs=with_logprobs, max_len_hint=max_len_hint,
+        lora=lora, lora_sel=lora_sel,
     )
 
 
@@ -1571,6 +1609,8 @@ def _prefill_serving_core_paged(
     cfg: ModelConfig,
     axis_name: str | None = None,
     prefix_len: int = 0,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     cache = dataclasses.replace(
         cache, lengths=jnp.where(reset, 0, cache.lengths)
@@ -1578,6 +1618,7 @@ def _prefill_serving_core_paged(
     return _prefill_core_paged(
         params, cache, tokens, new_lengths, cos, sin, cfg,
         axis_name=axis_name, active=active, prefix_len=prefix_len,
+        lora=lora, lora_sel=lora_sel,
     )
 
 
@@ -1595,12 +1636,14 @@ def prefill_serving_paged(
     sin: jax.Array,
     cfg: ModelConfig,
     prefix_len: int = 0,
+    lora: dict | None = None,
+    lora_sel: jax.Array | None = None,
 ) -> tuple[jax.Array, paged.PagedKVCache]:
     """Paged analog of :func:`prefill_serving`; ``prefix_len`` > 0 is the
     chunked-prefill continuation path (see _prefill_core_paged)."""
     return _prefill_serving_core_paged(
         params, cache, tokens, new_lengths, active, reset, cos, sin, cfg,
-        prefix_len=prefix_len,
+        prefix_len=prefix_len, lora=lora, lora_sel=lora_sel,
     )
 
 

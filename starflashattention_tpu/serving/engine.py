@@ -846,7 +846,7 @@ class PagedEngine(Engine):
     allocator — the native C++ page pool (native/sfa_runtime.cc:27-93) when
     built, else its Python twin (cache/paged.SeqPagePool)."""
 
-    _supports_lora = False  # paged decode cores have no adapter operands yet
+    _supports_lora = True  # adapters thread through the paged cores too
 
     def __init__(
         self,
@@ -1292,6 +1292,7 @@ class PagedEngine(Engine):
         logits, self.cache = llama.prefill_serving_paged(
             self.params, self.cache, toks, new_lengths, admit_mask,
             reset_mask, self.cos, self.sin, self.cfg, prefix_len=prefix_len,
+            lora=self.lora, lora_sel=self._lora_sel(),
         )
         return logits
 
@@ -1306,6 +1307,7 @@ class PagedEngine(Engine):
             out = llama.decode_multi_paged(
                 self.params, self.cache, self.pending_tok,
                 self.cos, self.sin, active, self.cfg, n,
+                lora=self.lora, lora_sel=self._lora_sel(),
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,
                 max_len_hint=max_len_hint,

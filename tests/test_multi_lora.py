@@ -97,8 +97,26 @@ def test_multi_lora_guards(setup):
         Engine(params, CFG, num_slots=2, lora_adapters=loras).generate(
             [[1, 2]], max_new_tokens=2, adapters=[5]
         )
-    with pytest.raises(NotImplementedError, match="contiguous-engine"):
-        PagedEngine(params, CFG, num_slots=2, page_size=16,
-                    lora_adapters=loras)
     with pytest.raises(NotImplementedError, match="spec_decode"):
         Engine(params, CFG, num_slots=2, spec_decode=2, lora_adapters=loras)
+
+
+def test_multi_lora_paged_matches_contiguous(setup):
+    """PagedEngine serves the same per-adapter streams as the contiguous
+    multi-LoRA engine (adapters thread through the paged cores + chunked
+    continuation path)."""
+    params, loras = setup
+    rng = np.random.default_rng(5)
+    prompts = [
+        [int(t) for t in rng.integers(0, CFG.vocab_size, n)] for n in (7, 13)
+    ]
+    adapters = [1, None]
+    ref = Engine(params, CFG, num_slots=2, steps_per_round=3,
+                 lora_adapters=loras).generate(
+        prompts, max_new_tokens=6, adapters=adapters
+    )
+    eng = PagedEngine(params, CFG, num_slots=2, steps_per_round=3,
+                      page_size=16, lora_adapters=loras, debug_validate=True)
+    outs = eng.generate(prompts, max_new_tokens=6, adapters=adapters)
+    assert outs == ref
+    assert eng.pool.free_pages == eng.num_pages - 1
