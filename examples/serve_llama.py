@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--system-prompt", type=int, default=0,
                     help="prepend N shared tokens to every prompt (shows the "
                     "prefix cache working)")
+    ap.add_argument("--lora", type=int, default=0, metavar="N",
+                    help="serve N resident LoRA adapters (random init for "
+                    "the demo), requests round-robin across them + base")
     args = ap.parse_args()
 
     if args.tiny or jax.default_backend() != "tpu":
@@ -90,18 +93,39 @@ def main():
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.seed,
     ) if sampled else None
+    loras = None
+    adapters = None
+    if args.lora:
+        if quantize:
+            ap.error("--lora demo uses the dense base (adapters compose "
+                     "with the activations, but this demo merges nothing)")
+        from starflashattention_tpu.models import lora as lora_lib
+
+        loras = [
+            lora_lib.init_lora(cfg, jax.random.PRNGKey(100 + i), rank=16)
+            for i in range(args.lora)
+        ]
+        # round-robin: adapter 0, 1, ..., N-1, base, adapter 0, ...
+        adapters = [
+            i % (args.lora + 1) if i % (args.lora + 1) < args.lora else None
+            for i in range(len(prompts))
+        ]
+        print(f"multi-LoRA: {args.lora} adapters resident (rank 16)")
     if args.paged:
         page = 32 if cfg.max_seq_len < 512 else 128
         eng = PagedEngine(params, cfg, num_slots=args.slots, steps_per_round=8,
                           prefill_chunk=args.chunk, enable_sampling=sampled,
-                          prefix_cache=args.prefix_cache, page_size=page)
+                          prefix_cache=args.prefix_cache, page_size=page,
+                          lora_adapters=loras)
         print(f"paged pool: {eng.num_pages} pages x {eng.page_size} tokens, "
               f"allocator={type(eng.pool).__name__}")
     else:
         eng = Engine(params, cfg, num_slots=args.slots, steps_per_round=8,
-                     prefill_chunk=args.chunk, enable_sampling=sampled)
+                     prefill_chunk=args.chunk, enable_sampling=sampled,
+                     lora_adapters=loras)
     t0 = time.time()
-    outputs = eng.generate(prompts, max_new_tokens=args.new_tokens, sampling=samp)
+    outputs = eng.generate(prompts, max_new_tokens=args.new_tokens,
+                           sampling=samp, adapters=adapters)
     dt = time.time() - t0
     total = sum(len(o) for o in outputs)
     print(f"{len(outputs)} requests, {total} tokens in {dt:.2f}s "
