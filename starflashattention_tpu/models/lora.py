@@ -167,7 +167,12 @@ def stack_adapters(loras: list[dict]) -> dict:
             "a": jnp.stack(a_s, axis=1),  # (L, N, in, r)
             "b": jnp.stack(b_s, axis=1),  # (L, N, r, out)
         }
-    return {"layers": layers, "n": len(loras)}
+    return {"layers": layers}
+
+
+def num_adapters(stack: dict) -> int:
+    "N from a stacked tree (axis 1 of any factor)."
+    return next(iter(stack["layers"].values()))["a"].shape[1]
 
 
 def delta_multi(x: jax.Array, ml: dict | None, name: str, sel) -> jax.Array | float:

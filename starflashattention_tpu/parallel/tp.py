@@ -97,6 +97,54 @@ def permute_params_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Multi-LoRA under TP: stacked adapters shard with the projections they
+# modify. Column-parallel targets (wqkv, w_gate_up) keep `a` replicated and
+# shard `b`'s OUT axis — with the same fused-column permutation the base
+# weight got, so each shard's delta lands on exactly its local columns.
+# Row-parallel targets (wo, w_down) shard `a`'s IN axis (the shard's local
+# activation rows; the existing post-projection psum completes the delta
+# sum — it is added before the psum in the layer body) and keep `b`
+# replicated. Rows need no permutation: permuted fused columns put shard
+# t's heads/intermediate contiguously, matching the plain row sharding.
+# ---------------------------------------------------------------------------
+
+_LORA_COL = {"a": P(), "b": P(None, None, None, MODEL)}
+_LORA_ROW = {"a": P(None, None, MODEL, None), "b": P()}
+_LORA_KIND = {
+    "wqkv": _LORA_COL,
+    "w_gate_up": _LORA_COL,
+    "wo": _LORA_ROW,
+    "w_down": _LORA_ROW,
+}
+
+
+def lora_specs(stack: dict) -> dict:
+    """PartitionSpec tree matching a stacked multi-LoRA tree
+    (models/lora.stack_adapters)."""
+    return {"layers": {n: _LORA_KIND[n] for n in stack["layers"]}}
+
+
+def shard_lora(stack: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
+    """Permute + shard a stacked adapter tree for the mesh (see block
+    comment above). Idempotent only on a fresh stack — apply once."""
+    tp_size = mesh.shape[MODEL]
+    layers = {}
+    for name, ab in stack["layers"].items():
+        a, b = ab["a"], ab["b"]
+        if tp_size > 1 and name == "wqkv":
+            b = jnp.take(b, jnp.asarray(_wqkv_perm(cfg, tp_size)), axis=-1)
+        elif tp_size > 1 and name == "w_gate_up":
+            b = jnp.take(b, jnp.asarray(_gate_up_perm(cfg, tp_size)), axis=-1)
+        layers[name] = {"a": a, "b": b}
+    out = {"layers": layers}
+    specs = lora_specs(out)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), out, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 # Quantized {"w", "scale"} spec pairs. Column-parallel weights shard the
 # output dim of BOTH the (L, H, O) payload and its (L, O) per-output-channel
 # scale; row-parallel weights shard the contraction dim of the payload only —
@@ -339,6 +387,7 @@ def make_tp_decode_multi(
     lm_head_quant: bool = False,
     sampling: bool = False,
     with_logprobs: bool = False,
+    lora_stack: dict | None = None,
 ):
     """Sharded serving decode round: ``fn(params, cache, tok, cos, sin,
     active) -> (tokens (B, n), pending tok, cache[, logprobs])`` — the TP+DP
@@ -347,7 +396,9 @@ def make_tp_decode_multi(
     ``sampling=True`` builds the sampled-token variant: the fn takes a
     trailing core/sampling state-array dict, sharded over ``data`` like the
     slot axis it indexes (each data shard samples its own rows — logits are
-    already full-vocab per shard after the model-axis psums)."""
+    already full-vocab per shard after the model-axis psums).
+    ``lora_stack`` (structure only) builds the multi-LoRA variant: the fn
+    takes trailing (sharded stack, (B, N) one-hot) operands."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
@@ -356,16 +407,22 @@ def make_tp_decode_multi(
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
     s_specs = _sampling_specs() if sampling else None
 
-    def core(params, cache, tok, cos, sin, active, *samp):
+    def core(params, cache, tok, cos, sin, active, *rest):
+        rest = list(rest)
+        samp = rest.pop(0) if sampling else None
+        lora = rest.pop(0) if lora_stack is not None else None
+        sel = rest.pop(0) if lora_stack is not None else None
         return llama._decode_multi_core(
             params, cache, tok, cos, sin, active, scfg, n_steps,
-            axis_name=MODEL, sampling=samp[0] if samp else None,
-            with_logprobs=with_logprobs,
+            axis_name=MODEL, sampling=samp,
+            with_logprobs=with_logprobs, lora=lora, lora_sel=sel,
         )
 
     in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
     if sampling:
         in_specs = in_specs + (s_specs,)
+    if lora_stack is not None:
+        in_specs = in_specs + (lora_specs(lora_stack), P(DATA))
     out_specs = (P(DATA), P(DATA), c_specs)
     if with_logprobs:
         out_specs = out_specs + (P(DATA),)
@@ -542,9 +599,11 @@ def make_tp_draft_prefill_serving(
 def make_tp_prefill_serving(
     mesh: Mesh, cfg: ModelConfig, quantized: bool = False,
     weight_quant: bool = False, lm_head_quant: bool = False,
+    lora_stack: dict | None = None,
 ):
     """Sharded admission prefill: ``fn(params, cache, tokens, new_lengths,
-    active, reset, cos, sin)`` — TP+DP analog of llama.prefill_serving."""
+    active, reset, cos, sin)`` — TP+DP analog of llama.prefill_serving.
+    ``lora_stack``: see :func:`make_tp_decode_multi`."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
@@ -552,16 +611,22 @@ def make_tp_prefill_serving(
     if not quantized:
         c_specs = dataclasses.replace(c_specs, k_scales=None, v_scales=None)
 
-    def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
+    def core(params, cache, tokens, new_lengths, active, reset, cos, sin,
+             *rest):
+        lora = rest[0] if lora_stack is not None else None
+        sel = rest[1] if lora_stack is not None else None
         return llama._prefill_serving_core(
             params, cache, tokens, new_lengths, active, reset, cos, sin, scfg,
-            axis_name=MODEL,
+            axis_name=MODEL, lora=lora, lora_sel=sel,
         )
 
+    in_specs = (p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P())
+    if lora_stack is not None:
+        in_specs = in_specs + (lora_specs(lora_stack), P(DATA))
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(DATA), c_specs),
         check_vma=False,
     )

@@ -202,11 +202,10 @@ class Engine:
         self.lora = None
         self._n_adapters = 0
         if lora_adapters is not None:
-            if mesh is not None:
+            if mesh is not None and not getattr(self, "_supports_lora_tp", True):
                 raise NotImplementedError(
-                    "multi-LoRA serving is single-chip for now (the TP "
-                    "programs don't thread adapter operands); merge a "
-                    "single adapter for sharded serving"
+                    "multi-LoRA on a mesh is contiguous-engine only for now "
+                    "(the paged TP programs don't thread adapter operands)"
                 )
             if spec_decode is not None:
                 raise NotImplementedError(
@@ -217,10 +216,13 @@ class Engine:
                 raise NotImplementedError(
                     "multi-LoRA serving is contiguous-engine only for now"
                 )
-            from starflashattention_tpu.models.lora import stack_adapters
+            from starflashattention_tpu.models.lora import (
+                num_adapters,
+                stack_adapters,
+            )
 
             self.lora = stack_adapters(lora_adapters)
-            self._n_adapters = self.lora["n"]
+            self._n_adapters = num_adapters(self.lora)
         self._slot_adapter = np.full((num_slots,), -1, np.int32)
 
         round_append = steps_per_round * (
@@ -280,6 +282,10 @@ class Engine:
             tp._params_are_weight_quant(params),
             tp._params_have_quant_lm_head(params),
         )
+        if self.lora is not None:
+            # permute + shard the stacked adapters like the weights they
+            # modify (column-permuted b / row-sharded a — tp.shard_lora)
+            self.lora = tp.shard_lora(self.lora, self.mesh, self.cfg)
         return tp.shard_params(params, self.mesh, self.cfg)
 
     def _build_sharded_fns(self, tp, weight_quant: bool, lm_head_quant: bool = False) -> None:
@@ -312,10 +318,11 @@ class Engine:
             quantized=quantized, weight_quant=weight_quant,
             lm_head_quant=lm_head_quant,
             sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
+            lora_stack=self.lora,
         )
         self._tp_prefill = tp.make_tp_prefill_serving(
             self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant,
-            lm_head_quant=lm_head_quant,
+            lm_head_quant=lm_head_quant, lora_stack=self.lora,
         )
         self._shard_cache_fn = tp.shard_cache
 
@@ -377,10 +384,11 @@ class Engine:
         # contiguous prefill attends the full cache table; prefix_len (the
         # chunked-continuation hint) only matters for the paged backend
         if self.mesh is not None:
-            logits, self.cache = self._tp_prefill(
-                self.params, self.cache, toks, new_lengths, admit_mask,
-                reset_mask, self.cos, self.sin,
-            )
+            pf_args = (self.params, self.cache, toks, new_lengths, admit_mask,
+                       reset_mask, self.cos, self.sin)
+            if self.lora is not None:
+                pf_args = pf_args + (self.lora, self._lora_sel())
+            logits, self.cache = self._tp_prefill(*pf_args)
             if self.draft_cache is not None:
                 _, self.draft_cache = self._tp_draft_prefill(
                     self.draft_params, self.draft_cache, toks, new_lengths,
@@ -416,6 +424,8 @@ class Engine:
                     self.cos, self.sin, active)
             if self.enable_sampling:
                 args = args + (self._sampling_state(),)
+            if self.lora is not None:
+                args = args + (self.lora, self._lora_sel())
             out = self._tp_decode_multi(*args)
         else:
             out = llama.decode_multi(
@@ -847,6 +857,7 @@ class PagedEngine(Engine):
     built, else its Python twin (cache/paged.SeqPagePool)."""
 
     _supports_lora = True  # adapters thread through the paged cores too
+    _supports_lora_tp = False  # paged TP programs lack adapter operands
 
     def __init__(
         self,

@@ -47,7 +47,7 @@ def test_stack_adapters_shapes(setup):
     st = lora_lib.stack_adapters(loras)
     a = st["layers"]["wqkv"]["a"]
     assert a.shape[:2] == (CFG.num_layers, 2) and a.shape[-1] == 8
-    assert st["n"] == 2
+    assert lora_lib.num_adapters(st) == 2
 
 
 def test_multi_lora_engine_matches_merged_oracles(setup):
@@ -120,3 +120,33 @@ def test_multi_lora_paged_matches_contiguous(setup):
     outs = eng.generate(prompts, max_new_tokens=6, adapters=adapters)
     assert outs == ref
     assert eng.pool.free_pages == eng.num_pages - 1
+
+
+def test_multi_lora_tp_matches_single_chip(setup):
+    """Mesh-sharded multi-LoRA: the (data=2, model=4) engine serves the
+    same per-adapter streams as the single-chip multi-LoRA engine — the
+    stacked b factors are column-permuted/sharded with their base weights
+    and the row-parallel a shards ride the existing psums (tp.shard_lora)."""
+    from starflashattention_tpu.parallel import make_mesh
+
+    params, loras = setup
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, num_q_heads=8, num_kv_heads=4
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    loras = [_rand_lora(cfg, 1, 4), _rand_lora(cfg, 2, 8)]
+    mesh = make_mesh({"data": 2, "model": 4})
+    rng = np.random.default_rng(7)
+    prompts = [
+        [int(t) for t in rng.integers(0, cfg.vocab_size, n)]
+        for n in (5, 9, 12, 7)
+    ]
+    adapters = [0, 1, None, 0]
+    ref = Engine(params, cfg, num_slots=4, steps_per_round=3,
+                 lora_adapters=loras).generate(
+        prompts, max_new_tokens=5, adapters=adapters
+    )
+    eng = Engine(params, cfg, num_slots=4, steps_per_round=3, mesh=mesh,
+                 lora_adapters=loras)
+    outs = eng.generate(prompts, max_new_tokens=5, adapters=adapters)
+    assert outs == ref
