@@ -42,13 +42,17 @@ class SamplingParams:
     """Host-side per-request sampling controls (serving/scheduler.Request).
 
     temperature <= 0 means greedy; top_k <= 0 means no top-k cut; top_p >= 1
-    means no nucleus cut. ``seed`` makes the request's whole trajectory
-    deterministic (see module doc).
+    means no nucleus cut; min_p <= 0 means no min-p cut (min_p keeps tokens
+    whose probability is >= min_p times the most likely token's — a
+    max-relative floor that adapts to the distribution's confidence).
+    ``seed`` makes the request's whole trajectory deterministic (see module
+    doc).
     """
 
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
     seed: int = 0
 
     @property
@@ -65,6 +69,7 @@ def state_arrays(params_list: list[SamplingParams]) -> dict[str, np.ndarray]:
         "temperature": np.array([p.temperature for p in params_list], np.float32),
         "top_k": np.array([p.top_k for p in params_list], np.int32),
         "top_p": np.array([p.top_p for p in params_list], np.float32),
+        "min_p": np.array([p.min_p for p in params_list], np.float32),
         "seed": np.array([p.seed for p in params_list], np.uint32),
     }
 
@@ -87,6 +92,9 @@ def sample_tokens(
     temperature = state["temperature"].astype(jnp.float32)
     top_k = state["top_k"].astype(jnp.int32)
     top_p = state["top_p"].astype(jnp.float32)
+    min_p = state.get("min_p")
+    min_p = (jnp.zeros_like(top_p) if min_p is None
+             else min_p.astype(jnp.float32))
     seed = state["seed"].astype(jnp.uint32)
 
     sampled_row = temperature > 0.0
@@ -106,6 +114,14 @@ def sample_tokens(
     num_keep = jnp.maximum(jnp.sum(keep, axis=-1), 1)
     thresh_p = jnp.take_along_axis(sorted_desc, (num_keep - 1)[:, None], axis=-1)
     thresh = jnp.maximum(thresh_k, thresh_p)
+    # min-p: prob >= min_p * p_max  <=>  scaled >= scaled_max + log(min_p)
+    # (the log-sum-exp cancels) — no extra softmax needed.
+    thresh_m = jnp.where(
+        min_p > 0.0,
+        sorted_desc[:, 0] + jnp.log(jnp.maximum(min_p, 1e-37)),
+        -jnp.inf,
+    )[:, None]
+    thresh = jnp.maximum(thresh, thresh_m)
     masked = jnp.where(scaled >= thresh, scaled, -jnp.inf)
 
     def draw(row, s, p):

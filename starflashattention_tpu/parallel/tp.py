@@ -439,7 +439,8 @@ def make_tp_decode_multi(
 def _sampling_specs():
     """Specs for the core/sampling state-array dict: per-slot vectors ride
     the data axis with the batch they parameterize."""
-    return {"temperature": P(DATA), "top_k": P(DATA), "top_p": P(DATA), "seed": P(DATA)}
+    return {"temperature": P(DATA), "top_k": P(DATA), "top_p": P(DATA),
+            "min_p": P(DATA), "seed": P(DATA)}
 
 
 def make_tp_spec_decode_multi(

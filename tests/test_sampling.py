@@ -198,3 +198,34 @@ def test_recovery_snapshot_preserves_sampling(tmp_path):
     restored = recovery.load_state(fresh, path)
     assert restored[0].sampling == sp
     assert dataclasses.asdict(restored[0].sampling) == dataclasses.asdict(sp)
+
+
+def test_min_p_cut(rng):
+    """min_p keeps tokens with prob >= min_p * p_max: at min_p=1.0 only the
+    argmax survives (sampled == greedy for any temperature); at moderate
+    min_p the drawn token always satisfies the floor."""
+    from starflashattention_tpu.core.sampling import (
+        SamplingParams,
+        sample_tokens,
+        state_arrays,
+    )
+
+    b, v = 8, 64
+    logits = jnp.asarray(rng.standard_normal((b, v)) * 3, jnp.float32)
+    pos = jnp.arange(b, dtype=jnp.int32)
+
+    st = state_arrays([SamplingParams(temperature=1.0, min_p=1.0, seed=i)
+                       for i in range(b)])
+    toks = sample_tokens(logits, {k: jnp.asarray(a) for k, a in st.items()}, pos)
+    np.testing.assert_array_equal(np.asarray(toks), np.argmax(logits, -1))
+
+    min_p = 0.3
+    st = state_arrays([SamplingParams(temperature=1.0, min_p=min_p, seed=i)
+                       for i in range(b)])
+    for trial in range(5):
+        toks = sample_tokens(
+            logits, {k: jnp.asarray(a) for k, a in st.items()}, pos + 10 * trial
+        )
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        chosen = probs[np.arange(b), np.asarray(toks)]
+        assert (chosen >= min_p * probs.max(-1) - 1e-7).all()
