@@ -59,6 +59,10 @@ def _req_to_dict(req: Request) -> dict:
         d["sampling"] = dataclasses.asdict(req.sampling)
     if req.logprobs:
         d["logprobs"] = list(req.logprobs)
+    if req.adapter is not None:
+        # multi-LoRA: without this a restored request would silently
+        # resume on the BASE model and diverge from its pre-crash stream
+        d["adapter"] = req.adapter
     return d
 
 
@@ -72,6 +76,7 @@ def _req_from_dict(d: dict) -> Request:
         output=list(d["output"]),
         logprobs=list(d.get("logprobs", [])),
         done=d["done"],
+        adapter=d.get("adapter"),
     )
 
 

@@ -150,3 +150,41 @@ def test_multi_lora_tp_matches_single_chip(setup):
                  lora_adapters=loras)
     outs = eng.generate(prompts, max_new_tokens=5, adapters=adapters)
     assert outs == ref
+
+
+def test_multi_lora_recovery_keeps_adapter(setup):
+    """The crash-recovery ledger round-trips Request.adapter: a restored
+    multi-LoRA request resumes on ITS adapter, producing the uninterrupted
+    engine's exact stream."""
+    from starflashattention_tpu.serving.recovery import (
+        load_state,
+        save_state,
+    )
+
+    params, loras = setup
+    prompt = [2, 7, 1, 8]
+    full = Engine(params, CFG, num_slots=2, steps_per_round=2,
+                  lora_adapters=loras).generate(
+        [prompt], max_new_tokens=6, adapters=[1]
+    )
+
+    import tempfile, os
+    from starflashattention_tpu.serving.scheduler import Request
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2,
+                 lora_adapters=loras)
+    req = Request(uid=0, prompt=prompt, max_new_tokens=6, adapter=1)
+    eng.submit(req)
+    # partial progress: one admission+prefill and one decode round
+    eng._admit_and_prefill()
+    eng._decode_round()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ledger.json")
+        save_state(eng, path)
+        fresh = Engine(params, CFG, num_slots=2, steps_per_round=2,
+                       lora_adapters=loras)
+        restored = load_state(fresh, path)
+        fresh.run()
+    done = [r for r in restored if r.uid == 0][0]
+    assert done.adapter == 1
+    assert done.output == full[0]
