@@ -781,6 +781,7 @@ def _decode_multi_core(
     axis_name: str | None = None,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    topk_logprobs: int = 0,
     max_len_hint: int | None = None,
     lora: dict | None = None,
     lora_sel: jax.Array | None = None,
@@ -810,12 +811,20 @@ def _decode_multi_core(
         out = (nxt,)
         if with_logprobs:
             out = out + (token_logprob(logits, nxt),)
+        if topk_logprobs:
+            out = out + topk_token_logprobs(logits, topk_logprobs)
         return (nxt, cache), out
 
     (tok, cache), outs = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    res = (outs[0].T, tok, cache)  # (B, n), (B,), cache
+    i = 1
     if with_logprobs:
-        return outs[0].T, tok, cache, outs[1].T  # (B, n), (B,), cache, (B, n)
-    return outs[0].T, tok, cache  # (B, n), (B,), cache
+        res = res + (outs[i].T,)  # (B, n)
+        i += 1
+    if topk_logprobs:
+        # (n, B, K) -> (B, n, K)
+        res = res + (outs[i].transpose(1, 0, 2), outs[i + 1].transpose(1, 0, 2))
+    return res
 
 
 def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
@@ -824,9 +833,20 @@ def token_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
     return jnp.take_along_axis(lp, tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
 
 
+def topk_token_logprobs(logits: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k alternatives per row under the UNMODIFIED distribution →
+    ((B, k) f32 logprobs desc, (B, k) i32 token ids) — the serving API's
+    per-position alternatives (sampling cuts change what is CHOSEN, not
+    what is reported)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    v, i = jax.lax.top_k(lp, k)
+    return v, i.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "with_logprobs", "max_len_hint"),
+    static_argnames=("cfg", "n_steps", "with_logprobs", "topk_logprobs",
+                     "max_len_hint"),
     donate_argnums=(1,),
 )
 def decode_multi(
@@ -840,6 +860,7 @@ def decode_multi(
     n_steps: int,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    topk_logprobs: int = 0,
     max_len_hint: int | None = None,
     lora: dict | None = None,
     lora_sel: jax.Array | None = None,
@@ -854,8 +875,8 @@ def decode_multi(
     """
     return _decode_multi_core(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
-        with_logprobs=with_logprobs, max_len_hint=max_len_hint,
-        lora=lora, lora_sel=lora_sel,
+        with_logprobs=with_logprobs, topk_logprobs=topk_logprobs,
+        max_len_hint=max_len_hint, lora=lora, lora_sel=lora_sel,
     )
 
 
@@ -1539,6 +1560,7 @@ def _decode_multi_core_paged(
     axis_name: str | None = None,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    topk_logprobs: int = 0,
     max_len_hint: int | None = None,
     lora: dict | None = None,
     lora_sel: jax.Array | None = None,
@@ -1561,17 +1583,25 @@ def _decode_multi_core_paged(
         out = (nxt,)
         if with_logprobs:
             out = out + (token_logprob(logits, nxt),)
+        if topk_logprobs:
+            out = out + topk_token_logprobs(logits, topk_logprobs)
         return (nxt, cache), out
 
     (tok, cache), outs = jax.lax.scan(step, (tok, cache), None, length=n_steps)
+    res = (outs[0].T, tok, cache)
+    i = 1
     if with_logprobs:
-        return outs[0].T, tok, cache, outs[1].T
-    return outs[0].T, tok, cache
+        res = res + (outs[i].T,)
+        i += 1
+    if topk_logprobs:
+        res = res + (outs[i].transpose(1, 0, 2), outs[i + 1].transpose(1, 0, 2))
+    return res
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "with_logprobs", "max_len_hint"),
+    static_argnames=("cfg", "n_steps", "with_logprobs", "topk_logprobs",
+                     "max_len_hint"),
     donate_argnums=(1,),
 )
 def decode_multi_paged(
@@ -1585,6 +1615,7 @@ def decode_multi_paged(
     n_steps: int,
     sampling: dict | None = None,
     with_logprobs: bool = False,
+    topk_logprobs: int = 0,
     max_len_hint: int | None = None,
     lora: dict | None = None,
     lora_sel: jax.Array | None = None,
@@ -1592,8 +1623,8 @@ def decode_multi_paged(
     """Paged analog of :func:`decode_multi`: n steps, one program."""
     return _decode_multi_core_paged(
         params, cache, tok, cos, sin, active, cfg, n_steps, sampling=sampling,
-        with_logprobs=with_logprobs, max_len_hint=max_len_hint,
-        lora=lora, lora_sel=lora_sel,
+        with_logprobs=with_logprobs, topk_logprobs=topk_logprobs,
+        max_len_hint=max_len_hint, lora=lora, lora_sel=lora_sel,
     )
 
 

@@ -387,6 +387,7 @@ def make_tp_decode_multi(
     lm_head_quant: bool = False,
     sampling: bool = False,
     with_logprobs: bool = False,
+    topk_logprobs: int = 0,
     lora_stack: dict | None = None,
 ):
     """Sharded serving decode round: ``fn(params, cache, tok, cos, sin,
@@ -415,7 +416,8 @@ def make_tp_decode_multi(
         return llama._decode_multi_core(
             params, cache, tok, cos, sin, active, scfg, n_steps,
             axis_name=MODEL, sampling=samp,
-            with_logprobs=with_logprobs, lora=lora, lora_sel=sel,
+            with_logprobs=with_logprobs, topk_logprobs=topk_logprobs,
+            lora=lora, lora_sel=sel,
         )
 
     in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
@@ -426,6 +428,8 @@ def make_tp_decode_multi(
     out_specs = (P(DATA), P(DATA), c_specs)
     if with_logprobs:
         out_specs = out_specs + (P(DATA),)
+    if topk_logprobs:
+        out_specs = out_specs + (P(DATA), P(DATA))
     sharded = jax.shard_map(
         core,
         mesh=mesh,

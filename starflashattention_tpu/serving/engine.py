@@ -39,6 +39,7 @@ from starflashattention_tpu.runtime.params import ModelConfig
 from starflashattention_tpu.serving.scheduler import Request, Scheduler
 
 _token_logprob_jit = jax.jit(llama.token_logprob)
+_topk_logprob_jit = jax.jit(llama.topk_token_logprobs, static_argnums=(1,))
 
 
 @dataclasses.dataclass
@@ -114,6 +115,7 @@ class Engine:
         draft_model: tuple | None = None,
         debug_validate: bool = False,
         lora_adapters: list | None = None,
+        topk_logprobs: int = 0,
     ):
         self.cfg = cfg
         self.num_slots = num_slots
@@ -173,6 +175,18 @@ class Engine:
         # constructor flag: the decode program gains one (B, n) f32 output.
         self.return_logprobs = return_logprobs
         self._last_logprobs = None  # (B, n) host array of the latest round
+        # Per-token top-K alternatives (Request.topk): the decode program
+        # gains (B, n, K) logprob + id outputs; 0 = off.
+        self.topk_logprobs = int(topk_logprobs)
+        self._last_topk = None  # ((B, n, K) f32, (B, n, K) i32) host arrays
+        if topk_logprobs and spec_decode is not None:
+            raise ValueError("topk_logprobs does not compose with spec_decode")
+        if topk_logprobs and mesh is not None and not getattr(
+            self, "_supports_topk_tp", True
+        ):
+            raise NotImplementedError(
+                "topk_logprobs on a mesh is contiguous-engine only for now"
+            )
         # Chunked prefill: admitted prompts are ingested in fixed
         # (num_slots, prefill_chunk) slices — ONE compiled prefill shape ever
         # (the pad-bucket path compiles one program per distinct bucket, and
@@ -318,7 +332,7 @@ class Engine:
             quantized=quantized, weight_quant=weight_quant,
             lm_head_quant=lm_head_quant,
             sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
-            lora_stack=self.lora,
+            topk_logprobs=self.topk_logprobs, lora_stack=self.lora,
         )
         self._tp_prefill = tp.make_tp_prefill_serving(
             self.mesh, self.cfg, quantized=quantized, weight_quant=weight_quant,
@@ -433,6 +447,7 @@ class Engine:
                 self.cos, self.sin, active, self.cfg, n,
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,
+                topk_logprobs=self.topk_logprobs,
                 max_len_hint=max_len_hint,
                 lora=self.lora, lora_sel=self._lora_sel(),
             )
@@ -454,7 +469,14 @@ class Engine:
 
     def _unpack_decode(self, out):
         toks, self.pending_tok, self.cache = out[:3]
-        self._last_logprobs = np.asarray(out[3]) if self.return_logprobs else None
+        i = 3
+        self._last_logprobs = None
+        if self.return_logprobs:
+            self._last_logprobs = np.asarray(out[i])
+            i += 1
+        self._last_topk = None
+        if self.topk_logprobs:
+            self._last_topk = (np.asarray(out[i]), np.asarray(out[i + 1]))
         return toks
 
     # -- sampling -------------------------------------------------------------
@@ -474,6 +496,13 @@ class Engine:
             return None
         return np.asarray(_token_logprob_jit(logits, first))
 
+    def _first_topk(self, logits):
+        """Top-K alternatives on prefill logits (None unless enabled)."""
+        if not self.topk_logprobs:
+            return None
+        v, i = _topk_logprob_jit(logits, self.topk_logprobs)
+        return np.asarray(v), np.asarray(i)
+
     def _first_tokens(self, logits, positions: np.ndarray) -> jax.Array:
         """Token choice on prefill logits; ``positions`` is each slot's
         post-prefill length (= the drawn token's absolute position, matching
@@ -487,7 +516,8 @@ class Engine:
 
     # -- one scheduling round -------------------------------------------------
 
-    def _record(self, slot: int, tokens: list[int], logprobs=None) -> None:
+    def _record(self, slot: int, tokens: list[int], logprobs=None,
+                topk=None) -> None:
         req = self.sched.slots[slot].request
         uid = req.uid if req is not None else None
         before = len(req.output) if req is not None else 0
@@ -505,6 +535,17 @@ class Engine:
             kept = len(req.output) - before
             if kept > 0:
                 req.logprobs.extend(float(l) for l in logprobs[:kept])
+        if req is not None and topk is not None:
+            kept = len(req.output) - before
+            if kept > 0:
+                vals, ids = topk
+                req.topk.extend(
+                    (
+                        [int(t) for t in ids[j]],
+                        [float(v) for v in vals[j]],
+                    )
+                    for j in range(min(kept, len(ids)))
+                )
         if uid is not None and uid not in self._first_token_seen:
             self._first_token_seen.add(uid)
             t0 = self._submit_time.get(uid)
@@ -575,10 +616,13 @@ class Engine:
         self.pending_tok = jnp.where(jnp.asarray(admit_mask), first, self.pending_tok)
         first_host = np.asarray(first)  # the single readback
         first_lp = self._first_logprobs(logits, first)
+        first_tk = self._first_topk(logits)
         for slot, _req, _text in texts:
             self._record(
                 slot, [int(first_host[slot])],
                 logprobs=None if first_lp is None else [first_lp[slot]],
+                topk=None if first_tk is None
+                else (first_tk[0][slot][None], first_tk[1][slot][None]),
             )
 
     def _prefill_chunked(self, texts, offs=None) -> None:
@@ -644,10 +688,13 @@ class Engine:
             )
             first_host = np.asarray(first)  # one readback per finishing chunk
             first_lp = self._first_logprobs(logits, first)
+            first_tk = self._first_topk(logits)
             for slot in finishing:
                 self._record(
                     slot, [int(first_host[slot])],
                     logprobs=None if first_lp is None else [first_lp[slot]],
+                    topk=None if first_tk is None
+                    else (first_tk[0][slot][None], first_tk[1][slot][None]),
                 )
 
     def _update_history(self, texts) -> None:
@@ -759,6 +806,8 @@ class Engine:
                     i, [int(t) for t in toks_host[i]],
                     logprobs=None if self._last_logprobs is None
                     else self._last_logprobs[i],
+                    topk=None if self._last_topk is None
+                    else (self._last_topk[0][i], self._last_topk[1][i]),
                 )
 
     # -- failure recovery -------------------------------------------------------
@@ -858,6 +907,7 @@ class PagedEngine(Engine):
 
     _supports_lora = True  # adapters thread through the paged cores too
     _supports_lora_tp = False  # paged TP programs lack adapter operands
+    _supports_topk_tp = False  # ... and top-k logprob outputs
 
     def __init__(
         self,
@@ -876,6 +926,7 @@ class PagedEngine(Engine):
         prefix_cache: bool = False,
         debug_validate: bool = False,
         lora_adapters: list | None = None,
+        topk_logprobs: int = 0,
     ):
         """With ``mesh`` set, the page pool shards its KV-head axis over the
         model axis and its PAGE axis over the data axis: each data shard owns
@@ -940,6 +991,7 @@ class PagedEngine(Engine):
             prefill_chunk=prefill_chunk, mesh=mesh,
             enable_sampling=enable_sampling, return_logprobs=return_logprobs,
             debug_validate=debug_validate, lora_adapters=lora_adapters,
+            topk_logprobs=topk_logprobs,
         )
 
     @property
@@ -1318,6 +1370,7 @@ class PagedEngine(Engine):
             out = llama.decode_multi_paged(
                 self.params, self.cache, self.pending_tok,
                 self.cos, self.sin, active, self.cfg, n,
+                topk_logprobs=self.topk_logprobs,
                 lora=self.lora, lora_sel=self._lora_sel(),
                 sampling=self._sampling_state(),
                 with_logprobs=self.return_logprobs,

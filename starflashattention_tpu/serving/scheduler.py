@@ -43,6 +43,9 @@ class Request:
     # chosen-token log-probabilities, aligned with ``output`` — populated
     # only by engines built with return_logprobs=True
     logprobs: list[float] = dataclasses.field(default_factory=list)
+    # per-token top-K alternatives [(ids, logprobs) per output token] under
+    # the unmodified distribution — engines built with topk_logprobs=K
+    topk: list = dataclasses.field(default_factory=list)
     done: bool = False
 
 

@@ -93,3 +93,48 @@ def test_snapshot_roundtrips_logprobs(tmp_path):
     fresh = Engine(params, CFG, num_slots=1, steps_per_round=2, return_logprobs=True)
     restored = recovery.load_state(fresh, path)
     assert restored[0].logprobs == eng._finished_requests[0].logprobs
+
+
+def test_topk_logprobs_engine(rng):
+    """topk_logprobs=K: every emitted token (first included) carries K
+    alternatives sorted by logprob under the unmodified distribution; the
+    greedy chosen token is always rank 0 and its logprob matches the
+    chosen-token logprob output."""
+    from starflashattention_tpu.models import llama as llama_mod
+    from starflashattention_tpu.runtime.params import ModelConfig
+    from starflashattention_tpu.serving import Engine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    params = llama_mod.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 5, 9], [2, 4]]
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=3,
+                 return_logprobs=True, topk_logprobs=4)
+    outs = eng.generate(prompts, max_new_tokens=5)
+    for r in eng._finished_requests:
+        assert len(r.topk) == len(r.output) == len(r.logprobs)
+        for tok, lp, (ids, lps) in zip(r.output, r.logprobs, r.topk):
+            assert len(ids) == len(lps) == 4
+            assert lps == sorted(lps, reverse=True)
+            assert ids[0] == tok  # greedy: chosen token is rank 0
+            assert abs(lps[0] - lp) < 1e-5
+
+
+def test_topk_logprobs_paged_matches_contiguous(rng):
+    from starflashattention_tpu.models import llama as llama_mod
+    from starflashattention_tpu.runtime.params import ModelConfig
+    from starflashattention_tpu.serving import Engine, PagedEngine
+
+    cfg = ModelConfig.tiny(dtype="float32", num_splits=1)
+    params = llama_mod.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[3, 1, 4]]
+    ref = Engine(params, cfg, num_slots=2, steps_per_round=2, topk_logprobs=3)
+    ref.generate(prompts, max_new_tokens=4)
+    eng = PagedEngine(params, cfg, num_slots=2, steps_per_round=2,
+                      page_size=16, topk_logprobs=3)
+    eng.generate(prompts, max_new_tokens=4)
+    a = ref._finished_requests[0].topk
+    b = eng._finished_requests[0].topk
+    assert len(a) == len(b) == 4
+    for (ia, va), (ib, vb) in zip(a, b):
+        assert ia == ib
+        np.testing.assert_allclose(va, vb, atol=1e-5)
