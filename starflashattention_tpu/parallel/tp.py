@@ -680,29 +680,39 @@ def _paged_specs_for(cfg: ModelConfig):
 def make_tp_decode_multi_paged(
     mesh: Mesh, cfg: ModelConfig, n_steps: int, weight_quant: bool = False,
     lm_head_quant: bool = False, sampling: bool = False,
-    with_logprobs: bool = False,
+    with_logprobs: bool = False, topk_logprobs: int = 0,
+    lora_stack: dict | None = None,
 ):
     """Sharded paged serving decode round — the paged analog of
-    :func:`make_tp_decode_multi` (incl. the ``sampling``/``with_logprobs``
-    variants)."""
+    :func:`make_tp_decode_multi` (incl. the ``sampling``/``with_logprobs``/
+    ``topk_logprobs``/``lora_stack`` variants)."""
     _check(cfg, mesh)
     scfg = _shard_cfg(cfg, mesh)
     p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = _paged_specs_for(cfg)
 
-    def core(params, cache, tok, cos, sin, active, *samp):
+    def core(params, cache, tok, cos, sin, active, *rest):
+        rest = list(rest)
+        samp = rest.pop(0) if sampling else None
+        lora = rest.pop(0) if lora_stack is not None else None
+        sel = rest.pop(0) if lora_stack is not None else None
         return llama._decode_multi_core_paged(
             params, cache, tok, cos, sin, active, scfg, n_steps,
-            axis_name=MODEL, sampling=samp[0] if samp else None,
-            with_logprobs=with_logprobs,
+            axis_name=MODEL, sampling=samp,
+            with_logprobs=with_logprobs, topk_logprobs=topk_logprobs,
+            lora=lora, lora_sel=sel,
         )
 
     in_specs = (p_specs, c_specs, P(DATA), P(), P(), P(DATA))
     if sampling:
         in_specs = in_specs + (_sampling_specs(),)
+    if lora_stack is not None:
+        in_specs = in_specs + (lora_specs(lora_stack), P(DATA))
     out_specs = (P(DATA), P(DATA), c_specs)
     if with_logprobs:
         out_specs = out_specs + (P(DATA),)
+    if topk_logprobs:
+        out_specs = out_specs + (P(DATA), P(DATA))
     sharded = jax.shard_map(
         core,
         mesh=mesh,
@@ -716,6 +726,7 @@ def make_tp_decode_multi_paged(
 def make_tp_prefill_serving_paged(
     mesh: Mesh, cfg: ModelConfig, weight_quant: bool = False,
     lm_head_quant: bool = False, prefix_len: int = 0,
+    lora_stack: dict | None = None,
 ):
     """Sharded paged admission prefill. ``prefix_len`` > 0 builds the
     chunked-prefill continuation program (prefix gathered per shard from its
@@ -725,16 +736,22 @@ def make_tp_prefill_serving_paged(
     p_specs = param_specs(cfg, weight_quant=weight_quant, lm_head_quant=lm_head_quant)
     c_specs = _paged_specs_for(cfg)
 
-    def core(params, cache, tokens, new_lengths, active, reset, cos, sin):
+    def core(params, cache, tokens, new_lengths, active, reset, cos, sin,
+             *rest):
+        lora = rest[0] if lora_stack is not None else None
+        sel = rest[1] if lora_stack is not None else None
         return llama._prefill_serving_core_paged(
             params, cache, tokens, new_lengths, active, reset, cos, sin, scfg,
-            axis_name=MODEL, prefix_len=prefix_len,
+            axis_name=MODEL, prefix_len=prefix_len, lora=lora, lora_sel=sel,
         )
 
+    in_specs = (p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P())
+    if lora_stack is not None:
+        in_specs = in_specs + (lora_specs(lora_stack), P(DATA))
     sharded = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(p_specs, c_specs, P(DATA), P(DATA), P(DATA), P(DATA), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(DATA), c_specs),
         check_vma=False,
     )

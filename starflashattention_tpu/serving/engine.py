@@ -906,8 +906,7 @@ class PagedEngine(Engine):
     built, else its Python twin (cache/paged.SeqPagePool)."""
 
     _supports_lora = True  # adapters thread through the paged cores too
-    _supports_lora_tp = False  # paged TP programs lack adapter operands
-    _supports_topk_tp = False  # ... and top-k logprob outputs
+
 
     def __init__(
         self,
@@ -1022,6 +1021,7 @@ class PagedEngine(Engine):
             self.mesh, self.cfg, self.steps_per_round, weight_quant=weight_quant,
             lm_head_quant=lm_head_quant,
             sampling=self.enable_sampling, with_logprobs=self.return_logprobs,
+            topk_logprobs=self.topk_logprobs, lora_stack=self.lora,
         )
         # one shard_map program per chunk index (prefix_len is a static
         # shape), built lazily and memoized — bounded by max_seq/chunk
@@ -1033,6 +1033,7 @@ class PagedEngine(Engine):
                 fn = fns[prefix_len] = tp.make_tp_prefill_serving_paged(
                     self.mesh, self.cfg, weight_quant=weight_quant,
                     lm_head_quant=lm_head_quant, prefix_len=prefix_len,
+                    lora_stack=self.lora,
                 )
             return fn
 
@@ -1347,10 +1348,11 @@ class PagedEngine(Engine):
     def _prefill_call(self, toks, new_lengths, admit_mask, reset_mask, prefix_len=0):
         self._sync_table()
         if self.mesh is not None:
-            logits, self.cache = self._tp_prefill(prefix_len)(
-                self.params, self.cache, toks, new_lengths, admit_mask,
-                reset_mask, self.cos, self.sin,
-            )
+            pf_args = (self.params, self.cache, toks, new_lengths, admit_mask,
+                       reset_mask, self.cos, self.sin)
+            if self.lora is not None:
+                pf_args = pf_args + (self.lora, self._lora_sel())
+            logits, self.cache = self._tp_prefill(prefix_len)(*pf_args)
             return logits
         logits, self.cache = llama.prefill_serving_paged(
             self.params, self.cache, toks, new_lengths, admit_mask,
@@ -1365,6 +1367,8 @@ class PagedEngine(Engine):
                     self.cos, self.sin, active)
             if self.enable_sampling:
                 args = args + (self._sampling_state(),)
+            if self.lora is not None:
+                args = args + (self.lora, self._lora_sel())
             out = self._tp_decode_multi(*args)
         else:
             out = llama.decode_multi_paged(

@@ -188,3 +188,37 @@ def test_multi_lora_recovery_keeps_adapter(setup):
     done = [r for r in restored if r.uid == 0][0]
     assert done.adapter == 1
     assert done.output == full[0]
+
+
+def test_multi_lora_paged_tp_matches_single_chip(setup):
+    """The full composition: paged pool + TP x DP mesh + multi-LoRA +
+    top-k logprobs — streams and alternatives equal the single-chip paged
+    multi-LoRA engine's."""
+    from starflashattention_tpu.parallel import make_mesh
+
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, num_q_heads=8, num_kv_heads=4
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    loras = [_rand_lora(cfg, 1, 4), _rand_lora(cfg, 2, 8)]
+    mesh = make_mesh({"data": 2, "model": 4})
+    rng = np.random.default_rng(9)
+    prompts = [
+        [int(t) for t in rng.integers(0, cfg.vocab_size, n)]
+        for n in (5, 9, 12, 7)
+    ]
+    adapters = [0, 1, None, 1]
+    ref_eng = PagedEngine(params, cfg, num_slots=4, steps_per_round=3,
+                          page_size=16, lora_adapters=loras, topk_logprobs=3)
+    ref = ref_eng.generate(prompts, max_new_tokens=5, adapters=adapters)
+    eng = PagedEngine(params, cfg, num_slots=4, steps_per_round=3,
+                      page_size=16, mesh=mesh, lora_adapters=loras,
+                      topk_logprobs=3)
+    outs = eng.generate(prompts, max_new_tokens=5, adapters=adapters)
+    assert outs == ref
+    a = ref_eng._finished_requests[0].topk
+    b = eng._finished_requests[0].topk
+    assert len(a) == len(b)
+    for (ia, va), (ib, vb) in zip(a, b):
+        assert ia == ib
+        np.testing.assert_allclose(va, vb, atol=1e-4)
