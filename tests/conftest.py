@@ -6,6 +6,18 @@ SURVEY.md §4's test plan.
 """
 
 import os
+import resource
+
+# XLA compiles on the CALLING thread, and LLVM's optimization passes recurse
+# deeply on the big sharded-training programs (shard_map + ring custom_vjp +
+# scan + remat backward). With the default 8 MB main-thread stack this
+# intermittently SEGFAULTs inside backend_compile after enough programs have
+# been compiled in one process (observed twice across full-suite runs, at
+# different tests each time; every test passes in isolation). The Linux main
+# stack grows on demand up to the soft rlimit — raise it so LLVM has room.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 512 * 1024 * 1024:
+    resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
