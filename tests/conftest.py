@@ -6,18 +6,7 @@ SURVEY.md §4's test plan.
 """
 
 import os
-import resource
-
-# XLA compiles on the CALLING thread, and LLVM's optimization passes recurse
-# deeply on the big sharded-training programs (shard_map + ring custom_vjp +
-# scan + remat backward). With the default 8 MB main-thread stack this
-# intermittently SEGFAULTs inside backend_compile after enough programs have
-# been compiled in one process (observed twice across full-suite runs, at
-# different tests each time; every test passes in isolation). The Linux main
-# stack grows on demand up to the soft rlimit — raise it so LLVM has room.
-_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _hard == resource.RLIM_INFINITY or _hard >= 512 * 1024 * 1024:
-    resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
+import threading
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -43,3 +32,40 @@ def mesh8():
 
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
     return Mesh(devs, axis_names=("data", "model"))
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    """Run every test on a worker thread with a 512 MB stack.
+
+    XLA compiles on the CALLING thread, and LLVM's optimization passes
+    recurse deeply on the big sharded-training programs (shard_map + ring
+    custom_vjp + scan + remat backward). On the default 8 MB main-thread
+    stack this intermittently SEGFAULTed inside backend_compile late in
+    full-suite runs (three runs, a different sharded-training test each
+    time; every test passes in isolation, and raising RLIMIT_STACK mid-
+    process cannot reliably grow an already-bounded main stack). A fresh
+    thread gets its stack sized up front, so the compiler always has room.
+    """
+    testfunction = pyfuncitem.obj
+    testargs = {
+        arg: pyfuncitem.funcargs[arg]
+        for arg in pyfuncitem._fixtureinfo.argnames
+    }
+    outcome: dict = {}
+
+    def run():
+        try:
+            testfunction(**testargs)
+        except BaseException as e:  # re-raised on the pytest thread
+            outcome["exc"] = e
+
+    old = threading.stack_size(512 * 1024 * 1024)
+    try:
+        t = threading.Thread(target=run, name=f"bigstack:{pyfuncitem.name}")
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if "exc" in outcome:
+        raise outcome["exc"]
+    return True
