@@ -94,6 +94,11 @@ def main() -> None:
         "--no-flash", action="store_true",
         help="use the plain-jnp attention twin instead of differentiable flash",
     )
+    ap.add_argument(
+        "--native-loader", action="store_true",
+        help="sample batches through the native mmap token loader "
+        "(utils/native.make_token_loader) instead of the numpy protocol",
+    )
     args = ap.parse_args()
     use_flash = not args.no_flash
 
@@ -125,11 +130,32 @@ def main() -> None:
     def eval_step(params, batch, cfg, cos, sin):
         return loss_fn(params, batch, cfg, cos, sin, use_flash=use_flash)
 
-    def sample(split, rng, b):
-        idx = rng.integers(0, len(split) - SEQ - 1, size=(b,))
-        return jnp.asarray(
-            np.stack([split[i:i + SEQ + 1] for i in idx]).astype(np.int32)
-        )
+    if args.native_loader:
+        # native mmap'd corpus sampler (utils/native.make_token_loader —
+        # C window gather when the lib is built, bit-identical Python twin
+        # otherwise); lo/hi carve the same train/val split with no copy.
+        # NOTE: a different (but equally deterministic) draw stream than the
+        # default numpy protocol — the committed checkpoint used the default.
+        import tempfile
+
+        from starflashattention_tpu.utils.native import make_token_loader
+
+        corpus_bin = Path(tempfile.gettempdir()) / "sfa_train_tiny_corpus.bin"
+        corpus_bin.write_bytes(corpus.tobytes())
+        loader = make_token_loader(corpus_bin, itemsize=1, seed=0)
+        n_train = len(train)
+        print(f"loader: {type(loader).__name__} over {loader.num_tokens} tokens")
+
+        def sample(split, rng, b):
+            if split is train:
+                return jnp.asarray(loader.next(b, SEQ + 1, 0, n_train))
+            return jnp.asarray(loader.next(b, SEQ + 1, n_train, 0))
+    else:
+        def sample(split, rng, b):
+            idx = rng.integers(0, len(split) - SEQ - 1, size=(b,))
+            return jnp.asarray(
+                np.stack([split[i:i + SEQ + 1] for i in idx]).astype(np.int32)
+            )
 
     rng = np.random.default_rng(0)
     val_batches = [sample(val, rng, args.batch) for _ in range(4)]

@@ -211,3 +211,106 @@ int sfa_sched_has_work(void* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Training data loader: mmap'd token corpus + deterministic window sampler.
+// The analog slot in the reference is empty (it has no training at all,
+// SURVEY.md §2); this is the native data path for models/train: the corpus
+// stays out of the Python heap (page cache serves repeats), window gather +
+// int32 widening run in C, and the xorshift64* stream makes every batch
+// reproducible from (seed, draw index) — the Python twin implements the
+// same generator bit-for-bit (utils/native.PyTokenLoader).
+// ---------------------------------------------------------------------------
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+struct TokenLoader {
+  const uint8_t* data = nullptr;
+  size_t bytes = 0;
+  int itemsize = 1;  // 1/2/4-byte little-endian tokens
+  int64_t n_tokens = 0;
+  uint64_t state = 0;  // xorshift64* state
+};
+
+static inline uint64_t sfa_xs64(uint64_t* s) {
+  uint64_t x = *s;
+  x ^= x >> 12;
+  x ^= x << 25;
+  x ^= x >> 27;
+  *s = x;
+  return x * 0x2545F4914F6CDD1DULL;
+}
+
+void* sfa_loader_open(const char* path, int itemsize, uint64_t seed) {
+  if (itemsize != 1 && itemsize != 2 && itemsize != 4) return nullptr;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < itemsize) {
+    close(fd);
+    return nullptr;
+  }
+  void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (m == MAP_FAILED) return nullptr;
+  auto* L = new TokenLoader();
+  L->data = static_cast<const uint8_t*>(m);
+  L->bytes = static_cast<size_t>(st.st_size);
+  L->itemsize = itemsize;
+  L->n_tokens = st.st_size / itemsize;
+  L->state = seed ^ 0x9E3779B97F4A7C15ULL;
+  if (L->state == 0) L->state = 1;
+  return L;
+}
+
+int64_t sfa_loader_num_tokens(void* h) {
+  return static_cast<TokenLoader*>(h)->n_tokens;
+}
+
+// Fill (batch, width) int32 rows with windows starting uniformly in
+// [lo, hi - width] (hi <= 0 means the corpus end) — lo/hi carve train/val
+// splits without copying. Returns 0, or -1 if the range can't fit a window.
+int sfa_loader_next(void* h, int batch, int width, int64_t lo, int64_t hi,
+                    int32_t* out) {
+  auto* L = static_cast<TokenLoader*>(h);
+  if (hi <= 0 || hi > L->n_tokens) hi = L->n_tokens;
+  if (lo < 0) lo = 0;
+  int64_t span = hi - lo - width;  // start in [lo, lo + span]
+  if (span < 0 || batch < 1 || width < 1) return -1;
+  for (int b = 0; b < batch; ++b) {
+    int64_t start =
+        lo + static_cast<int64_t>(sfa_xs64(&L->state) %
+                                  static_cast<uint64_t>(span + 1));
+    int32_t* row = out + static_cast<int64_t>(b) * width;
+    const uint8_t* src = L->data + start * L->itemsize;
+    switch (L->itemsize) {
+      case 1:
+        for (int i = 0; i < width; ++i) row[i] = src[i];
+        break;
+      case 2: {
+        const uint16_t* s16 = reinterpret_cast<const uint16_t*>(src);
+        for (int i = 0; i < width; ++i) row[i] = s16[i];
+        break;
+      }
+      default: {
+        const int32_t* s32 = reinterpret_cast<const int32_t*>(src);
+        std::memcpy(row, s32, static_cast<size_t>(width) * 4);
+        break;
+      }
+    }
+  }
+  return 0;
+}
+
+void sfa_loader_close(void* h) {
+  auto* L = static_cast<TokenLoader*>(h);
+  if (L->data) munmap(const_cast<uint8_t*>(L->data), L->bytes);
+  delete L;
+}
+
+}  // extern "C"

@@ -107,6 +107,19 @@ def load(build_if_missing: bool = True):
     lib.sfa_sched_has_work.restype = ctypes.c_int
     lib.sfa_sched_has_work.argtypes = [ctypes.c_void_p]
 
+    lib.sfa_loader_open.restype = ctypes.c_void_p
+    lib.sfa_loader_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.sfa_loader_num_tokens.restype = ctypes.c_int64
+    lib.sfa_loader_num_tokens.argtypes = [ctypes.c_void_p]
+    lib.sfa_loader_next.restype = ctypes.c_int
+    lib.sfa_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sfa_loader_close.argtypes = [ctypes.c_void_p]
+
     _lib = lib
     return _lib
 
@@ -209,3 +222,112 @@ class NativeSchedCore:
     @property
     def has_work(self) -> bool:
         return bool(self._lib.sfa_sched_has_work(self._h))
+
+
+class NativeTokenLoader:
+    """mmap'd token-corpus batch sampler (native/sfa_runtime.cc loader).
+
+    ``next(batch, width, lo, hi)`` returns an int32 (batch, width) array of
+    windows starting uniformly in [lo, hi - width] of the corpus; lo/hi
+    carve train/validation splits with no copying. Draws come from a
+    xorshift64* stream seeded at open — fully reproducible, and
+    :class:`PyTokenLoader` implements the SAME generator bit-for-bit as the
+    no-toolchain fallback (asserted equal in tests/test_native.py).
+    """
+
+    def __init__(self, path, itemsize: int = 1, seed: int = 0):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime not available")
+        self._lib = lib
+        self._h = lib.sfa_loader_open(
+            str(path).encode(), int(itemsize), ctypes.c_uint64(seed)
+        )
+        if not self._h:
+            raise OSError(f"cannot open token corpus {path!r}")
+
+    @property
+    def num_tokens(self) -> int:
+        return int(self._lib.sfa_loader_num_tokens(self._h))
+
+    def next(self, batch: int, width: int, lo: int = 0, hi: int = 0):
+        import numpy as np
+
+        out = np.empty((batch, width), np.int32)
+        rc = self._lib.sfa_loader_next(
+            self._h, batch, width, lo, hi,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"corpus range [{lo}, {hi or self.num_tokens}) cannot fit a "
+                f"window of {width} tokens"
+            )
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.sfa_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PyTokenLoader:
+    """Pure-Python twin of :class:`NativeTokenLoader` — same xorshift64*
+    stream (bit-for-bit), np.memmap instead of raw mmap."""
+
+    _MASK = (1 << 64) - 1
+
+    def __init__(self, path, itemsize: int = 1, seed: int = 0):
+        import numpy as np
+
+        dtype = {1: np.uint8, 2: np.uint16, 4: np.int32}[int(itemsize)]
+        self._data = np.memmap(str(path), dtype=dtype, mode="r")
+        self._state = (seed ^ 0x9E3779B97F4A7C15) & self._MASK
+        if self._state == 0:
+            self._state = 1
+
+    @property
+    def num_tokens(self) -> int:
+        return int(self._data.shape[0])
+
+    def _draw(self) -> int:
+        x = self._state
+        x ^= x >> 12
+        x = (x ^ (x << 25)) & self._MASK
+        x ^= x >> 27
+        self._state = x
+        return (x * 0x2545F4914F6CDD1D) & self._MASK
+
+    def next(self, batch: int, width: int, lo: int = 0, hi: int = 0):
+        import numpy as np
+
+        n = self.num_tokens
+        hi = n if hi <= 0 or hi > n else hi
+        lo = max(lo, 0)
+        span = hi - lo - width
+        if span < 0 or batch < 1 or width < 1:
+            raise ValueError(
+                f"corpus range [{lo}, {hi}) cannot fit a window of {width}"
+            )
+        out = np.empty((batch, width), np.int32)
+        for b in range(batch):
+            start = lo + self._draw() % (span + 1)
+            out[b] = self._data[start : start + width].astype(np.int32)
+        return out
+
+    def close(self) -> None:
+        self._data = None
+
+
+def make_token_loader(path, itemsize: int = 1, seed: int = 0):
+    """NativeTokenLoader when the native lib is available, else the twin."""
+    try:
+        return NativeTokenLoader(path, itemsize, seed)
+    except (RuntimeError, OSError):
+        return PyTokenLoader(path, itemsize, seed)

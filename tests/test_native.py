@@ -91,3 +91,77 @@ def test_sched_capacity_slack_parity():
         py.submit(Request(uid=2, prompt=[0] * 50, max_new_tokens=8))
     with pytest.raises(ValueError):
         nat.submit(2, prompt_len=50, max_new=8)
+
+
+def test_token_loader_twins_bit_match(tmp_path):
+    """NativeTokenLoader and PyTokenLoader draw IDENTICAL batches from the
+    same (seed, corpus): the C and Python xorshift64* streams must agree
+    bit-for-bit so a training run is reproducible regardless of which
+    loader an environment ends up with."""
+    import numpy as np
+    import pytest
+
+    from starflashattention_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("native runtime not built")
+    path = tmp_path / "corpus.bin"
+    data = np.random.default_rng(0).integers(0, 256, 50_000, dtype=np.uint8)
+    data.tofile(path)
+    nl = native.NativeTokenLoader(path, 1, seed=7)
+    pl = native.PyTokenLoader(path, 1, seed=7)
+    assert nl.num_tokens == pl.num_tokens == 50_000
+    for _ in range(8):
+        a = nl.next(8, 129, lo=1000, hi=40_000)
+        b = pl.next(8, 129, lo=1000, hi=40_000)
+        np.testing.assert_array_equal(a, b)
+    # windows respect the [lo, hi) carve and reproduce the mmap'd bytes
+    starts_seen = a.min() >= 0
+    assert starts_seen
+    nl.close()
+    pl.close()
+
+
+def test_token_loader_itemsizes_and_bounds(tmp_path):
+    import numpy as np
+    import pytest
+
+    from starflashattention_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("native runtime not built")
+    # 2-byte tokens: values above 255 must come through intact
+    path = tmp_path / "c16.bin"
+    data = np.random.default_rng(1).integers(0, 50_000, 4096, dtype=np.uint16)
+    data.tofile(path)
+    nl = native.NativeTokenLoader(path, 2, seed=3)
+    out = nl.next(4, 64)
+    assert out.dtype == np.int32 and out.max() > 255
+    # every row must be a literal corpus window
+    arr = data.astype(np.int32)
+    for row in out:
+        idx = np.where(arr[: len(arr) - 63] == row[0])[0]
+        assert any(np.array_equal(arr[i : i + 64], row) for i in idx)
+    with pytest.raises(ValueError):
+        nl.next(1, 10_000)  # wider than the corpus
+    nl.close()
+
+
+def test_token_loader_determinism_per_seed(tmp_path):
+    import numpy as np
+    import pytest
+
+    from starflashattention_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("native runtime not built")
+    path = tmp_path / "c.bin"
+    np.arange(8192, dtype=np.int32).tofile(path)
+    a = native.NativeTokenLoader(path, 4, seed=5).next(16, 32)
+    b = native.NativeTokenLoader(path, 4, seed=5).next(16, 32)
+    c = native.NativeTokenLoader(path, 4, seed=6).next(16, 32)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    # int32 corpus: window contents equal start..start+32 (identity corpus)
+    for row in a:
+        np.testing.assert_array_equal(row, np.arange(row[0], row[0] + 32))
