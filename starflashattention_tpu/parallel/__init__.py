@@ -27,6 +27,10 @@ from starflashattention_tpu.parallel.ring import (  # noqa: F401
     make_ring_prefill,
     ring_attention,
 )
+from starflashattention_tpu.parallel.ulysses import (  # noqa: F401
+    make_ulysses_prefill,
+    ulysses_attention,
+)
 from starflashattention_tpu.parallel.pp import (  # noqa: F401
     make_pp_decode_step,
     shard_cache_pp,
