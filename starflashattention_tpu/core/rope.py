@@ -23,20 +23,63 @@ import jax
 import jax.numpy as jnp
 
 
+def llama3_scaled_inv_freq(
+    inv_freq: jax.Array,
+    factor: float = 8.0,
+    low_freq_factor: float = 1.0,
+    high_freq_factor: float = 4.0,
+    original_max_position: int = 8192,
+) -> jax.Array:
+    """Llama-3.1 frequency warping (HF ``rope_scaling.rope_type="llama3"``).
+
+    Long wavelengths (> orig_ctx / low_freq_factor) slow down by ``factor``
+    (position interpolation), short ones (< orig_ctx / high_freq_factor)
+    keep the pretrained frequencies, and the band between interpolates
+    smoothly — the recipe that stretches an 8k-pretrained base to 128k.
+    """
+    wavelen = 2.0 * jnp.pi / inv_freq
+    low_wl = original_max_position / low_freq_factor
+    high_wl = original_max_position / high_freq_factor
+    smooth = (original_max_position / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+    return jnp.where(
+        (wavelen <= low_wl) & (wavelen >= high_wl), mid, out
+    )
+
+
 def rope_table(
     max_seq_len: int,
     rotary_dim: int,
     base: float = 10000.0,
     dtype: jnp.dtype = jnp.float32,
+    scaling: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Precompute cos/sin tables shaped ``(max_seq_len, rotary_dim // 2)``.
 
     freq(i) = pos / base**(2i / rotary_dim) — matches the reference's
     rotary_table_kernel (flash_attn.cu:512-529).
+
+    ``scaling``: optional RoPE frequency warp, as a hashable tuple so it
+    rides a frozen config: ``("llama3", factor, low_freq_factor,
+    high_freq_factor, original_max_position)`` (Llama-3.1-style) or
+    ``("linear", factor)`` (classic position interpolation).
     """
     if rotary_dim % 2:
         raise ValueError(f"rotary_dim must be even, got {rotary_dim}")
     inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    if scaling is not None:
+        kind = scaling[0]
+        if kind == "llama3":
+            inv_freq = llama3_scaled_inv_freq(inv_freq, *scaling[1:])
+        elif kind == "linear":
+            inv_freq = inv_freq / float(scaling[1])
+        else:
+            raise ValueError(
+                f"unknown rope scaling {kind!r} (supported: llama3, linear)"
+            )
     pos = jnp.arange(max_seq_len, dtype=jnp.float32)
     angles = pos[:, None] * inv_freq[None, :]  # (S, rot/2)
     return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)

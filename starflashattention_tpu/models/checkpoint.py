@@ -23,6 +23,27 @@ import numpy as np
 from starflashattention_tpu.runtime.params import ModelConfig
 
 
+def _hf_rope_scaling(hf_config) -> tuple | None:
+    """HF rope_scaling dict -> the hashable tuple ModelConfig carries."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs is None:
+        return None
+    if isinstance(rs, dict):
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind == "llama3":
+            return (
+                "llama3",
+                float(rs.get("factor", 8.0)),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        if kind == "linear":
+            return ("linear", float(rs.get("factor", 1.0)))
+        raise ValueError(f"unsupported rope_scaling type {kind!r}")
+    return None
+
+
 def _to_np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
@@ -66,6 +87,7 @@ def config_from_hf(hf_config) -> ModelConfig:
         or hf_config.hidden_size // hf_config.num_attention_heads,
         rms_norm_eps=hf_config.rms_norm_eps,
         rope_base=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=_hf_rope_scaling(hf_config),
         max_seq_len=min(getattr(hf_config, "max_position_embeddings", 4096), 8192),
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         attention_bias=attention_bias,

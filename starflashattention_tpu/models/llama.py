@@ -467,7 +467,10 @@ def _logits(
 
 
 def rope_tables(cfg: ModelConfig, dtype=jnp.float32):
-    return rope_table(cfg.max_seq_len, cfg.head_dim, base=cfg.rope_base, dtype=dtype)
+    return rope_table(
+        cfg.max_seq_len, cfg.head_dim, base=cfg.rope_base, dtype=dtype,
+        scaling=cfg.rope_scaling,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,11 @@ class ModelConfig:
     # kernels prepend sink blocks to their (band-shifted) KV walks; the
     # paged engine keeps sink pages out of rolling-buffer reclamation.
     attention_sinks: int = 0
+    # RoPE frequency scaling, as a hashable tuple (the config is a static
+    # jit arg): ("llama3", factor, low_freq_factor, high_freq_factor,
+    # original_max_position) for Llama-3.1-style warping, or
+    # ("linear", factor) for classic position interpolation. None = off.
+    rope_scaling: tuple | None = None
     # Fused-QKV projection bias (Qwen2-style; the reference ACCEPTS q/k/v
     # biases in its API but never applies them, flash_api.cpp:8-9 /
     # SURVEY.md §2.9h — here they are real).
@@ -205,6 +210,16 @@ class ModelConfig:
         )
         base.update(overrides)
         return cls(**base)
+
+    @classmethod
+    def llama31_8b(cls, **overrides) -> "ModelConfig":
+        """Llama-3.1-8B: the 3.0 geometry with the long-context RoPE warp
+        (factor 8 over the 8k-pretrained base; serve at any max_seq_len up
+        to 128k that fits the cache budget)."""
+        base = dict(max_seq_len=16384,
+                    rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192))
+        base.update(overrides)
+        return cls.llama3_8b(**base)
 
     @classmethod
     def llama3_8b(cls, **overrides) -> "ModelConfig":

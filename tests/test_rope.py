@@ -85,3 +85,85 @@ def test_position_zero_is_identity(rng):
     cos, sin = rope_table(4, 32)
     got = apply_rope(jnp.array(x), jnp.zeros((2,), jnp.int32), cos, sin)
     np.testing.assert_allclose(np.asarray(got), x, rtol=1e-6)
+
+
+def test_llama3_rope_scaling_matches_hf_formula():
+    """rope_table(scaling=("llama3", ...)) == an independent transcription
+    of HF's Llama-3.1 frequency warp; linear scaling == plain position
+    interpolation; unknown kinds rejected."""
+    import numpy as np
+    import pytest
+
+    from starflashattention_tpu.core.rope import rope_table
+
+    dim, base, S = 64, 500000.0, 256
+    factor, lo_f, hi_f, orig = 8.0, 1.0, 4.0, 8192
+    cos, sin = rope_table(
+        S, dim, base=base, scaling=("llama3", factor, lo_f, hi_f, orig)
+    )
+
+    # independent numpy transcription of the HF recipe (float32 end to end
+    # — the table is built in f32, and cos at angle ~200 amplifies any
+    # dtype difference far past table precision)
+    inv = (1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float32) / np.float32(dim)))).astype(np.float32)
+    wavelen = (2 * np.pi / inv).astype(np.float32)
+    scaled = np.empty_like(inv)
+    for i, (f, wl) in enumerate(zip(inv, wavelen)):
+        if wl > orig / lo_f:
+            scaled[i] = f / factor
+        elif wl < orig / hi_f:
+            scaled[i] = f
+        else:
+            s = (orig / wl - lo_f) / (hi_f - lo_f)
+            scaled[i] = (1 - s) * f / factor + s * f
+    ang = (np.arange(S, dtype=np.float32)[:, None] * scaled[None, :]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(cos), np.cos(ang), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sin), np.sin(ang), atol=2e-5)
+
+    cos_l, _ = rope_table(S, dim, base=base, scaling=("linear", 4.0))
+    cos_p, _ = rope_table(S, dim, base=base)
+    # linear scaling at position 4p == unscaled at position p
+    np.testing.assert_allclose(
+        np.asarray(cos_l)[4 * 10], np.asarray(cos_p)[10], atol=1e-5
+    )
+    with pytest.raises(ValueError, match="unknown rope scaling"):
+        rope_table(S, dim, scaling=("yarn", 2.0))
+
+
+def test_llama31_preset_serves():
+    """The llama31_8b preset (trimmed) runs the decode path with warped
+    tables — the scaling changes logits vs the unwarped twin."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    cfg = ModelConfig.llama31_8b(
+        num_layers=1, vocab_size=128, hidden_size=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=128, max_seq_len=128,
+        dtype="float32",
+    )
+    assert cfg.rope_scaling[0] == "llama3"
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    cos, sin = llama.rope_tables(cfg)
+    cache = contiguous.init_cache(
+        cfg.num_layers, 1, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    toks = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    lg, _ = llama.prefill(params, cache, toks, jnp.asarray([8], jnp.int32),
+                          cos, sin, cfg)
+    cfg0 = dataclasses.replace(cfg, rope_scaling=None)
+    cos0, sin0 = llama.rope_tables(cfg0)
+    cache0 = contiguous.init_cache(
+        cfg.num_layers, 1, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    lg0, _ = llama.prefill(params, cache0, toks, jnp.asarray([8], jnp.int32),
+                           cos0, sin0, cfg0)
+    assert np.isfinite(np.asarray(lg)).all()
+    assert float(jnp.max(jnp.abs(lg - lg0))) > 1e-6
