@@ -75,6 +75,8 @@ def config_from_hf(hf_config) -> ModelConfig:
     window = getattr(hf_config, "sliding_window", None)
     if not getattr(hf_config, "use_sliding_window", True):
         window = None
+    # Qwen3: QK-norm is architectural (no config flag) — key off model_type
+    qk_norm = model_type == "qwen3"
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -92,6 +94,7 @@ def config_from_hf(hf_config) -> ModelConfig:
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         attention_bias=attention_bias,
         sliding_window=window,
+        qk_norm=qk_norm,
         # Mixtral: num_local_experts routed top-num_experts_per_tok
         num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
@@ -113,6 +116,7 @@ def load_hf_state_dict(
 
     wqkv, wo, w_gate_up, w_down = [], [], [], []
     attn_norm, mlp_norm, bqkv = [], [], []
+    q_norm, k_norm = [], []
     moe_router, moe_gate_up, moe_down = [], [], []
     for i in range(L):
         p = f"model.layers.{i}."
@@ -149,6 +153,10 @@ def load_hf_state_dict(
             up = get(p + "mlp.up_proj.weight").T
             w_gate_up.append(np.concatenate([gate, up], axis=1))
             w_down.append(get(p + "mlp.down_proj.weight").T)  # (I, h)
+        if cfg.qk_norm:
+            # Qwen3-style per-head (D,) QK-norm weights
+            q_norm.append(get(p + "self_attn.q_norm.weight"))
+            k_norm.append(get(p + "self_attn.k_norm.weight"))
         attn_norm.append(get(p + "input_layernorm.weight"))
         mlp_norm.append(get(p + "post_attention_layernorm.weight"))
 
@@ -171,6 +179,9 @@ def load_hf_state_dict(
         params["layers"]["w_down"] = jnp.asarray(np.stack(w_down), dtype)
     if cfg.attention_bias:
         params["layers"]["bqkv"] = jnp.asarray(np.stack(bqkv), dtype)
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = jnp.asarray(np.stack(q_norm), dtype)
+        params["layers"]["k_norm"] = jnp.asarray(np.stack(k_norm), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     _check_shapes(params, cfg)

@@ -276,6 +276,11 @@ def init_params(
     if cfg.attention_bias:
         # Qwen2-style fused QKV bias, column layout identical to wqkv
         params["layers"]["bqkv"] = norm01(keys[6], (L, (hq + 2 * hkv) * d), h)
+    if cfg.qk_norm:
+        # Qwen3-style QK-norm: (D,) RMSNorm weights per layer, shared
+        # across heads, applied before RoPE (_apply_qk_norm)
+        params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = norm01(keys[5], (h, cfg.vocab_size), h)
     return params
@@ -294,6 +299,18 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _apply_qk_norm(q, k, lp, cfg):
+    """Qwen3-style QK-norm: per-head RMSNorm over head_dim on q and the new
+    k, BEFORE RoPE (learned (D,) weights shared across heads per layer).
+    No-op unless the params carry q_norm/k_norm (cfg.qk_norm models)."""
+    if "q_norm" not in lp:
+        return q, k
+    return (
+        rms_norm(q, lp["q_norm"], cfg.rms_norm_eps),
+        rms_norm(k, lp["k_norm"], cfg.rms_norm_eps),
+    )
 
 
 def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None) -> jax.Array:
@@ -575,6 +592,7 @@ def _decode_layer(
     if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
         qkv = qkv + lp["bqkv"]
     q, k_new, v_new = _split_heads_decode(qkv, cfg)
+    q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
     q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
     k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
 
@@ -691,6 +709,7 @@ def _prefill_core(
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
 
@@ -985,6 +1004,7 @@ def _verify_core(
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, T, D)
+        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
 
@@ -1369,6 +1389,7 @@ def _decode_core_paged(
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_decode(qkv, cfg)
+        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
         q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
 
@@ -1479,6 +1500,7 @@ def _prefill_core_paged(
         if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
             qkv = qkv + lp["bqkv"]
         q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
         q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
 

@@ -168,6 +168,7 @@ def forward_train(
         if cfg.attention_bias:
             qkv = qkv + lp["bqkv"]
         q, k, v = llama._split_heads_prefill(qkv, cfg)
+        q, k = llama._apply_qk_norm(q, k, lp, cfg)
         q = llama.apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
         k = llama.apply_rope(k, pos[:, None, :], cos, sin, style=cfg.rope_style)
         if seq_axis_name is not None:

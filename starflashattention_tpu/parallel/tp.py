@@ -219,6 +219,11 @@ def param_specs(
     if cfg.attention_bias:
         # column-parallel bias: shards with the (permuted) wqkv output dim
         specs["layers"]["bqkv"] = P(None, MODEL)
+    if cfg.qk_norm:
+        # replicated (D,)-per-layer norm weights: every shard norms its own
+        # heads with the shared weights (shared across heads by design)
+        specs["layers"]["q_norm"] = P()
+        specs["layers"]["k_norm"] = P()
     if cfg.tie_embeddings:
         specs.pop("lm_head")
     elif lm_head_quant:

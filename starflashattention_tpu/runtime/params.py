@@ -108,6 +108,9 @@ class ModelConfig:
     # biases in its API but never applies them, flash_api.cpp:8-9 /
     # SURVEY.md §2.9h — here they are real).
     attention_bias: bool = False
+    # Qwen3-style QK-norm: learned per-layer (head_dim,) RMSNorm on q and k
+    # before RoPE (models/llama._apply_qk_norm).
+    qk_norm: bool = False
     # Under TP (parallel/tp.py) the lm_head is VOCAB-SHARDED over the model
     # axis: each shard computes its (B, V/T) logit slice and the slices are
     # all-gathered — bit-identical to the replicated matmul but the per-chip
@@ -188,6 +191,25 @@ class ModelConfig:
             head_dim=128,
             sliding_window=4096,
             max_seq_len=8192,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def qwen3_8b(cls, **overrides) -> "ModelConfig":
+        """Qwen3-8B geometry: 36 layers, 32/8 GQA heads, QK-norm (per-head
+        RMSNorm on q/k before RoPE), NO attention bias, rope theta 1e6."""
+        base = dict(
+            vocab_size=151936,
+            hidden_size=4096,
+            intermediate_size=12288,
+            num_layers=36,
+            num_q_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_base=1e6,
+            max_seq_len=8192,
+            qk_norm=True,
         )
         base.update(overrides)
         return cls(**base)

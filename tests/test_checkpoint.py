@@ -121,3 +121,50 @@ def test_native_checkpoint_roundtrip_quantized(tmp_path):
     out1 = llama.generate(params, cfg, toks, lens, max_new_tokens=3)
     out2 = llama.generate(params2, cfg2, toks, lens, max_new_tokens=3)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_qwen3_logits_match_hf_forward():
+    """Cross-ecosystem Qwen3: QK-norm weights load from the HF state dict
+    and the serving prefill reproduces transformers' logits."""
+    cfg_hf = transformers.Qwen3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen3ForCausalLM(cfg_hf)
+    model.eval()
+
+    cfg = checkpoint.config_from_hf(cfg_hf)
+    assert cfg.qk_norm and not cfg.attention_bias
+    params = checkpoint.load_hf_state_dict(model.state_dict(), cfg, dtype=jnp.float32)
+    assert params["layers"]["q_norm"].shape == (2, 16)
+
+    from starflashattention_tpu.cache import contiguous
+
+    toks = np.array([[1, 5, 9, 2, 7, 3]], np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks.astype(np.int64))).logits.numpy()
+
+    cos, sin = llama.rope_tables(cfg)
+    cache = contiguous.init_cache(
+        cfg.num_layers, 1, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32,
+    )
+    lg, _ = llama.prefill(
+        params, cache, jnp.asarray(toks), jnp.asarray([6], jnp.int32),
+        cos, sin, cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg[0]), ref[0, -1], rtol=2e-4, atol=2e-4
+    )

