@@ -222,3 +222,34 @@ def test_multi_lora_paged_tp_matches_single_chip(setup):
     for (ia, va), (ib, vb) in zip(a, b):
         assert ia == ib
         np.testing.assert_allclose(va, vb, atol=1e-4)
+
+
+def test_multi_lora_over_quantized_base(setup):
+    """Adapters compose with an INT8-quantized base: the delta applies to
+    activations AFTER the fused-dequant projection, so the stream must
+    equal (dequantized base + delta) computed densely."""
+    _params, loras = setup
+    params = llama.init_params(CFG, jax.random.PRNGKey(3))
+    params_q = llama.quantize_model_weights(params, "int8")
+
+    eng_q = Engine(params_q, CFG, num_slots=2, steps_per_round=2,
+                   lora_adapters=loras)
+    prompt = [4, 9, 2, 6, 1]
+    out_q = eng_q.generate([prompt], max_new_tokens=5, adapters=[1])
+
+    # dense oracle: dequantize the base, then run the SAME multi-LoRA path
+    from starflashattention_tpu.core import quant as quant_lib
+
+    dense_layers = {}
+    for name, w in params["layers"].items():
+        wq = params_q["layers"][name]
+        if isinstance(wq, dict):
+            dense_layers[name] = quant_lib.dequantize_weight(wq, dtype=jnp.float32)
+        else:
+            dense_layers[name] = wq
+    params_d = {**params_q, "layers": dense_layers}
+    out_d = Engine(params_d, CFG, num_slots=2, steps_per_round=2,
+                   lora_adapters=loras).generate(
+        [prompt], max_new_tokens=5, adapters=[1]
+    )
+    assert out_q == out_d
