@@ -34,7 +34,8 @@ from starflashattention_tpu.runtime.params import ModelConfig
 
 
 def make_tp_dp_value_and_grad(
-    mesh: Mesh, cfg: ModelConfig, *, use_flash: bool = True, remat: bool = True
+    mesh: Mesh, cfg: ModelConfig, *, use_flash: bool = True,
+    remat: bool = True, grad_accum: int = 1,
 ):
     """Jitted ``(params, batch, cos, sin) -> (loss, grads)`` over the mesh.
 
@@ -47,11 +48,19 @@ def make_tp_dp_value_and_grad(
     shard_cfg = tp._shard_cfg(cfg, mesh)
     p_specs = tp.param_specs(cfg)
 
-    def core(params, batch, cos, sin):
-        loss, grads = jax.value_and_grad(loss_fn)(
+    def vg(params, batch, cos, sin):
+        return jax.value_and_grad(loss_fn)(
             params, batch, shard_cfg, cos, sin,
             use_flash=use_flash, remat=remat, axis_name=MODEL,
         )
+
+    def core(params, batch, cos, sin):
+        if grad_accum > 1:
+            loss, grads = _accumulate(vg, grad_accum)(
+                params, batch, consts=(cos, sin)
+            )
+        else:
+            loss, grads = vg(params, batch, cos, sin)
         # equal-sized data shards -> mean of shard means == global mean
         loss = jax.lax.pmean(loss, DATA)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA), grads)
@@ -74,6 +83,7 @@ def make_tp_dp_train_step(
     *,
     use_flash: bool = True,
     remat: bool = True,
+    grad_accum: int = 1,
 ):
     """Jitted ``(params, opt_state, batch, cos, sin) -> (params, opt_state,
     loss)`` — one optimizer step over the ('data', 'model') mesh.
@@ -82,7 +92,7 @@ def make_tp_dp_train_step(
     :func:`init_opt_state` so it inherits the parameter sharding.
     """
     _, sharded = make_tp_dp_value_and_grad(
-        mesh, cfg, use_flash=use_flash, remat=remat
+        mesh, cfg, use_flash=use_flash, remat=remat, grad_accum=grad_accum
     )
     import optax
 
@@ -107,6 +117,39 @@ def init_opt_state(optimizer, params):
 SEQ = "seq"
 
 
+def _accumulate(value_and_grad_fn, accum_steps: int):
+    """Microbatch gradient accumulation: split the batch's LEADING axis
+    into ``accum_steps`` equal microbatches, lax.scan the grad fn over
+    them, and average — same math as the full batch (the loss is a mean,
+    and a mean of equal-sized microbatch means is the batch mean), with
+    peak activation memory divided by ``accum_steps``."""
+    import jax.numpy as jnp
+
+    def fn(params, *batch_args, consts=()):
+        micro = [
+            jnp.reshape(a, (accum_steps, a.shape[0] // accum_steps) + a.shape[1:])
+            for a in batch_args
+        ]
+
+        def body(carry, mb):
+            loss_acc, grads_acc = carry
+            loss, grads = value_and_grad_fn(params, *mb, *consts)
+            return (
+                loss_acc + loss,
+                jax.tree.map(jnp.add, grads_acc, grads),
+            ), None
+
+        zero_l = jnp.zeros((), jnp.float32)
+        zero_g = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (loss, grads), _ = jax.lax.scan(body, (zero_l, zero_g), tuple(micro))
+        inv = 1.0 / accum_steps
+        return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
+    return fn
+
+
 def make_cp_train_step(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -115,6 +158,7 @@ def make_cp_train_step(
     seq_axis: str = SEQ,
     data_axis: str | None = None,
     remat: bool = True,
+    grad_accum: int = 1,
 ):
     """Context-parallel (× optional data-parallel) training step: one
     optimizer step with the batch's SEQUENCE dim sharded over ``seq_axis``
@@ -136,11 +180,21 @@ def make_cp_train_step(
 
     axes = [a for a in (data_axis, seq_axis) if a is not None]
 
-    def core(params, inp, tgt, cos, sin):
-        loss, grads = jax.value_and_grad(loss_tokens)(
+    def vg(params, inp, tgt, cos, sin):
+        return jax.value_and_grad(loss_tokens)(
             params, inp, tgt, cfg, cos, sin,
             use_flash=True, remat=remat, seq_axis_name=seq_axis,
         )
+
+    def core(params, inp, tgt, cos, sin):
+        if grad_accum > 1:
+            # microbatch over the BATCH rows (each chip's local rows);
+            # sequence stays whole so the ring sees full chunks
+            loss, grads = _accumulate(
+                lambda p, i, t, c, s: vg(p, i, t, c, s), grad_accum
+            )(params, inp, tgt, consts=(cos, sin))
+        else:
+            loss, grads = vg(params, inp, tgt, cos, sin)
         # equal chunks: global mean = mean of chunk means; replicated params
         # need the pmean over every activation-sharding axis
         for ax in axes:

@@ -129,3 +129,35 @@ def test_tp_cp_step_matches_single_device(rng):
         for x, y in zip(la, lb)
     )
     assert err < 1e-5
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=2 microbatching reproduces the full-batch update exactly
+    (mean loss is linear in equal microbatch means) — CP and TP x DP."""
+    from starflashattention_tpu.parallel import tp
+    from starflashattention_tpu.parallel.train import make_tp_dp_train_step
+
+    cfg, params, cos, sin, batch = _setup(rng, b=4, s=32)
+    mesh_cp = make_mesh({"seq": 4}, devices=jax.devices()[:4])
+    opt = optax.sgd(1e-2)
+
+    p1, _, l1 = make_cp_train_step(mesh_cp, cfg, opt)(
+        params, init_opt_state(opt, params), batch, cos, sin
+    )
+    p2, _, l2 = make_cp_train_step(mesh_cp, cfg, opt, grad_accum=2)(
+        params, init_opt_state(opt, params), batch, cos, sin
+    )
+    assert abs(float(l1) - float(l2)) < 1e-6
+    assert _tree_err(p1, p2) < 1e-6
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = tp.shard_params(params, mesh, cfg)
+    s1, _, m1 = make_tp_dp_train_step(mesh, cfg, opt)(
+        sharded, init_opt_state(opt, sharded), batch, cos, sin
+    )
+    sharded = tp.shard_params(params, mesh, cfg)
+    s2, _, m2 = make_tp_dp_train_step(mesh, cfg, opt, grad_accum=2)(
+        sharded, init_opt_state(opt, sharded), batch, cos, sin
+    )
+    assert abs(float(m1) - float(m2)) < 1e-6
+    assert _tree_err(s1, s2) < 1e-6
