@@ -1,6 +1,13 @@
 """Canonical benchmark: 7B-GQA decode tokens/s/chip on real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints TWO JSON lines on TPU (one on the CPU fallback):
+  1. the serving-frontier config — INT4 weights (nibble-packed, grouped
+     scales, g128 default) + INT8 KV cache — the repo's best measured
+     tokens/s, informational line;
+  2. LAST, the canonical north-star line {"metric", "value", "unit",
+     "vs_baseline"} — weight-only INT8 (+ int8 lm_head), bf16 KV. The
+     driver parses the tail line, so the canonical metric stays the one
+     tracked across rounds.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
 achieved effective HBM bandwidth as a fraction of the BASELINE.json target
@@ -18,16 +25,18 @@ streamed per step (the embedding table is a B-row gather, NOT a full read),
 the valid KV prefix read, the windowed append write, and the logits write.
 
 Robustness contract (round 4): the run is budgeted by SFA_BENCH_DEADLINE_S
-(default 240 s), a watchdog thread emits the best-so-far JSON line and exits
-0 if the tunnel stalls, repeats stop early as the deadline nears, and the
-donated carry is re-armed by resetting lengths instead of re-initializing
-the 2.1 GB cache per repeat. One JSON line ALWAYS prints.
+(default 240 s), a watchdog thread emits the best-so-far JSON line(s) and
+exits 0 if the tunnel stalls, repeats stop early as the deadline nears, and
+the donated carry is re-armed by resetting lengths instead of re-initializing
+the 2.1 GB cache per repeat. The canonical JSON line ALWAYS prints, and
+always LAST.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import gc
 import json
 import os
 import threading
@@ -51,7 +60,7 @@ TARGET_FRACTION = 0.85
 # stops early rather than racing the watchdog.
 _DEADLINE_S = float(os.environ.get("SFA_BENCH_DEADLINE_S", "240"))
 _EMIT_LOCK = threading.Lock()
-_STATE: dict = {"emitted": False, "payload": None}
+_STATE: dict = {"emitted": False, "payload": None, "extra_payload": None}
 
 
 def _payload(tokens_per_s: float, vs_baseline: float) -> dict:
@@ -63,17 +72,30 @@ def _payload(tokens_per_s: float, vs_baseline: float) -> dict:
     }
 
 
-def _emit(payload: dict) -> None:
+def _extra_payload(tokens_per_s: float, vs_baseline: float) -> dict:
+    return {
+        "metric": "decode_tokens_per_s_per_chip_7b_gqa_int4w_int8kv",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+
+
+def _emit_all() -> None:
+    """Print the informational int4 line (if measured), then the canonical
+    int8 line LAST (the driver parses the tail line). Exactly once."""
     with _EMIT_LOCK:
         if _STATE["emitted"]:
             return
         _STATE["emitted"] = True
-        print(json.dumps(payload), flush=True)
+        if _STATE["extra_payload"] is not None:
+            print(json.dumps(_STATE["extra_payload"]), flush=True)
+        print(json.dumps(_STATE["payload"] or _payload(0.0, 0.0)), flush=True)
 
 
 def _watchdog() -> None:
     # Nothing completed -> a parseable failure line beats a silent timeout.
-    _emit(_STATE["payload"] or _payload(0.0, 0.0))
+    _emit_all()
     os._exit(0)
 
 
@@ -93,45 +115,38 @@ def _bytes_per_step(params, cache, mean_len: float, batch: int, vocab: int) -> f
     return weights + embed_rows + kv_read + append + logits_write
 
 
-def main() -> None:
-    import time as _time
-
-    t_start = _time.time()
-    timer = threading.Timer(_DEADLINE_S, _watchdog)
-    timer.daemon = True
-    timer.start()
-
+def _run_chain(weight_mode: str, kv_mode: str, record, *, t_start, time_mod,
+               reps: int = 4, reserve_s: float = 5.0):
+    """Build the 7B decode chain for one quant config, run up to ``reps``
+    timed repeats, calling ``record(best_seconds, bytes_step, batch, iters)``
+    after each. Frees params/cache before returning."""
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
     from starflashattention_tpu.runtime.params import ModelConfig
+    from starflashattention_tpu.utils.profiling import _force, _tunnel_rtt
 
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        # Kernel knobs from the measured on-device sweep (runtime/autotune.py;
-        # winner memoized in benchmarks/artifacts/autotune_cache.json):
-        # single-split fused-epilogue decode, 8 sequences per grid cell,
-        # 64-row KV blocks (tight fetch for ragged lengths).
-        cfg = ModelConfig.llama_7b_gqa(
-            max_seq_len=1024, num_splits=1, block_k=64, batch_block=16
-        )
-        batch, ctx, dtype = 16, 1024, jnp.bfloat16
-        iters = 192  # 512 + 192 stays inside the 1024-slot cache
-    else:  # CPU smoke fallback so the line always prints
-        cfg = ModelConfig.tiny(dtype="float32")
-        batch, ctx, dtype = 2, 64, jnp.float32
-        iters = 6
+    # Kernel knobs from the measured on-device sweep (runtime/autotune.py;
+    # winner memoized in benchmarks/artifacts/autotune_cache.json):
+    # single-split fused-epilogue decode, 16 sequences per grid cell,
+    # 64-row KV blocks (tight fetch for ragged lengths).
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=1024, num_splits=1, block_k=64, batch_block=16,
+        **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
+    )
+    batch, ctx = 16, 1024
+    iters = 192  # 512 + 192 stays inside the 1024-slot cache
 
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    if on_tpu:
-        # Headline = the north-star configuration: weight-only INT8 with
-        # fused in-kernel dequant (ops/quant_matmul.py), INCLUDING the
-        # lm_head (the step's largest single dense stream, 262 MB bf16;
-        # accuracy asserted by benchmarks/quant_accuracy.py "int8+lm_head").
-        params = llama.quantize_model_weights(
-            params, "int8", consume=True, lm_head=True
-        )
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize=weight_mode)
+    # Weight-only quant with fused in-kernel dequant (ops/quant_matmul.py),
+    # INCLUDING the lm_head (the step's largest single dense stream, 262 MB
+    # bf16; accuracy asserted by benchmarks/quant_accuracy.py).
+    params = llama.quantize_model_weights(
+        params, weight_mode, consume=True, lm_head=True)
     cache = contiguous.init_cache(
-        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim, dtype=dtype
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.bfloat16,
+        **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
     )
     # Mid-context working point: every sequence at ctx/2 — the reference's
     # own benchmark convention (uniform seq_len per run, examples/cpp/
@@ -142,8 +157,6 @@ def main() -> None:
     cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
     cos, sin = llama.rope_tables(cfg)
     tok = jnp.zeros((batch,), jnp.int32)
-
-    from starflashattention_tpu.utils.profiling import _force, _tunnel_rtt
 
     # Static bound on lengths over the whole chain (start + iters appends):
     # the serving engine derives the same per-round hint from host-known
@@ -163,17 +176,16 @@ def main() -> None:
         c, _ = jax.lax.scan(body, carry, None, length=iters)
         return c
 
-    lens_dev = jnp.asarray(lens, jnp.int32)
     start_lengths = cache.lengths + 0  # live copy to re-arm the reused carry
 
     def rearm(carry):
         # The chain appends in place (aliased, donated cache), so after a
         # run the lengths have advanced by `iters`. Re-arm by resetting ONLY
-        # the (B,)-int32 lengths — the 2.1 GB K/V buffers are reused as-is
-        # (stale rows past `lengths` are never read; the kernel's index-map
-        # clamp skips them). A fresh init_cache per repeat (the round-3
-        # protocol) cost ~5x 2.1 GB of HBM writes and was the main reason
-        # the bench could outlive the driver's budget on a slow tunnel day.
+        # the (B,)-int32 lengths — the K/V buffers are reused as-is (stale
+        # rows past `lengths` are never read; the kernel's index-map clamp
+        # skips them). A fresh init_cache per repeat (the round-3 protocol)
+        # cost ~5x 2.1 GB of HBM writes and was the main reason the bench
+        # could outlive the driver's budget on a slow tunnel day.
         c, _tok = carry
         return dataclasses.replace(c, lengths=start_lengths + 0), _tok
 
@@ -181,30 +193,81 @@ def main() -> None:
     mean_len = float(np.mean(lens)) + iters / 2  # lengths advance along the chain
     bytes_step = _bytes_per_step(params, cache, mean_len, batch, cfg.vocab_size)
 
-    def record(times: list[float]) -> None:
-        per_step = (min(times) - rtt) / iters
-        tokens_per_s = batch / per_step
-        vs = (bytes_step / per_step) / (TARGET_FRACTION * HBM_ROOFLINE) if on_tpu else 0.0
-        _STATE["payload"] = _payload(tokens_per_s, vs)
-
     carry = (cache, tok)
     carry = run(carry, params, cos, sin)  # compile + warm
     _force(carry)
     times: list[float] = []
-    for rep in range(4):
+    for rep in range(reps):
         carry = rearm(carry)
         jax.block_until_ready(carry[0].lengths)
-        t0 = _time.time()
+        t0 = time_mod.time()
         carry = run(carry, params, cos, sin)
         _force(carry)
-        times.append(_time.time() - t0)
-        record(times)
+        times.append(time_mod.time() - t0)
+        record((min(times) - rtt) / iters, bytes_step, batch)
         # one repeat takes ~2 s on chip; stop if another might cross the line
-        if _time.time() - t_start > _DEADLINE_S - 2 * times[-1] - 5:
+        if time_mod.time() - t_start > _DEADLINE_S - 2 * times[-1] - reserve_s:
             break
+    del carry, params, cache
+    gc.collect()
+
+
+def main() -> None:
+    import time as _time
+
+    t_start = _time.time()
+    timer = threading.Timer(_DEADLINE_S, _watchdog)
+    timer.daemon = True
+    timer.start()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:  # CPU smoke fallback so the line always prints
+        from starflashattention_tpu.cache import contiguous
+        from starflashattention_tpu.models import llama
+        from starflashattention_tpu.runtime.params import ModelConfig
+
+        cfg = ModelConfig.tiny(dtype="float32")
+        batch, ctx, iters = 2, 64, 6
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        cache = contiguous.init_cache(
+            cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+            cfg.head_dim, dtype=jnp.float32)
+        cos, sin = llama.rope_tables(cfg)
+        tok = jnp.zeros((batch,), jnp.int32)
+        t0 = _time.time()
+        for _ in range(iters):
+            logits, cache = llama.decode_step(params, cache, tok, cos, sin, cfg)
+        jax.block_until_ready(logits)
+        _STATE["payload"] = _payload(batch * iters / (_time.time() - t0), 0.0)
+        timer.cancel()
+        _emit_all()
+        return
+
+    # 1) canonical north-star chain FIRST (weight-only INT8, bf16 KV) — the
+    #    watchdog then always has the canonical line to emit
+    def record_int8(per_step, bytes_step, batch):
+        vs = (bytes_step / per_step) / (TARGET_FRACTION * HBM_ROOFLINE)
+        _STATE["payload"] = _payload(batch / per_step, vs)
+
+    _run_chain("int8", "none", record_int8, t_start=t_start, time_mod=_time)
+
+    # 2) serving frontier: INT4 weights (g128 grouped) + INT8 KV — both
+    #    dominant byte streams shrunk; the repo's best measured tokens/s
+    #    (bench_suite model7b_int4w_int8kv_headline). Skipped if the deadline
+    #    is near (compile ~30 s + repeats); the canonical line still prints.
+    def record_int4(per_step, bytes_step, batch):
+        vs = (bytes_step / per_step) / (TARGET_FRACTION * HBM_ROOFLINE)
+        _STATE["extra_payload"] = _extra_payload(batch / per_step, vs)
+
+    if _time.time() - t_start < _DEADLINE_S - 75:
+        try:
+            _run_chain("int4", "int8", record_int4, t_start=t_start,
+                       time_mod=_time, reps=3)
+        except Exception:
+            pass  # informational line only — never block the canonical emit
 
     timer.cancel()
-    _emit(_STATE["payload"])
+    _emit_all()
 
 
 if __name__ == "__main__":

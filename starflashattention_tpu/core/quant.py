@@ -137,7 +137,12 @@ def dequantize_weight(wq: dict, dtype=jnp.float32) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 INT4_MAX = 7.0  # symmetric ±7; -8 stays unused so dequant is scale-symmetric
-INT4_GROUP = 256  # contraction rows per scale group (divides every 7B/MoE H)
+# Contraction rows per scale group (divides every 7B/MoE H). Default g128,
+# not g256: measured on the trained checkpoint (benchmarks/quant_accuracy.py
+# real_checkpoint + exp_int4_group_sweep_accuracy_real), g256 costs +55% ppl
+# vs +24.7% at g128 for only ~5% kernel slowdown at the 7B decode shapes
+# (exp_int4_group_sweep_kernel) — the accuracy-per-byte trade favors g128.
+INT4_GROUP = 128
 
 
 def default_int4_group(h: int, cap: int = INT4_GROUP) -> int:

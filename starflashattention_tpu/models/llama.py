@@ -116,9 +116,13 @@ def _scan_xs_layers(layers: Params) -> Params:
     return {k: v for k, v in layers.items() if not isinstance(v, dict)}
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mode", "int4_group"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("mode", "int4_group"))
 def _quantize_stacked(w: jax.Array, mode: str, int4_group: int | None = None):
+    # No donation: the quantized outputs (int8/packed nibbles + scales) can
+    # never alias the wider dense input buffer, so XLA would only warn
+    # "donated buffers were not usable". The dense buffer frees when the
+    # caller drops its reference (quantize_model_weights consume=True pops
+    # it), which is what actually lets original+quantized 7B coexist.
     # lax.map streams layer by layer: the fp32 intermediate is one layer's
     # worth, not the whole stacked weight (which would OOM a 7B on 16 GB).
     if mode == "int4":
@@ -175,25 +179,25 @@ def quantize_model_weights(
     for name in (n for n in _QUANT_WEIGHTS if n in src_layers):
         if isinstance(src_layers[name], dict):
             continue  # already quantized (init_params quantize=...)
+        # with consume=True the pop + del drop the dense buffer as soon as
+        # the quantize program retires — how original+quantized 7B fit on
+        # one chip (one dense stack alive at a time)
         w = src_layers.pop(name) if consume else src_layers[name]
-        # _quantize_stacked DONATES its input (frees the dense buffer when
-        # the program retires — how original+quantized 7B fit on one chip).
-        # With consume=False the caller keeps using the dense weight, so
-        # donate a transient copy instead of the live buffer.
-        layers[name] = _quantize_stacked(w if consume else w + 0, mode, int4_group)
+        layers[name] = _quantize_stacked(w, mode, int4_group)
         del w
     out = dict(params)
     out["layers"] = layers
     if lm_head and "lm_head" in params and not isinstance(params["lm_head"], dict):
         w = out.pop("lm_head") if consume else params["lm_head"]
-        out["lm_head"] = _quantize_flat(w if consume else w + 0, mode, int4_group)
+        out["lm_head"] = _quantize_flat(w, mode, int4_group)
         del w
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mode", "int4_group"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("mode", "int4_group"))
 def _quantize_flat(w: jax.Array, mode: str, int4_group: int | None = None):
+    # no donation — narrower outputs can't alias the dense input (see
+    # _quantize_stacked)
     if mode == "int4":
         return quant.quantize_weight_int4(w, int4_group)
     return quant.quantize_weight(w, mode)

@@ -84,12 +84,22 @@ def make_tp_dp_train_step(
     use_flash: bool = True,
     remat: bool = True,
     grad_accum: int = 1,
+    donate: bool = True,
 ):
     """Jitted ``(params, opt_state, batch, cos, sin) -> (params, opt_state,
     loss)`` — one optimizer step over the ('data', 'model') mesh.
 
     ``optimizer`` is any optax GradientTransformation; init its state with
     :func:`init_opt_state` so it inherits the parameter sharding.
+
+    DONATION CONTRACT: with ``donate=True`` (the default) the step CONSUMES
+    ``params`` and ``opt_state`` — their buffers are reused in place for the
+    updated values, and the input arrays are deleted after the call. Thread
+    the returned ``(params, opt_state)`` into the next call; touching the
+    originals raises ``RuntimeError: Array has been deleted``. Pass
+    ``donate=False`` to keep inputs alive (e.g. to run two step variants on
+    the same params), at the cost of a second in-flight copy of the weights
+    and optimizer state.
     """
     _, sharded = make_tp_dp_value_and_grad(
         mesh, cfg, use_flash=use_flash, remat=remat, grad_accum=grad_accum
@@ -101,7 +111,7 @@ def make_tp_dp_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def init_opt_state(optimizer, params):
@@ -159,6 +169,7 @@ def make_cp_train_step(
     data_axis: str | None = None,
     remat: bool = True,
     grad_accum: int = 1,
+    donate: bool = True,
 ):
     """Context-parallel (× optional data-parallel) training step: one
     optimizer step with the batch's SEQUENCE dim sharded over ``seq_axis``
@@ -175,6 +186,10 @@ def make_cp_train_step(
     ``(params, opt_state, batch, cos, sin) -> (params, opt_state, loss)``
     with ``batch`` (B, S+1) int32 and S divisible by the seq-axis size
     (times the data-axis size for B, if given).
+
+    DONATION CONTRACT: with ``donate=True`` (default) the step CONSUMES
+    ``params`` and ``opt_state`` (buffers reused in place; inputs deleted) —
+    thread the returned pair forward. ``donate=False`` keeps inputs alive.
     """
     import optax
 
@@ -219,7 +234,7 @@ def make_cp_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_tp_cp_train_step(
@@ -230,6 +245,7 @@ def make_tp_cp_train_step(
     seq_axis: str = SEQ,
     data_axis: str | None = None,
     remat: bool = True,
+    donate: bool = True,
 ):
     """3D training: Megatron TP (``model``) × context parallelism
     (``seq_axis``, ring attention) × optional data parallelism — long
@@ -244,6 +260,10 @@ def make_tp_cp_train_step(
     routes dk/dv cotangents home before autodiff reaches the projections,
     so the pmean of locals reconstructs the exact global gradient; asserted
     against the single-device oracle in tests/test_train_cp.py).
+
+    DONATION CONTRACT: with ``donate=True`` (default) the step CONSUMES
+    ``params`` and ``opt_state`` (buffers reused in place; inputs deleted) —
+    thread the returned pair forward. ``donate=False`` keeps inputs alive.
     """
     import optax
 
@@ -278,4 +298,4 @@ def make_tp_cp_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())

@@ -181,12 +181,6 @@ class Engine:
         self._last_topk = None  # ((B, n, K) f32, (B, n, K) i32) host arrays
         if topk_logprobs and spec_decode is not None:
             raise ValueError("topk_logprobs does not compose with spec_decode")
-        if topk_logprobs and mesh is not None and not getattr(
-            self, "_supports_topk_tp", True
-        ):
-            raise NotImplementedError(
-                "topk_logprobs on a mesh is contiguous-engine only for now"
-            )
         # Chunked prefill: admitted prompts are ingested in fixed
         # (num_slots, prefill_chunk) slices — ONE compiled prefill shape ever
         # (the pad-bucket path compiles one program per distinct bucket, and
@@ -216,19 +210,10 @@ class Engine:
         self.lora = None
         self._n_adapters = 0
         if lora_adapters is not None:
-            if mesh is not None and not getattr(self, "_supports_lora_tp", True):
-                raise NotImplementedError(
-                    "multi-LoRA on a mesh is contiguous-engine only for now "
-                    "(the paged TP programs don't thread adapter operands)"
-                )
             if spec_decode is not None:
                 raise NotImplementedError(
                     "multi-LoRA does not compose with spec_decode (the "
                     "verify program has no adapter operands)"
-                )
-            if not getattr(self, "_supports_lora", True):
-                raise NotImplementedError(
-                    "multi-LoRA serving is contiguous-engine only for now"
                 )
             from starflashattention_tpu.models.lora import (
                 num_adapters,
@@ -886,6 +871,16 @@ class Engine:
             samp = list(sampling)
         if adapters is None:
             adapters = [None] * len(prompts)
+        elif len(adapters) != len(prompts):
+            # zip would silently drop trailing prompts (or extra adapters)
+            raise ValueError(
+                f"adapters has {len(adapters)} entries for {len(prompts)} "
+                "prompts — must match 1:1 (use None for base-model requests)"
+            )
+        if len(samp) != len(prompts):
+            raise ValueError(
+                f"sampling has {len(samp)} entries for {len(prompts)} prompts"
+            )
         reqs = [
             Request(uid=i, prompt=p, max_new_tokens=max_new_tokens,
                     eos_token=eos_token, sampling=s, stop=stop,
@@ -904,9 +899,6 @@ class PagedEngine(Engine):
     paged windowed-RMW kernel, and physical pages come from a per-sequence
     allocator — the native C++ page pool (native/sfa_runtime.cc:27-93) when
     built, else its Python twin (cache/paged.SeqPagePool)."""
-
-    _supports_lora = True  # adapters thread through the paged cores too
-
 
     def __init__(
         self,

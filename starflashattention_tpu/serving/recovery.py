@@ -63,6 +63,12 @@ def _req_to_dict(req: Request) -> dict:
         # multi-LoRA: without this a restored request would silently
         # resume on the BASE model and diverge from its pre-crash stream
         d["adapter"] = req.adapter
+    if req.topk:
+        # top-K alternatives must stay aligned with ``output`` across a
+        # save/restore — dropping them would leave a restored request with
+        # topk == [] while output keeps its pre-crash tokens (the same
+        # misalignment the logprobs serialization exists to prevent)
+        d["topk"] = [[list(ids), list(vals)] for ids, vals in req.topk]
     return d
 
 
@@ -77,6 +83,7 @@ def _req_from_dict(d: dict) -> Request:
         logprobs=list(d.get("logprobs", [])),
         done=d["done"],
         adapter=d.get("adapter"),
+        topk=[(list(ids), list(vals)) for ids, vals in d.get("topk", [])],
     )
 
 

@@ -127,13 +127,15 @@ def test_int4_pack_roundtrip_and_bound():
     is bounded by half a quant step (scale/2) per element."""
     w = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 96), jnp.float32)
     d = quant.quantize_weight_int4(w)
+    g = quant.INT4_GROUP  # default group (g128: accuracy-sane, see quant.py)
+    n_groups = 512 // g
     assert d["w"].shape == (2, 256, 96) and d["w"].dtype == jnp.int8
-    assert d["scale"].shape == (2, 2, 96)  # G = 512/256 groups
+    assert d["scale"].shape == (2, n_groups, 96)
     assert quant.is_int4_weight(d)
     assert not quant.is_int4_weight(quant.quantize_weight(w, "int8"))
     back = quant.dequantize_weight_int4(d)
     # per-element bound: |err| <= scale(group, col)/2
-    per_elem = jnp.abs(back - w).reshape(2, 2, 256, 96)
+    per_elem = jnp.abs(back - w).reshape(2, n_groups, g, 96)
     bound = d["scale"][:, :, None, :] / 2 + 1e-6
     assert bool(jnp.all(per_elem <= bound))
 

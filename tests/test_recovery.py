@@ -145,6 +145,43 @@ def test_snapshot_restore_resumes_mid_generation(tmp_path, engine_cls):
     assert all(by_uid[i].done for i in range(len(prompts)))
 
 
+def test_snapshot_roundtrips_topk(tmp_path):
+    """Request.topk (per-token top-K alternatives) must survive
+    save_state/load_state aligned with ``output`` — a restored request with
+    topk == [] but pre-crash output tokens is permanently misaligned."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    prompts = make_prompts(7, n=2)
+    n_new = 6
+    ckpt = tmp_path / "state.json"
+
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2, topk_logprobs=3)
+    submit_all(eng, prompts, n_new)
+    for _ in range(2):
+        eng._admit_and_prefill()
+        eng._decode_round()
+    live = {s.request.uid: s.request for s in eng.sched.slots if s.request}
+    assert any(r.topk for r in live.values())  # generation produced topk
+    save_state(eng, ckpt)
+    del eng
+
+    eng2 = Engine(params, CFG, num_slots=2, steps_per_round=2, topk_logprobs=3)
+    restored = {r.uid: r for r in load_state(eng2, ckpt)}
+    for uid, req in live.items():
+        assert restored[uid].topk == req.topk
+        assert len(restored[uid].topk) == len(req.output)
+    eng2.run()
+    for r in restored.values():  # alignment holds through completion
+        assert len(r.topk) == len(r.output)
+        assert all(len(ids) == 3 and len(vs) == 3 for ids, vs in r.topk)
+
+
+def test_generate_rejects_mismatched_adapters():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    eng = Engine(params, CFG, num_slots=2, steps_per_round=2)
+    with pytest.raises(ValueError, match="adapters"):
+        eng.generate([[1, 2], [3, 4]], max_new_tokens=2, adapters=[None])
+
+
 def test_snapshot_is_atomic(tmp_path):
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
     eng = Engine(params, CFG, num_slots=2, steps_per_round=2)

@@ -133,7 +133,12 @@ def test_tp_cp_step_matches_single_device(rng):
 
 def test_grad_accum_matches_full_batch(rng):
     """grad_accum=2 microbatching reproduces the full-batch update exactly
-    (mean loss is linear in equal microbatch means) — CP and TP x DP."""
+    (mean loss is linear in equal microbatch means) — CP and TP x DP.
+
+    Both step variants run on the SAME params, so the donated default would
+    delete them after the first call — this is exactly the use case the
+    builders' ``donate=False`` escape hatch exists for.
+    """
     from starflashattention_tpu.parallel import tp
     from starflashattention_tpu.parallel.train import make_tp_dp_train_step
 
@@ -141,10 +146,10 @@ def test_grad_accum_matches_full_batch(rng):
     mesh_cp = make_mesh({"seq": 4}, devices=jax.devices()[:4])
     opt = optax.sgd(1e-2)
 
-    p1, _, l1 = make_cp_train_step(mesh_cp, cfg, opt)(
+    p1, _, l1 = make_cp_train_step(mesh_cp, cfg, opt, donate=False)(
         params, init_opt_state(opt, params), batch, cos, sin
     )
-    p2, _, l2 = make_cp_train_step(mesh_cp, cfg, opt, grad_accum=2)(
+    p2, _, l2 = make_cp_train_step(mesh_cp, cfg, opt, grad_accum=2, donate=False)(
         params, init_opt_state(opt, params), batch, cos, sin
     )
     assert abs(float(l1) - float(l2)) < 1e-6
@@ -152,12 +157,29 @@ def test_grad_accum_matches_full_batch(rng):
 
     mesh = make_mesh({"data": 2, "model": 4})
     sharded = tp.shard_params(params, mesh, cfg)
-    s1, _, m1 = make_tp_dp_train_step(mesh, cfg, opt)(
+    s1, _, m1 = make_tp_dp_train_step(mesh, cfg, opt, donate=False)(
         sharded, init_opt_state(opt, sharded), batch, cos, sin
     )
-    sharded = tp.shard_params(params, mesh, cfg)
-    s2, _, m2 = make_tp_dp_train_step(mesh, cfg, opt, grad_accum=2)(
+    s2, _, m2 = make_tp_dp_train_step(mesh, cfg, opt, grad_accum=2, donate=False)(
         sharded, init_opt_state(opt, sharded), batch, cos, sin
     )
     assert abs(float(m1) - float(m2)) < 1e-6
     assert _tree_err(s1, s2) < 1e-6
+
+
+def test_donated_step_consumes_inputs(rng):
+    """The donation contract is real: the default (donate=True) step deletes
+    its params/opt_state inputs, and threading the returned pair through a
+    second step works."""
+    cfg, params, cos, sin, batch = _setup(rng)
+    mesh = make_mesh({"seq": 4}, devices=jax.devices()[:4])
+    opt = optax.sgd(1e-2)
+    step = make_cp_train_step(mesh, cfg, opt)
+
+    state = init_opt_state(opt, params)
+    p1, st1, _ = step(params, state, batch, cos, sin)
+    # inputs were donated -> deleted
+    assert all(x.is_deleted() for x in jax.tree.leaves(params))
+    # the returned pair threads into the next call cleanly
+    p2, st2, loss2 = step(p1, st1, batch, cos, sin)
+    assert np.isfinite(float(loss2))
