@@ -1087,6 +1087,73 @@ def prefill_ttft_bench(quick: bool = False):
         del params, run_once
 
 
+def hf_e2e_bench(quick: bool = False):
+    """Real-HF end-to-end proof as a round artifact: write a GENUINE
+    on-disk HF checkpoint (save_pretrained, safetensors layout), load it via
+    models/checkpoint.load_hf_model, serve it through Engine on the default
+    backend, and assert the greedy stream token-for-token against the
+    transformers-free numpy oracle (tests/test_checkpoint.py). fp32
+    throughout: random-init top-1 margins (~1e-2) dwarf fp32 numerics, so an
+    exact match is the honest bar."""
+    import sys as _sys
+    import tempfile
+    import time as _time
+    from pathlib import Path as _Path
+
+    try:
+        import torch
+        import transformers
+    except ImportError:
+        return
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tests"))
+    from test_checkpoint import _numpy_llama_greedy
+
+    from starflashattention_tpu.models import checkpoint as ckpt_mod
+    from starflashattention_tpu.serving import Engine
+
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg_hf)
+    model.eval()
+    with tempfile.TemporaryDirectory() as td:
+        model.save_pretrained(td, safe_serialization=True)
+        import dataclasses as _dc
+
+        t0 = _time.time()
+        cfg, params = ckpt_mod.load_hf_model(td, dtype=jnp.float32)
+        load_s = _time.time() - t0
+        cfg = _dc.replace(cfg, dtype="float32")
+        prompts = [[3, 17, 42, 9], [5, 11]]
+        n_new = 8
+        eng = Engine(params, cfg, num_slots=2, steps_per_round=2)
+        t0 = _time.time()
+        got = eng.generate(prompts, max_new_tokens=n_new)
+        serve_s = _time.time() - t0
+        hf_cfg = transformers.AutoConfig.from_pretrained(td)
+        ok = all(
+            g == _numpy_llama_greedy(model.state_dict(), hf_cfg, p, n_new)
+            for p, g in zip(prompts, got)
+        )
+    assert ok, "HF end-to-end greedy stream diverged from the numpy oracle"
+    _emit(
+        "hf_e2e_exact_match",
+        serve_s,
+        {
+            "exact_match": ok,
+            "tokens": n_new * len(prompts),
+            "load_s": round(load_s, 2),
+            "backend": jax.default_backend(),
+            "note": "safetensors ckpt -> load_hf_model -> Engine vs "
+                    "transformers-free numpy oracle, token-exact",
+        },
+    )
+
+
 _BENCHES = {
     "decode_kernel": decode_kernel_sweep,
     "prefill_attention": prefill_attention_tflops_bench,
@@ -1104,6 +1171,7 @@ _BENCHES = {
     "paged_serving": paged_serving_bench,
     "prefix_cache": prefix_cache_serving_bench,
     "prefill_ttft": prefill_ttft_bench,
+    "hf_e2e": hf_e2e_bench,
 }
 
 

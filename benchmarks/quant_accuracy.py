@@ -365,9 +365,10 @@ def main() -> None:
     data["bounds"] = BOUNDS
     data["results"] = results
     out.write_text(json.dumps(data, indent=1))
-    assert all(r["within_bounds"] for r in results), (
-        f"quantization Δ bounds violated: {results}"
-    )
+    # proxy-only rows (within_bounds None) are asserted by the
+    # real_checkpoint section instead, not here
+    bad = [r for r in results if r["within_bounds"] is False]
+    assert not bad, f"quantization Δ bounds violated: {bad}"
 
 
 if __name__ == "__main__":

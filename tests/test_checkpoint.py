@@ -90,6 +90,92 @@ def test_logits_match_hf_forward(hf_model):
     np.testing.assert_allclose(np.asarray(ours2), hf_logits2, atol=2e-4, rtol=2e-3)
 
 
+def _numpy_llama_greedy(state, cfg_hf, prompt, n_new):
+    """Transformers-free greedy decode oracle: a from-scratch numpy Llama
+    forward reading the RAW HF state dict (q_proj/k_proj/... (out,in)
+    layouts, rotate_half RoPE, GQA, SwiGLU) — independent of both
+    transformers' forward and this repo's JAX code, so an end-to-end match
+    validates the whole conversion + engine chain, not a shared bug."""
+    sd = {k: v.detach().to(torch.float32).numpy() for k, v in state.items()}
+    hq = cfg_hf.num_attention_heads
+    hkv = cfg_hf.num_key_value_heads
+    d = cfg_hf.hidden_size // hq
+    eps = cfg_hf.rms_norm_eps
+
+    def rms(x, w):
+        return x / np.sqrt((x**2).mean(-1, keepdims=True) + eps) * w
+
+    def rope(x, pos):  # x: (B, H, S, D)
+        inv = 1.0 / cfg_hf.rope_theta ** (np.arange(0, d, 2) / d)
+        fr = pos[:, None] * inv[None, :]  # (S, D/2)
+        cos = np.cos(np.concatenate([fr, fr], -1))
+        sin = np.sin(np.concatenate([fr, fr], -1))
+        rot = np.concatenate([-x[..., d // 2:], x[..., : d // 2]], -1)
+        return x * cos + rot * sin
+
+    def forward(tokens):  # (B, S) -> last-token logits (B, V)
+        b, s = tokens.shape
+        h = sd["model.embed_tokens.weight"][tokens]
+        pos = np.arange(s, dtype=np.float64)
+        mask = np.triu(np.full((s, s), -np.inf), 1)
+        for i in range(cfg_hf.num_hidden_layers):
+            p = f"model.layers.{i}."
+            x = rms(h, sd[p + "input_layernorm.weight"])
+            q = (x @ sd[p + "self_attn.q_proj.weight"].T).reshape(b, s, hq, d)
+            k = (x @ sd[p + "self_attn.k_proj.weight"].T).reshape(b, s, hkv, d)
+            v = (x @ sd[p + "self_attn.v_proj.weight"].T).reshape(b, s, hkv, d)
+            q = rope(q.transpose(0, 2, 1, 3), pos)
+            k = rope(k.transpose(0, 2, 1, 3), pos)
+            v = v.transpose(0, 2, 1, 3)
+            k = np.repeat(k, hq // hkv, axis=1)
+            v = np.repeat(v, hq // hkv, axis=1)
+            sc = q @ k.transpose(0, 1, 3, 2) / np.sqrt(d) + mask
+            sc = sc - sc.max(-1, keepdims=True)
+            pr = np.exp(sc)
+            pr /= pr.sum(-1, keepdims=True)
+            o = (pr @ v).transpose(0, 2, 1, 3).reshape(b, s, hq * d)
+            h = h + o @ sd[p + "self_attn.o_proj.weight"].T
+            x = rms(h, sd[p + "post_attention_layernorm.weight"])
+            g = x @ sd[p + "mlp.gate_proj.weight"].T
+            u = x @ sd[p + "mlp.up_proj.weight"].T
+            h = h + (g / (1 + np.exp(-g)) * u) @ sd[p + "mlp.down_proj.weight"].T
+        h = rms(h, sd["model.norm.weight"])
+        return h[:, -1] @ sd["lm_head.weight"].T
+
+    toks = list(prompt)
+    for _ in range(n_new):
+        lg = forward(np.asarray([toks], np.int64))
+        toks.append(int(lg[0].argmax()))
+    return toks[len(prompt):]
+
+
+def test_hf_safetensors_end_to_end(hf_model, tmp_path):
+    """The full production chain: a REAL on-disk HF checkpoint (safetensors
+    layout via save_pretrained) → load_hf_model → served through Engine →
+    greedy tokens equal the transformers-free numpy oracle's."""
+    _, model = hf_model
+    ckpt_dir = tmp_path / "hf_ckpt"
+    model.save_pretrained(ckpt_dir, safe_serialization=True)
+    assert (ckpt_dir / "model.safetensors").exists()  # genuine HF layout
+
+    import dataclasses as _dc
+
+    cfg, params = checkpoint.load_hf_model(str(ckpt_dir), dtype=jnp.float32)
+    cfg2 = _dc.replace(cfg, dtype="float32")
+
+    prompts = [[3, 17, 42, 9], [5, 11]]
+    n_new = 8
+    from starflashattention_tpu.serving import Engine
+
+    eng = Engine(params, cfg2, num_slots=2, steps_per_round=2)
+    got = eng.generate(prompts, max_new_tokens=n_new)
+
+    hf_cfg = transformers.AutoConfig.from_pretrained(ckpt_dir)
+    for p, g in zip(prompts, got):
+        want = _numpy_llama_greedy(model.state_dict(), hf_cfg, p, n_new)
+        assert g == want, (g, want)
+
+
 def test_native_checkpoint_roundtrip_quantized(tmp_path):
     """Orbax save/restore of the framework pytree, incl. quantized weights:
     a serving restart must not re-quantize from bf16 (nor lose bit-exactness)."""
