@@ -195,34 +195,135 @@ def bench_serving(cfg, params, num_draft, steps_per_round):
     return results
 
 
+def bench_serving_trained(num_draft=4, ngram=2, steps_per_round=4,
+                          max_new=160, slots=8):
+    """Spec serving on the TRAINED byte-level checkpoint with in-domain
+    prompts — the realistic-acceptance measurement the random-init 7B twin
+    cannot provide (its greedy continuations are noise, so prompt-lookup
+    accepts ~0.3 drafts/step regardless of machinery).
+
+    The `big` checkpoint (train_tiny.py --preset big) is trained to ~0.08
+    nats/byte on the repo's own source: its greedy stream on in-domain
+    prompts is near-deterministic templated code — the regime prompt-lookup
+    decoding exists for (strong model + repetitive text), reproduced
+    offline. Acceptance is still exact-argmax verification; tokens are real
+    engine outputs."""
+    from train_tiny import load_corpus
+
+    from starflashattention_tpu.models import checkpoint
+    from starflashattention_tpu.serving.engine import Engine
+
+    art = Path(__file__).parent / "artifacts"
+    ckpt = art / "tiny_trained_big"
+    if not ckpt.exists():
+        ckpt = art / "tiny_trained"
+    cfg, params = checkpoint.load_checkpoint(str(ckpt))
+
+    corpus = load_corpus(Path(__file__).resolve().parents[1])
+    train = corpus[: -len(corpus) // 20]
+    rng = np.random.default_rng(2)
+    sp = 160
+    idx = rng.integers(0, len(train) - sp - 1, size=(slots,))
+    prompts = [[int(t) for t in train[i:i + sp]] for i in idx]
+
+    engines = {
+        name: Engine(
+            params, cfg, num_slots=slots, steps_per_round=steps_per_round,
+            spec_decode=k, spec_ngram=ngram,
+        )
+        for name, k in (("plain", None), ("spec", num_draft))
+    }
+    for eng in engines.values():  # compile both programs
+        eng.generate([list(p) for p in prompts], max_new_tokens=8)
+
+    # The shared chip passes through multi-second contention phases (measured
+    # r5: identical tiny-model rounds at 25 ms vs 1.0 s minutes apart), so a
+    # single plain-vs-spec pair is meaningless — interleave 3 repeats and
+    # keep each engine's BEST run (same min-of-N protocol as time_scanned).
+    results = {"plain": None, "spec": None}
+    for _ in range(3):
+        for name, eng in engines.items():
+            eng.reset_stats()
+            t0 = time.time()
+            outs = eng.generate(
+                [list(p) for p in prompts], max_new_tokens=max_new)
+            wall = time.time() - t0
+            total = sum(len(o) for o in outs)
+            r = {
+                "outs": outs, "wall_s": wall, "tokens": total,
+                "tok_per_s": total / wall, "stats": eng.stats.summary(),
+            }
+            if results[name] is None or r["tok_per_s"] > results[name]["tok_per_s"]:
+                results[name] = r
+    match = sum(
+        a == b for a, b in zip(results["plain"]["outs"], results["spec"]["outs"])
+    )
+    results["stream_match_frac"] = match / len(prompts)
+    results["ckpt"] = ckpt.name
+    return results
+
+
 def check_verify_consistency(batch=16, hq=32, hkv=8, d=128, s=1024, span=4):
-    """Chip-side oracle: flash_verify's row 0 attends to exactly the span a
-    plain flash_decode call sees — outputs must agree to bf16 tolerance.
-    Catches verify-kernel numerics bugs that CPU interpret tests (fp32)
-    cannot, while tolerating argmax tie flips downstream."""
+    """Chip-side oracle over EVERY staircase row: flash_verify row j must
+    equal a plain flash_decode call at ``lengths + j`` (row j attends
+    exactly the positions a single-token step at that length sees) — on
+    RAGGED lengths, to bf16 tolerance. Catches verify-kernel numerics bugs
+    that CPU interpret tests (fp32) cannot, while tolerating argmax tie
+    flips downstream."""
     from starflashattention_tpu.ops.flash_decode import flash_decode, flash_verify
 
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
     q = jax.random.normal(kq, (batch, hq, span, d), jnp.bfloat16)
     k = jax.random.normal(kk, (batch, hkv, s, d), jnp.bfloat16)
     v = jax.random.normal(kv, (batch, hkv, s, d), jnp.bfloat16)
-    lengths = jnp.full((batch,), s // 2, jnp.int32)
+    rng = np.random.default_rng(3)
+    lengths = jnp.asarray(
+        rng.integers(span + 1, s - span, size=(batch,)), jnp.int32)
     o_ver = jax.jit(lambda *a: flash_verify(*a, block_k=128))(q, k, v, lengths)
-    o_dec = jax.jit(lambda *a: flash_decode(*a, num_splits=1, block_k=128))(
-        q[:, :, 0], k, v, lengths)
-    err = float(jnp.max(jnp.abs(
-        o_ver[:, :, 0].astype(jnp.float32) - o_dec.astype(jnp.float32))))
-    assert err < 0.05, f"verify row-0 vs decode max|err| {err}"
+    err = 0.0
+    dec = jax.jit(lambda *a: flash_decode(*a, num_splits=1, block_k=128))
+    for j in range(span):
+        o_dec = dec(q[:, :, j], k, v, lengths + j)
+        err = max(err, float(jnp.max(jnp.abs(
+            o_ver[:, :, j].astype(jnp.float32) - o_dec.astype(jnp.float32)))))
+    assert err < 0.05, f"verify staircase vs per-row decode max|err| {err}"
     return err
+
+
+ARTIFACT = Path(__file__).parent / "artifacts" / "results_round5.jsonl"
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--draft", type=int, default=4)
+    ap.add_argument(
+        "--trained", action="store_true",
+        help="run ONLY the trained-checkpoint serving comparison "
+             "(realistic-acceptance regime)",
+    )
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
+    if args.trained:
+        tr = bench_serving_trained(num_draft=args.draft)
+        line_t = {
+            "bench": f"spec_serving_trained_k{args.draft}",
+            "ckpt": tr["ckpt"],
+            "plain_tok_per_s": round(tr["plain"]["tok_per_s"], 1),
+            "spec_tok_per_s": round(tr["spec"]["tok_per_s"], 1),
+            "speedup": round(
+                tr["spec"]["tok_per_s"] / tr["plain"]["tok_per_s"], 3),
+            "accept_per_step": tr["spec"]["stats"]["spec_accept_per_step"],
+            "stream_match_frac": round(tr["stream_match_frac"], 3),
+            "note": "trained byte model, in-domain prompts, greedy; wall "
+                    "incl tunnel RTT; acceptance is exact-argmax verify",
+        }
+        print(json.dumps(line_t))
+        if on_tpu:
+            with open(ARTIFACT, "a") as f:
+                f.write(json.dumps(line_t) + "\n")
+        return
     if on_tpu:
         cfg = ModelConfig.llama_7b_gqa(
             max_seq_len=1024, num_splits=1, block_k=64, batch_block=16
@@ -274,16 +375,18 @@ def main():
         ),
         "accept_per_step": serving["spec"]["stats"]["spec_accept_per_step"],
         "stream_match_frac": round(serving["stream_match_frac"], 3),
-        "verify_row0_max_err": None if verify_err is None else round(verify_err, 4),
+        "verify_staircase_max_err": (
+            None if verify_err is None else round(verify_err, 4)),
         "note": (
             "structured (templated) prompts, wall incl tunnel RTT; stream "
             "divergence = bf16 argmax ties on a random-init model (fp32 "
-            "equivalence proven in tests/test_spec_decode.py)"
+            "equivalence proven in tests/test_spec_decode.py); realistic-"
+            "acceptance regime measured by spec_serving_trained"
         ),
     }
     print(json.dumps(line2))
     if on_tpu:
-        with open("benchmarks/artifacts/results_round4.jsonl", "a") as f:
+        with open(ARTIFACT, "a") as f:
             f.write(json.dumps(line) + "\n")
             f.write(json.dumps(line_d) + "\n")
             f.write(json.dumps(line2) + "\n")

@@ -99,6 +99,13 @@ def main() -> None:
         help="sample batches through the native mmap token loader "
         "(utils/native.make_token_loader) instead of the numpy protocol",
     )
+    ap.add_argument(
+        "--preset", choices=["tiny", "big"], default="tiny",
+        help="'big' = ~14M params (hidden 512, 6 layers, 4q/2kv heads): a "
+        "much lower-entropy byte model whose greedy stream is predictable "
+        "enough for speculative decoding to show realistic acceptance "
+        "(benchmarks/spec_bench.py --trained); saved in bf16",
+    )
     args = ap.parse_args()
     use_flash = not args.no_flash
 
@@ -108,7 +115,14 @@ def main() -> None:
     train, val = corpus[:-n_val], corpus[-n_val:]
     print(f"corpus: {len(corpus)} bytes ({len(train)} train / {len(val)} val)")
 
+    import dataclasses
+
     cfg = tiny_cfg()
+    if args.preset == "big":
+        cfg = dataclasses.replace(
+            cfg, hidden_size=512, intermediate_size=1536, num_layers=6,
+            num_q_heads=4, num_kv_heads=2,
+        )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     n_params = llama.param_count(params)
     print(f"params: {n_params/1e6:.2f}M")
@@ -174,6 +188,11 @@ def main() -> None:
 
     from starflashattention_tpu.models import checkpoint
 
+    if args.preset == "big":
+        # the big preset serves in bf16 anyway (spec_bench) — halve the
+        # committed artifact size
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
     checkpoint.save_checkpoint(args.out, jax.device_get(params), cfg)
     print(f"checkpoint saved to {args.out} (val ppl {np.exp(vl):.2f})")
 

@@ -970,6 +970,7 @@ def _verify_core(
     cfg: ModelConfig,
     axis_name: str | None = None,
     active: jax.Array | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple[jax.Array, contiguous.KVCache]:
     """Process T consecutive tokens per sequence in one step → logits at
     EVERY position (B, T, V) + cache advanced by T (active rows).
@@ -1029,7 +1030,7 @@ def _verify_core(
             q, k_all, v_all, start + 1, layer=lidx,
             block_k=cfg.block_k, batch_block=cfg.batch_block,
             k_scales=ks, v_scales=vs, window=cfg.sliding_window,
-            sinks=cfg.attention_sinks,
+            sinks=cfg.attention_sinks, max_len_hint=max_len_hint,
         )  # (B, Hq, T, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
         attn_out = proj(o, "wo")
@@ -1064,6 +1065,7 @@ def _spec_step(
     num_draft: int,
     ngram: int,
     axis_name: str | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """One speculative round: draft → verify → accept-longest-prefix.
 
@@ -1084,7 +1086,8 @@ def _spec_step(
     tokens = jnp.concatenate([pending[:, None], draft], axis=1)  # (B, T)
 
     logits, cache = _verify_core(
-        params, cache, tokens, cos, sin, cfg, axis_name=axis_name, active=active
+        params, cache, tokens, cos, sin, cfg, axis_name=axis_name,
+        active=active, max_len_hint=max_len_hint,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
     match = (preds[:, :-1] == draft).astype(jnp.int32)
@@ -1127,12 +1130,13 @@ def _spec_decode_multi_core(
     num_draft: int,
     ngram: int,
     axis_name: str | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple:
     def step(carry, _):
         cache, history, pending = carry
         cache, history, pending, out, n_emit = _spec_step(
             params, cache, history, pending, cos, sin, active, cfg,
-            num_draft, ngram, axis_name=axis_name,
+            num_draft, ngram, axis_name=axis_name, max_len_hint=max_len_hint,
         )
         return (cache, history, pending), (out, n_emit)
 
@@ -1145,7 +1149,7 @@ def _spec_decode_multi_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "num_draft", "ngram"),
+    static_argnames=("cfg", "n_steps", "num_draft", "ngram", "max_len_hint"),
     donate_argnums=(1, 2),
 )
 def spec_decode_multi(
@@ -1160,9 +1164,16 @@ def spec_decode_multi(
     n_steps: int,
     num_draft: int = 4,
     ngram: int = 2,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """``n_steps`` speculative rounds in ONE program → (tokens (B, n, k+1),
     counts (B, n), next pending, cache, history).
+
+    ``max_len_hint`` (static): caller-guaranteed bound on every row's cache
+    length at round END (lengths + n_steps·(k+1)) — shrinks each verify
+    step's KV-block grid exactly like the plain decode path's hint
+    (ops/flash_decode._flash_decode_fused); the engine derives it from
+    host-known slot lengths per round.
 
     Row b of round i emitted ``counts[b, i]`` tokens: ``tokens[b, i,
     :counts[b, i]]`` (1 to k+1 of them — up to k accepted prompt-lookup
@@ -1173,7 +1184,7 @@ def spec_decode_multi(
     """
     return _spec_decode_multi_core(
         params, cache, history, tok, cos, sin, active, cfg,
-        n_steps, num_draft, ngram,
+        n_steps, num_draft, ngram, max_len_hint=max_len_hint,
     )
 
 
@@ -1193,6 +1204,7 @@ def _spec_step_draft_model(
     num_draft: int,
     axis_name: str | None = None,
     draft_axis_name: str | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """One DRAFT-MODEL speculative round: k+1 small-model decode steps
     propose d_1..d_k, the target verifies [pending, d_1..d_k] in ONE
@@ -1222,6 +1234,7 @@ def _spec_step_draft_model(
         lg, dc = _decode_core(
             dparams, dc, tok, dcos, dsin, dcfg,
             axis_name=draft_axis_name, active=active,
+            max_len_hint=max_len_hint,
         )
         nxt = jnp.argmax(lg, -1).astype(jnp.int32)
         return (nxt, dc), nxt
@@ -1278,13 +1291,14 @@ def _spec_decode_multi_draft_core(
     num_draft: int,
     axis_name: str | None = None,
     draft_axis_name: str | None = None,
+    max_len_hint: int | None = None,
 ) -> tuple:
     def step(carry, _):
         cache, dcache, pending = carry
         cache, dcache, pending, out, n_emit = _spec_step_draft_model(
             params, cache, dparams, dcache, pending, cos, sin, dcos, dsin,
             active, cfg, dcfg, num_draft, axis_name=axis_name,
-            draft_axis_name=draft_axis_name,
+            draft_axis_name=draft_axis_name, max_len_hint=max_len_hint,
         )
         return (cache, dcache, pending), (out, n_emit)
 
@@ -1296,7 +1310,7 @@ def _spec_decode_multi_draft_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "dcfg", "n_steps", "num_draft"),
+    static_argnames=("cfg", "dcfg", "n_steps", "num_draft", "max_len_hint"),
     donate_argnums=(1, 3),
 )
 def spec_decode_multi_draft(
@@ -1314,6 +1328,7 @@ def spec_decode_multi_draft(
     dcfg: ModelConfig,
     n_steps: int,
     num_draft: int = 4,
+    max_len_hint: int | None = None,
 ) -> tuple:
     """``n_steps`` draft-model speculative rounds in ONE program →
     (tokens (B, n, k+1), counts (B, n), next pending, cache, draft cache).
@@ -1327,7 +1342,7 @@ def spec_decode_multi_draft(
     """
     return _spec_decode_multi_draft_core(
         params, cache, dparams, dcache, tok, cos, sin, dcos, dsin, active,
-        cfg, dcfg, n_steps, num_draft,
+        cfg, dcfg, n_steps, num_draft, max_len_hint=max_len_hint,
     )
 
 

@@ -701,6 +701,11 @@ class Engine:
 
     def _spec_decode_round(self, active: np.ndarray, n: int) -> None:
         t0 = time.time()
+        # Static KV-walk bound for the round's verify steps: a spec round
+        # can advance a slot by up to n·(k+1) rows. Same quantized-bucket
+        # machinery as the plain path; mesh programs are built once and
+        # ignore it.
+        hint = self._round_len_hint(active, n * (self.spec_decode + 1))
         if self.draft_cache is not None and self.mesh is not None:
             toks, counts, self.pending_tok, self.cache, self.draft_cache = (
                 self._tp_spec_decode_draft(
@@ -716,6 +721,7 @@ class Engine:
                     self.draft_cache, self.pending_tok, self.cos, self.sin,
                     self.dcos, self.dsin, jnp.asarray(active), self.cfg,
                     self.draft_cfg, n, num_draft=self.spec_decode,
+                    max_len_hint=hint,
                 )
             )
         elif self.mesh is not None:
@@ -731,6 +737,7 @@ class Engine:
                     self.params, self.cache, self.history, self.pending_tok,
                     self.cos, self.sin, jnp.asarray(active), self.cfg, n,
                     num_draft=self.spec_decode, ngram=self.spec_ngram,
+                    max_len_hint=hint,
                 )
             )
         toks_host = np.asarray(toks)  # (B, n, k+1)
