@@ -122,27 +122,42 @@ def _run_chain(weight_mode: str, kv_mode: str, record, *, t_start, time_mod,
     after each. Frees params/cache before returning."""
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.autotune import DecodeAutotuner, DecodeConfig
     from starflashattention_tpu.runtime.params import ModelConfig
     from starflashattention_tpu.utils.profiling import _force, _tunnel_rtt
 
-    # Kernel knobs from the measured on-device sweep (runtime/autotune.py;
-    # winner memoized in benchmarks/artifacts/autotune_cache.json):
-    # single-split fused-epilogue decode, 16 sequences per grid cell,
-    # 64-row KV blocks (tight fetch for ragged lengths).
-    cfg = ModelConfig.llama_7b_gqa(
-        max_seq_len=1024, num_splits=1, block_k=64, batch_block=16,
-        **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
-    )
     batch, ctx = 16, 1024
     iters = 192  # 512 + 192 stays inside the 1024-slot cache
 
+    # Kernel knobs come from the MEMOIZED on-device autotune cache
+    # (runtime/autotune.py; regenerated by benchmarks/autotune_headline.py on
+    # the target device — the closed-loop replacement for the reference's
+    # "tuned for 3090" constants, flash_attn.cu:1024). The bench runs under a
+    # hard deadline, so a cache miss falls back to the last committed winner
+    # instead of re-measuring here.
+    tuner = DecodeAutotuner(
+        cache_path="benchmarks/artifacts/autotune_cache.json")
+    kv_dtype = jnp.int8 if kv_mode == "int8" else jnp.bfloat16
+    pick = tuner.peek_decode(batch, 32, 8, ctx, 128, kv_dtype) or DecodeConfig(
+        num_splits=1, block_k=64, batch_block=16)
+    cfg = ModelConfig.llama_7b_gqa(
+        max_seq_len=1024, num_splits=pick.num_splits, block_k=pick.block_k,
+        batch_block=pick.batch_block,
+        **({"quant_mode": "int8"} if kv_mode == "int8" else {}),
+    )
+    if weight_mode == "int4":
+        group = tuner.peek_int4_group(4096, 4096)
+    else:
+        group = None
+
     params = llama.init_params(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize=weight_mode)
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize=weight_mode,
+        int4_group=group)
     # Weight-only quant with fused in-kernel dequant (ops/quant_matmul.py),
     # INCLUDING the lm_head (the step's largest single dense stream, 262 MB
     # bf16; accuracy asserted by benchmarks/quant_accuracy.py).
     params = llama.quantize_model_weights(
-        params, weight_mode, consume=True, lm_head=True)
+        params, weight_mode, consume=True, lm_head=True, int4_group=group)
     cache = contiguous.init_cache(
         cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
         dtype=jnp.bfloat16,

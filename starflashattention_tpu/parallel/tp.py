@@ -457,7 +457,7 @@ def make_tp_spec_decode_multi(
     cfg: ModelConfig,
     n_steps: int,
     num_draft: int,
-    ngram: int = 2,
+    ngram: int = 4,
     quantized: bool = False,
     weight_quant: bool = False,
     lm_head_quant: bool = False,

@@ -48,6 +48,11 @@ class PrefillConfig:
     block_k: int
 
 
+@dataclasses.dataclass(frozen=True)
+class Int4GroupConfig:
+    group: int
+
+
 def candidate_decode_configs(
     seq_len: int,
     num_kv_heads: int,
@@ -126,6 +131,7 @@ class DecodeAutotuner:
                 cls = (
                     PagedConfig if key.startswith("paged:")
                     else PrefillConfig if key.startswith("prefill:")
+                    else Int4GroupConfig if key.startswith("int4group:")
                     else DecodeConfig
                 )
                 self._cache[key] = cls(**val)
@@ -147,6 +153,78 @@ class DecodeAutotuner:
         cfg = self._measure(q, k_cache, v_cache, lengths, **kw)
         self._store(key, cfg)
         return cfg
+
+    # -- cache peeks (no measurement) ------------------------------------------
+    # The headline bench runs under a hard deadline; it consumes the
+    # MEMOIZED winner (benchmarks/autotune_headline.py regenerates the cache
+    # on the target device) and falls back to its static default on a miss
+    # rather than spending the budget measuring. This is the closed-loop
+    # replacement for the reference's "tuned for 3090" constants
+    # (/root/reference/src/flash_attn.cu:1024).
+
+    def peek_decode(
+        self, b: int, hq: int, hkv: int, s: int, d: int, dtype
+    ) -> DecodeConfig | None:
+        key = (
+            f"{jax.default_backend()}:b{b}hq{hq}hkv{hkv}s{s}d{d}"
+            f":{jnp.dtype(dtype).name}"
+        )
+        return self._cache.get(key)
+
+    def peek_int4_group(self, h: int, o: int) -> int | None:
+        hit = self._cache.get(
+            f"int4group:{jax.default_backend()}:h{h}o{o}"
+        )
+        return hit.group if hit is not None else None
+
+    # -- int4 weight group size -------------------------------------------------
+
+    def best_int4_group(
+        self, b: int, h: int, o: int, *, perf_tol: float = 0.03,
+        candidates: tuple = (64, 128, 256),
+    ) -> int:
+        """Measured int4 group size for (B, H) x (H, O) decode projections.
+
+        Grouped scales trade accuracy for kernel time (smaller groups = more
+        scale fetches + accumulate splits but ~2x less quantization noise
+        per halving — benchmarks/quant_accuracy.py real_checkpoint). Policy:
+        ACCURACY-FIRST WITHIN A PERF TOLERANCE — pick the smallest group
+        whose measured kernel time is within ``perf_tol`` of the fastest
+        candidate. Memoized like the geometry knobs.
+        """
+        key = f"int4group:{jax.default_backend()}:h{h}o{o}"
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit.group
+
+        from starflashattention_tpu.core.quant import quantize_weight_int4
+        from starflashattention_tpu.ops.quant_matmul import quant_matmul_int4
+
+        cands = [g for g in candidates if h % g == 0] or [
+            max(g for g in candidates if g <= h)
+        ]
+        rngk = jax.random.PRNGKey(0)
+        x = jax.random.normal(rngk, (b, h), jnp.bfloat16)
+        w = jax.random.normal(rngk, (h, o), jnp.float32) / (h**0.5)
+        iters = 64 if jax.default_backend() == "tpu" else 2
+        times = {}
+        for g in cands:
+            wq = quantize_weight_int4(w, g)
+
+            def step(xx, packed, scale):
+                o_ = quant_matmul_int4(xx, packed, scale, out_dtype=jnp.bfloat16)
+                # data-dependent feedback keeps the timing chain serialized
+                return xx + jnp.sum(o_) * jnp.bfloat16(1e-6)
+
+            per, _ = time_scanned(
+                step, x, wq["w"], wq["scale"], iters=iters, repeats=3,
+                min_window_s=0.04,
+            )
+            times[g] = per
+        fastest = min(times.values())
+        group = min(g for g, t in times.items() if t <= fastest * (1 + perf_tol))
+        self._store(key, Int4GroupConfig(group))
+        return group
 
     # -- paged decode ---------------------------------------------------------
 

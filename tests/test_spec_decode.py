@@ -114,6 +114,55 @@ def test_propose_drafts_no_match_falls_back():
     np.testing.assert_array_equal(np.asarray(draft)[0], [4, 4])
 
 
+def test_propose_drafts_longest_match_backoff():
+    """The trailing 3-gram (5,6,7) recurs once (followed by 9); the trailing
+    2-gram (6,7) ALSO recurs later (followed by 1). Longest-match backoff
+    must draft from the 3-gram's continuation, not the more recent but
+    shorter 2-gram match."""
+    hist = np.zeros((1, 64), np.int32)
+    seq = [5, 6, 7, 9, 4, 2, 6, 7, 1, 3, 8, 5, 6, 7]
+    hist[0, : len(seq)] = seq
+    length = np.array([len(seq) - 1], np.int32)  # pending = 7 at position 13
+    draft = drafting.propose_drafts(
+        jnp.asarray(hist), jnp.asarray(length), jnp.asarray([7], jnp.int32),
+        num_draft=2, ngram=3,
+    )
+    np.testing.assert_array_equal(np.asarray(draft)[0], [9, 4])
+
+    # and when the long key has no earlier occurrence, it backs off: with
+    # ngram=3 and only (6,7) recurring, the 2-gram match drives the draft
+    hist2 = np.zeros((1, 64), np.int32)
+    seq2 = [4, 6, 7, 1, 3, 8, 2, 6, 7]
+    hist2[0, : len(seq2)] = seq2
+    draft2 = drafting.propose_drafts(
+        jnp.asarray(hist2), jnp.asarray([len(seq2) - 1], jnp.int32),
+        jnp.asarray([7], jnp.int32), num_draft=2, ngram=3,
+    )
+    np.testing.assert_array_equal(np.asarray(draft2)[0], [1, 3])
+
+
+def test_autotune_peek_apis(tmp_path):
+    """peek_decode / peek_int4_group return memoized winners without
+    measuring, and None on a miss — the deadline-bound headline bench's
+    consumption contract (bench.py)."""
+    import json as _json
+
+    from starflashattention_tpu.runtime.autotune import DecodeAutotuner
+
+    path = tmp_path / "cache.json"
+    path.write_text(_json.dumps({
+        f"{jax.default_backend()}:b16hq32hkv8s1024d128:bfloat16":
+            {"num_splits": 1, "block_k": 64, "batch_block": 16},
+        f"int4group:{jax.default_backend()}:h4096o4096": {"group": 128},
+    }))
+    tuner = DecodeAutotuner(cache_path=path)
+    pick = tuner.peek_decode(16, 32, 8, 1024, 128, jnp.bfloat16)
+    assert (pick.num_splits, pick.block_k, pick.batch_block) == (1, 64, 16)
+    assert tuner.peek_decode(16, 32, 8, 2048, 128, jnp.bfloat16) is None
+    assert tuner.peek_int4_group(4096, 4096) == 128
+    assert tuner.peek_int4_group(11008, 4096) is None
+
+
 def _greedy_tokens(params, cfg, cache, prompts, plens, cos, sin, n):
     logits, cache = llama.prefill(
         params, cache, prompts, plens, cos, sin, cfg
