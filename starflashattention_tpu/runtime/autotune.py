@@ -180,7 +180,7 @@ class DecodeAutotuner:
     # -- int4 weight group size -------------------------------------------------
 
     def best_int4_group(
-        self, b: int, h: int, o: int, *, perf_tol: float = 0.03,
+        self, b: int, h: int, o: int, *, perf_tol: float = 0.08,
         candidates: tuple = (64, 128, 256),
     ) -> int:
         """Measured int4 group size for (B, H) x (H, O) decode projections.
@@ -190,7 +190,10 @@ class DecodeAutotuner:
         per halving — benchmarks/quant_accuracy.py real_checkpoint). Policy:
         ACCURACY-FIRST WITHIN A PERF TOLERANCE — pick the smallest group
         whose measured kernel time is within ``perf_tol`` of the fastest
-        candidate. Memoized like the geometry knobs.
+        candidate. The default 8% tolerance admits g128 over g256 (measured
+        ~5% slower at 7B shapes for −30% ppl damage on the trained
+        checkpoint) while excluding g64 (~18% slower). Memoized like the
+        geometry knobs.
         """
         key = f"int4group:{jax.default_backend()}:h{h}o{o}"
         hit = self._cache.get(key)
