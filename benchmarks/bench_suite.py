@@ -35,13 +35,21 @@ _VIOLATIONS: list[str] = []
 
 def _emit(name: str, ms: float, extra: dict):
     # INVARIANT: a roofline fraction above 1.0 is impossible if bytes_touched
-    # is honest (it would mean streaming faster than the HBM). Any frac > 1
-    # marks the line and FAILS the suite at exit (the loop still completes so
-    # every other measurement persists — round-3 lesson).
-    bad = [k for k, v in extra.items()
-           if "roofline_frac" in k and isinstance(v, (int, float)) and v > 1.0]
+    # is honest (it would mean streaming faster than the HBM). Fractions in
+    # (1.0, 1.02] are flagged at_roofline — the RTT-subtraction protocol has
+    # a measured ~2% residual noise even at 10-RTT windows
+    # (utils/profiling.time_scanned) and kernels genuinely at ~99% of the
+    # roofline can cross 1.0 by it. Anything beyond 1.02 marks the line and
+    # FAILS the suite at exit (the loop still completes so every other
+    # measurement persists — round-3 lesson).
+    fracs = {k: v for k, v in extra.items()
+             if "roofline_frac" in k and isinstance(v, (int, float))}
+    bad = [k for k, v in fracs.items() if v > 1.02]
+    near = [k for k, v in fracs.items() if 1.0 < v <= 1.02]
+    if near:
+        extra = {**extra, "at_roofline_within_noise": True}
     if bad:
-        extra = {**extra, "INVARIANT_VIOLATION": f"{bad} > 1.0"}
+        extra = {**extra, "INVARIANT_VIOLATION": f"{bad} > 1.02"}
         _VIOLATIONS.append(f"{name}: {[f'{k}={extra[k]}' for k in bad]}")
     line = json.dumps({"bench": name, "ms": round(ms * 1e3, 4), **extra})
     print(line, flush=True)
@@ -1111,9 +1119,13 @@ def hf_e2e_bench(quick: bool = False):
     from starflashattention_tpu.models import checkpoint as ckpt_mod
     from starflashattention_tpu.serving import Engine
 
+    # head_dim 128: the real-TPU cache-append kernel requires lane-dim
+    # multiples of 128 (ops/cache_append._check_lane_dim) — the CPU test
+    # twin (tests/test_checkpoint.py) uses the tiny head_dim instead
     cfg_hf = transformers.LlamaConfig(
-        vocab_size=128, hidden_size=64, intermediate_size=128,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128,
         max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False, attn_implementation="eager",
     )

@@ -154,6 +154,44 @@ def capture_verify(out_dir: str, span: int = 4) -> None:
         np.asarray(out[0, 0, 0, :1])
 
 
+def capture_epilogue(out_dir: str) -> None:
+    """Trace the fused-epilogue (num_splits=1) vs split+LSE-combine
+    (num_splits=4) decode variants back to back at the headline shape —
+    the per-call profiler evidence for runtime/autotune's fused-by-default
+    choice (the reference ships ncu captures of BOTH its kernels,
+    profile_roll_manual.ncu-rep; SURVEY §2.13). Each variant runs as its
+    own named TraceAnnotation block in one trace."""
+    from starflashattention_tpu.ops.flash_decode import flash_decode
+
+    b, hq, hkv, d, s = 16, 32, 8, 128, 1024
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, hq, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.bfloat16)
+    lengths = jnp.full((b,), s // 2, jnp.int32)
+
+    def make_chain(ns, bk):
+        @jax.jit
+        def chain(q, k, v, lengths):
+            def body(c, _):
+                o = flash_decode(c, k, v, lengths, num_splits=ns, block_k=bk,
+                                 batch_block=16)
+                return c + o * jnp.bfloat16(1e-3), None
+            c, _ = jax.lax.scan(body, q, None, length=64)
+            return c
+        return chain
+
+    fused = make_chain(1, 64)
+    split = make_chain(4, 64)
+    for f in (fused, split):  # compile + warm
+        np.asarray(f(q, k, v, lengths)[0, 0, :1])
+    with jax.profiler.trace(out_dir):
+        with jax.profiler.TraceAnnotation("decode_fused_epilogue_ns1"):
+            np.asarray(fused(q, k, v, lengths)[0, 0, :1])
+        with jax.profiler.TraceAnnotation("decode_split_combine_ns4"):
+            np.asarray(split(q, k, v, lengths)[0, 0, :1])
+
+
 def summarize(out_dir: str, top: int = 28) -> None:
     # jax.profiler.trace writes a trace-viewer JSON next to the xplane —
     # parse it directly (the tensorboard_plugin_profile converter is broken
@@ -201,6 +239,7 @@ if __name__ == "__main__":
     ap.add_argument("--prefill", action="store_true")
     ap.add_argument("--moe", action="store_true")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--epilogue", action="store_true")
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--scheme", default="bf16", choices=["bf16", "int8w"])
     args = ap.parse_args()
@@ -211,6 +250,8 @@ if __name__ == "__main__":
             capture_moe(args.out)
         elif args.verify:
             capture_verify(args.out)
+        elif args.epilogue:
+            capture_epilogue(args.out)
         else:
             capture(args.out)
     summarize(args.out)

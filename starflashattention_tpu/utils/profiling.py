@@ -73,14 +73,22 @@ _rtt_cache: dict[str, float] = {}
 
 
 def _tunnel_rtt() -> float:
-    """Min round-trip of a trivial dispatch+readback (amortization baseline)."""
+    """Min round-trip of a trivial dispatch+readback (amortization baseline).
+
+    64 probes, not 8: time_scanned subtracts this FLOOR from a min over
+    many chain repeats — if the chain's min gets luckier tunnel draws than
+    the baseline's, the subtraction overshoots and per-step time reads LOW
+    (the r5 invariant caught decode_kernel_hkv8_seq511 at an impossible
+    1.086 of the HBM roofline from exactly this). More probes push the
+    baseline to the true floor, making the estimate honest-or-conservative.
+    """
     key = jax.default_backend()
     if key not in _rtt_cache:
         one = jnp.zeros((8,), jnp.float32)
         f = jax.jit(lambda x: x + 1.0)
         _force(f(one))
         _rtt_cache[key] = min(
-            _timed(lambda: _force(f(one))) for _ in range(8)
+            _timed(lambda: _force(f(one))) for _ in range(64)
         )
     return _rtt_cache[key]
 
@@ -145,6 +153,14 @@ def time_scanned(
         return t, carry
 
     rtt = _tunnel_rtt()
+    # The subtracted RTT is itself noisy (±~30% call to call); a window of
+    # only a few RTTs turns that noise into a many-% per-step error — the
+    # round-5 invariant caught paged_decode reading 1.03 of the HBM roofline
+    # from an 81 ms window. Force the window to >= 10 RTTs unless the caller
+    # explicitly chose a smaller one (autotune candidate sweeps trade
+    # precision for time and pass min_window_s=0.04 deliberately).
+    if min_window_s == 0.08:
+        min_window_s = max(0.08, 10 * rtt)
     run = build(iters)
     out = run(carry, *consts)
     _force(out)  # compile + warm
@@ -153,8 +169,13 @@ def time_scanned(
     t, out = timed_run(run, carry)
     if donate_carry:
         carry = out
-    if t - rtt < min_window_s and iters < 4096:
-        iters = min(4096, max(iters * 2, int(iters * min_window_s / max(t - rtt, 1e-4))))
+    if t - rtt < min_window_s and iters < 32768 and not donate_carry:
+        # cap 32768 (was 4096): a ~5 us micro-kernel needs ~16k chained steps
+        # before the window dwarfs the ~27 ms tunnel RTT; scan compile time
+        # is O(1) in length (rolled loop). Never auto-extend a donated-carry
+        # chain: the caller sized its state (e.g. cache capacity) for
+        # exactly iters x repeats steps.
+        iters = min(32768, max(iters * 2, int(iters * min_window_s / max(t - rtt, 1e-4))))
         run = build(iters)
         out = run(carry, *consts)
         _force(out)

@@ -99,7 +99,7 @@ def _numpy_llama_greedy(state, cfg_hf, prompt, n_new):
     sd = {k: v.detach().to(torch.float32).numpy() for k, v in state.items()}
     hq = cfg_hf.num_attention_heads
     hkv = cfg_hf.num_key_value_heads
-    d = cfg_hf.hidden_size // hq
+    d = getattr(cfg_hf, "head_dim", None) or cfg_hf.hidden_size // hq
     eps = cfg_hf.rms_norm_eps
 
     def rms(x, w):
