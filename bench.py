@@ -118,8 +118,9 @@ def _bytes_per_step(params, cache, mean_len: float, batch: int, vocab: int) -> f
 def _run_chain(weight_mode: str, kv_mode: str, record, *, t_start, time_mod,
                reps: int = 4, reserve_s: float = 5.0):
     """Build the 7B decode chain for one quant config, run up to ``reps``
-    timed repeats, calling ``record(best_seconds, bytes_step, batch, iters)``
-    after each. Frees params/cache before returning."""
+    timed repeats, calling ``record(per_step_seconds, bytes_step, batch)``
+    after each (per-step = (best wall − RTT)/iters). Frees params/cache
+    before returning."""
     from starflashattention_tpu.cache import contiguous
     from starflashattention_tpu.models import llama
     from starflashattention_tpu.runtime.autotune import DecodeAutotuner, DecodeConfig

@@ -50,11 +50,13 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
                         "tol": tol, "ok": bool(err <= tol)})
 
     # --- decode family: B=4, Hq=16, Hkv=4 (GQA), S=512, D=128, ragged ----
-    b, hq, hkv, s, d = 4, 16, 4, 512, 128
+    # quick: halve the sequence dims (fewer KV blocks / q rows per check;
+    # same code paths, ~3x faster wall for deadline-bound invocations)
+    b, hq, hkv, s, d = 4, 16, 4, (256 if quick else 512), 128
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
-    lens = jnp.asarray([511, 384, 129, 512], jnp.int32)
+    lens = jnp.asarray([s - 1, 3 * s // 4, s // 4 + 1, s], jnp.int32)
     ref = reference.decode_reference(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), lens)
     # bf16 tolerance: attention outputs are convex combinations of
@@ -66,7 +68,7 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
     check("decode_split4", flash_decode(
         q, k, v, lens, num_splits=4, block_k=128, interpret=False), ref, TOL)
 
-    w = 256
+    w = s // 2
     ref_w = reference.decode_reference(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
         lens, sliding_window=w)
@@ -83,7 +85,8 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
     # verify mode (spec decode): T=3 staircase — row j attends < len+j
     T = 3
     qv = jnp.asarray(rng.standard_normal((b, hq, T, d)), jnp.bfloat16)
-    lens_v = jnp.asarray([384, 255, 130, 509], jnp.int32)
+    lens_v = jnp.asarray(
+        [3 * s // 4, s // 2 - 1, s // 4 + 2, s - 3], jnp.int32)
     got_v = flash_verify(qv, k, v, lens_v, block_k=128, interpret=False)
     want_v = jnp.stack([
         reference.decode_reference(
@@ -122,11 +125,11 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
         ref, TOL)
 
     # --- prefill + backward: B=2, Sq=Skv=512 ----------------------------
-    sq = 512
+    sq = 256 if quick else 512
     qp = jnp.asarray(rng.standard_normal((2, hq, sq, d)), jnp.bfloat16)
     kpre = jnp.asarray(rng.standard_normal((2, hkv, sq, d)), jnp.bfloat16)
     vpre = jnp.asarray(rng.standard_normal((2, hkv, sq, d)), jnp.bfloat16)
-    plens = jnp.asarray([512, 300], jnp.int32)
+    plens = jnp.asarray([sq, 3 * sq // 5], jnp.int32)
     ref_p = reference.prefill_reference(
         qp.astype(jnp.float32), kpre.astype(jnp.float32),
         vpre.astype(jnp.float32), lengths=plens, causal=True)
@@ -167,8 +170,10 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
     vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
     pos = jnp.asarray([0, 5, 77, 127], jnp.int32)
     want_kt = kt.at[1, jnp.arange(b), :, pos].set(kn)
+    want_vt = vt.at[1, jnp.arange(b), :, pos].set(vn)
     kt2, vt2 = append_rows_kv(kt, vt, kn, vn, 1, pos, interpret=False)
-    check("cache_append", kt2, want_kt, 0.0)  # pure data movement: exact
+    check("cache_append_k", kt2, want_kt, 0.0)  # pure data movement: exact
+    check("cache_append_v", vt2, want_vt, 0.0)
 
     # --- quantized matmuls ----------------------------------------------
     h, o_dim = 512, 512

@@ -297,6 +297,11 @@ def real_checkpoint(quick: bool = False) -> None:
     }
     out.write_text(json.dumps(data, indent=1))
     print(f"real-checkpoint section written to {out}")
+    # This section IS the binding accuracy gate for every scheme (the
+    # random-twin rows defer here via binding=real_checkpoint) — a bound
+    # violation must fail the run, not just be recorded.
+    bad = [r for r in results if not r["within_bounds"]]
+    assert not bad, f"real-checkpoint Δ bounds violated: {bad}"
 
 
 def main() -> None:

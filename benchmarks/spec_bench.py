@@ -269,6 +269,13 @@ def bench_trained_chain(num_draft=7, ngram=5, n_steps=24, slots=8, sp=160):
         m = min(len(stream), len(want))
         mismatches += sum(a != b for a, b in zip(stream[:m], want[:m]))
     tokens_per_step = float(counts_h.sum()) / (slots * n_steps)
+    # the exactness ORACLE, not a report: any spec-vs-plain argmax
+    # divergence invalidates the speedup claim (greedy spec is bit-identical
+    # by construction)
+    assert mismatches == 0, (
+        f"spec stream diverged from the plain argmax chain: "
+        f"{mismatches} token mismatches"
+    )
 
     def time_variant(fn):
         best = float("inf")

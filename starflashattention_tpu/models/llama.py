@@ -1163,7 +1163,9 @@ def spec_decode_multi(
     cfg: ModelConfig,
     n_steps: int,
     num_draft: int = 4,
-    ngram: int = 2,
+    # max key length; the matcher BACKS OFF to shorter keys (core/drafting),
+    # so 4 strictly dominates the old fixed-2 default — matches Engine's
+    ngram: int = 4,
     max_len_hint: int | None = None,
 ) -> tuple:
     """``n_steps`` speculative rounds in ONE program → (tokens (B, n, k+1),
@@ -1246,7 +1248,8 @@ def _spec_step_draft_model(
 
     tokens = jnp.concatenate([pending[:, None], draft], axis=1)  # (B, k+1)
     logits, cache = _verify_core(
-        params, cache, tokens, cos, sin, cfg, axis_name=axis_name, active=active
+        params, cache, tokens, cos, sin, cfg, axis_name=axis_name,
+        active=active, max_len_hint=max_len_hint,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
     match = (preds[:, :-1] == draft).astype(jnp.int32)

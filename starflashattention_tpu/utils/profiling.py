@@ -105,7 +105,7 @@ def time_scanned(
     *consts,
     iters: int = 256,
     repeats: int = 5,
-    min_window_s: float = 0.08,
+    min_window_s: float | None = None,
     donate_carry: bool = False,
 ) -> tuple[float, object]:
     """Per-iteration seconds of ``carry = fn(carry, *consts)`` — the honest
@@ -156,10 +156,10 @@ def time_scanned(
     # The subtracted RTT is itself noisy (±~30% call to call); a window of
     # only a few RTTs turns that noise into a many-% per-step error — the
     # round-5 invariant caught paged_decode reading 1.03 of the HBM roofline
-    # from an 81 ms window. Force the window to >= 10 RTTs unless the caller
-    # explicitly chose a smaller one (autotune candidate sweeps trade
-    # precision for time and pass min_window_s=0.04 deliberately).
-    if min_window_s == 0.08:
+    # from an 81 ms window. Default (None) = >= 10 RTTs; an explicit value
+    # is always honored (autotune candidate sweeps trade precision for time
+    # and pass min_window_s=0.04 deliberately).
+    if min_window_s is None:
         min_window_s = max(0.08, 10 * rtt)
     run = build(iters)
     out = run(carry, *consts)
