@@ -35,6 +35,7 @@ def mha_reference(
     sm_scale: float | None = None,
     sliding_window: int | None = None,  # row attends [row - W + 1, row]
     attention_sinks: int = 0,  # first-k positions always attendable
+    softcap: float | None = None,  # Gemma-2: cap*tanh(s/cap) on scaled scores
 ) -> jax.Array:
     """Full-softmax multi-head attention at fp32. Returns (B, Hq, Sq, D).
 
@@ -61,6 +62,8 @@ def mha_reference(
         k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
 
     kv_pos = jnp.arange(skv)[None, None, None, :]
     mask = jnp.ones((b, 1, sq, skv), dtype=bool)
@@ -92,6 +95,7 @@ def decode_reference(
     sm_scale: float | None = None,
     sliding_window: int | None = None,
     attention_sinks: int = 0,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Decode-phase attention: 1 query token vs the KV cache.
 
@@ -104,7 +108,7 @@ def decode_reference(
     o = mha_reference(
         q[:, :, None, :], k_cache, v_cache, lengths=lengths, sm_scale=sm_scale,
         q_offset=lengths - 1, sliding_window=sliding_window,
-        attention_sinks=attention_sinks,
+        attention_sinks=attention_sinks, softcap=softcap,
     )
     return o[:, :, 0, :]
 
@@ -169,9 +173,12 @@ def prefill_reference(
     lengths: jax.Array | None = None,
     causal: bool = True,
     sm_scale: float | None = None,
+    sliding_window: int | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Causal multi-token prefill attention (capability the reference lacks;
     mandated by BASELINE.json config 2)."""
     return mha_reference(
-        q, k, v, lengths=lengths, causal=causal, sm_scale=sm_scale
+        q, k, v, lengths=lengths, causal=causal, sm_scale=sm_scale,
+        sliding_window=sliding_window, softcap=softcap,
     )

@@ -77,6 +77,18 @@ def config_from_hf(hf_config) -> ModelConfig:
         window = None
     # Qwen3: QK-norm is architectural (no config flag) — key off model_type
     qk_norm = model_type == "qwen3"
+    # Gemma: GeGLU MLP (hidden_act gelu_pytorch_tanh) + sqrt(hidden)-scaled
+    # embeddings; its (1 + w) RMSNorm convention is folded into the stored
+    # weights by load_hf_state_dict, not a runtime flag.
+    is_gemma = model_type == "gemma"
+    hidden_act = getattr(hf_config, "hidden_act", None) or getattr(
+        hf_config, "hidden_activation", None
+    )
+    mlp_activation = (
+        "gelu_tanh"
+        if is_gemma or hidden_act in ("gelu_pytorch_tanh", "gelu")
+        else "silu"
+    )
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -98,6 +110,9 @@ def config_from_hf(hf_config) -> ModelConfig:
         # Mixtral: num_local_experts routed top-num_experts_per_tok
         num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
+        mlp_activation=mlp_activation,
+        embed_scale=is_gemma,
+        norm_plus_one=is_gemma,
     )
 
 
@@ -113,6 +128,12 @@ def load_hf_state_dict(
 
     def get(name: str) -> np.ndarray:
         return _to_np(state[name])
+
+    def get_norm(name: str) -> np.ndarray:
+        # Gemma stores RMSNorm weights as offsets (x * (1 + w)); fold the
+        # +1 here so the runtime rms_norm (x * w) is exact (cfg.norm_plus_one)
+        w = get(name)
+        return w + 1.0 if cfg.norm_plus_one else w
 
     wqkv, wo, w_gate_up, w_down = [], [], [], []
     attn_norm, mlp_norm, bqkv = [], [], []
@@ -157,8 +178,8 @@ def load_hf_state_dict(
             # Qwen3-style per-head (D,) QK-norm weights
             q_norm.append(get(p + "self_attn.q_norm.weight"))
             k_norm.append(get(p + "self_attn.k_norm.weight"))
-        attn_norm.append(get(p + "input_layernorm.weight"))
-        mlp_norm.append(get(p + "post_attention_layernorm.weight"))
+        attn_norm.append(get_norm(p + "input_layernorm.weight"))
+        mlp_norm.append(get_norm(p + "post_attention_layernorm.weight"))
 
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
@@ -168,7 +189,7 @@ def load_hf_state_dict(
             "wo": jnp.asarray(np.stack(wo), dtype),
             "mlp_norm": jnp.asarray(np.stack(mlp_norm), dtype),
         },
-        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+        "final_norm": jnp.asarray(get_norm("model.norm.weight"), dtype),
     }
     if cfg.num_experts:
         params["layers"]["moe_router"] = jnp.asarray(np.stack(moe_router), dtype)

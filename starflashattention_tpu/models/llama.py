@@ -305,6 +305,25 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def _gate_act(cfg: ModelConfig):
+    """MLP gate nonlinearity by config: SwiGLU's silu (default) or Gemma's
+    GeGLU gelu_tanh (HF gelu_pytorch_tanh == jax.nn.gelu approximate)."""
+    if cfg.mlp_activation == "gelu_tanh":
+        return functools.partial(jax.nn.gelu, approximate=True)
+    assert cfg.mlp_activation == "silu", cfg.mlp_activation
+    return jax.nn.silu
+
+
+def _embed_tokens(params: Params, tokens: jax.Array, cfg: ModelConfig):
+    """Embedding gather, with Gemma's sqrt(hidden) output scaling when
+    configured (scaling the OUTPUT, not the table, keeps tied-lm_head
+    logits unscaled — matching HF)."""
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * cfg.hidden_size**0.5).astype(x.dtype)
+    return x
+
+
 def _apply_qk_norm(q, k, lp, cfg):
     """Qwen3-style QK-norm: per-head RMSNorm over head_dim on q and the new
     k, BEFORE RoPE (learned (D,) weights shared across heads per layer).
@@ -317,7 +336,8 @@ def _apply_qk_norm(q, k, lp, cfg):
     )
 
 
-def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None) -> jax.Array:
+def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None,
+            act_fn=jax.nn.silu) -> jax.Array:
     from starflashattention_tpu.models.lora import delta_multi
 
     gu = proj(x, "w_gate_up", out_dtype=x.dtype)
@@ -325,7 +345,7 @@ def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None) -> jax.Array:
         gu = gu + delta_multi(x, lora_l, "w_gate_up", lora_sel)
     inter = gu.shape[-1] // 2
     gate, up = gu[..., :inter], gu[..., inter:]
-    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    act = (act_fn(gate) * up).astype(x.dtype)
     out = proj(act, "w_down")  # fp32 (psum'd before cast under TP)
     if lora_l is not None:
         out = out + delta_multi(act, lora_l, "w_down", lora_sel)
@@ -447,7 +467,8 @@ def _mlp_block(
     (excluded from the scan xs exactly like the attention quant dicts)."""
     if cfg.num_experts:
         return _moe_mlp(x, lp, cfg, axis_name, layers=layers, lidx=lidx)
-    return _swiglu(x, proj, lora_l=lora_l, lora_sel=lora_sel)
+    return _swiglu(x, proj, lora_l=lora_l, lora_sel=lora_sel,
+                   act_fn=_gate_act(cfg))
 
 
 def _split_heads_decode(qkv: jax.Array, cfg: ModelConfig):
@@ -520,7 +541,7 @@ def _decode_core(
     carried by ICI. ``active=False`` rows neither advance nor (logically)
     extend their sequence (serving engine's free slots).
     """
-    x = params["embed"][tokens]  # (B, H)
+    x = _embed_tokens(params, tokens, cfg)  # (B, H)
     pos = cache.lengths  # (B,)
     if active is None:
         lengths_now = cache.lengths + 1
@@ -686,7 +707,7 @@ def _prefill_core(
     their lengths don't advance (serving engine admits into a shared batch).
     """
     b, sq = tokens.shape
-    x = params["embed"][tokens]  # (B, Sq, H)
+    x = _embed_tokens(params, tokens, cfg)  # (B, Sq, H)
     start = cache.lengths
     pos = start[:, None] + jnp.arange(sq)[None, :]  # (B, Sq)
     if active is not None:
@@ -988,7 +1009,7 @@ def _verify_core(
     by the next step's T-row append, since every step emits >= 1 token.
     """
     b, t = tokens.shape
-    x = params["embed"][tokens]  # (B, T, H)
+    x = _embed_tokens(params, tokens, cfg)  # (B, T, H)
     start = cache.lengths
     pos = start[:, None] + jnp.arange(t)[None, :]  # (B, T)
     if active is None:
@@ -1379,7 +1400,7 @@ def _decode_core_paged(
     there. With ``cfg.sliding_window`` the page walk is band-shifted (only
     in-window pages are DMA'd) and the serving engine reclaims pages below
     the band — rolling-buffer KV, pool usage O(window) per sequence."""
-    x = params["embed"][tokens]
+    x = _embed_tokens(params, tokens, cfg)
     pos = cache.lengths
     if active is None:
         lengths_now = cache.lengths + 1
@@ -1494,7 +1515,7 @@ def _prefill_core_paged(
     (the gather reads back exactly the bytes the scatter wrote). Inactive
     rows scatter nothing and their logits row is unused."""
     b, sq = tokens.shape
-    x = params["embed"][tokens]
+    x = _embed_tokens(params, tokens, cfg)
     start = cache.lengths  # 0 for rows being admitted
     pos = start[:, None] + jnp.arange(sq)[None, :]
     if active is not None:

@@ -154,7 +154,7 @@ def forward_train(
         )
 
     b, s = tokens.shape
-    x = params["embed"][tokens]
+    x = llama._embed_tokens(params, tokens, cfg)
     pos0 = 0
     if seq_axis_name is not None:
         pos0 = jax.lax.axis_index(seq_axis_name) * s
@@ -196,7 +196,7 @@ def forward_train(
                 h, ll, "w_gate_up", lscale
             )
             gate, up = jnp.split(gu, 2, axis=-1)
-            act = jax.nn.silu(gate) * up
+            act = llama._gate_act(cfg)(gate) * up
             mlp = jnp.dot(act, lp["w_down"]) + _lora_delta(
                 act, ll, "w_down", lscale
             )

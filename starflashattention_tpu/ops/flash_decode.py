@@ -53,6 +53,7 @@ def _use_interpret() -> bool:
 def _attend_block(
     lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
     *, group, block_start, lens, nb, qspan=1, window=None, sinks=0, scale=None,
+    softcap=None,
 ):
     """One KV block's online-softmax update into the (m, l, acc) scratch.
 
@@ -90,6 +91,11 @@ def _attend_block(
     ).reshape(nb, hkv, g, bk)  # (NB, Hkv, G, Bk)
     if scale is not None:
         s = s * scale
+    if softcap is not None:
+        # Gemma-2 attention logit softcapping: cap*tanh(s/cap) on the SCALED
+        # scores, before masking (HF order). The quantized path pre-folds
+        # sm_scale into q, so s is in scaled units on every path here.
+        s = softcap * jnp.tanh(s * (1.0 / softcap))
 
     kv_pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     # Broadcast each sequence's scalar length over its batch slice with
@@ -223,10 +229,11 @@ def _decode_kernel_fused(
     blocks_per_split: int,
     batch_block: int,
     qspan: int = 1,
-    window: int | None = None,
+    window=None,  # static int, or a TRACED scalar via _decode_kernel_fused_dyn
     sink_blocks: int = 0,
     sinks: int = 0,
     scale: float | None = None,
+    softcap: float | None = None,
 ):
     blk = pl.program_id(1)  # grid = (groups, sink_blocks + blocks)
     group = pl.program_id(0)
@@ -267,6 +274,7 @@ def _decode_kernel_fused(
             lengths_ref, q_ref, k_ref, v_ref, m_s, l_s, acc_s,
             group=group, block_start=block_start, lens=lens, nb=nb,
             qspan=qspan, window=window, sinks=sinks, scale=scale,
+            softcap=softcap,
         )
 
     @pl.when(blk == sink_blocks + blocks_per_split - 1)
@@ -274,6 +282,22 @@ def _decode_kernel_fused(
         l = l_s[..., :1]  # (NB, Hkv, G, 1)
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[...] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+
+
+def _decode_kernel_fused_dyn(
+    lengths_ref, layer_ref, window_ref,
+    q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw,
+):
+    """Dynamic-window twin of :func:`_decode_kernel_fused`: the window rides
+    as a third scalar-prefetch operand (a TRACED per-call value — Gemma-2's
+    alternating sliding/full layers under one scan-over-layers). Every use
+    of ``window`` in the kernel body / _win_first is vector arithmetic, so a
+    traced scalar drops straight in; only the sink machinery (static block
+    counts) requires a static window, and the caller rejects that combo."""
+    _decode_kernel_fused(
+        lengths_ref, layer_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
+        window=window_ref[0], **kw,
+    )
 
 
 def _split_geometry(s: int, num_splits: int, block_k: int) -> tuple[int, int, int]:
@@ -493,8 +517,9 @@ def _flash_decode_fused(
     layer, sm_scale, block_k, batch_block, k_scales, v_scales, interpret,
     qspan: int = 1,
     max_len_hint: int | None = None,
-    window: int | None = None,
+    window=None,  # int (static) or traced scalar Array (per-layer windows)
     sinks: int = 0,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Single-split decode with the normalize epilogue fused in-kernel.
 
@@ -556,21 +581,31 @@ def _flash_decode_fused(
 
     if sinks and window is None:
         raise ValueError("attention sinks require a sliding window")
+    # Dynamic (traced) window: Gemma-2's alternating sliding/full layers
+    # under one scan-over-layers pass a per-layer scalar instead of a
+    # compile-time constant; it rides as a third scalar-prefetch operand.
+    dyn_window = isinstance(window, jax.Array)
+    if dyn_window and sinks:
+        raise ValueError(
+            "attention sinks need a STATIC window (sink block counts are "
+            "compile-time); pass a python int window with sinks"
+        )
     sink_blocks = -(-sinks // block_k) if (sinks and window is not None) else 0
 
     kernel = functools.partial(
-        _decode_kernel_fused,
+        _decode_kernel_fused_dyn if dyn_window else _decode_kernel_fused,
         block_k=block_k,
         blocks_per_split=blocks,
         batch_block=nb,
         qspan=qspan,
-        window=window,
         sink_blocks=sink_blocks,
         sinks=sinks,
         scale=kscale,
+        softcap=softcap,
+        **({} if dyn_window else {"window": window}),
     )
 
-    def kv_index(gi, ki, lens, layer_ref):
+    def kv_index(gi, ki, lens, layer_ref, *maybe_win):
         lens_g = [lens[gi * nb + j] for j in range(nb)]
         gmax = functools.reduce(jnp.maximum, lens_g)
         # verify mode: the last query row attends qspan-1 rows past `lengths`
@@ -578,14 +613,19 @@ def _flash_decode_fused(
         # sliding window: shift the walk to the group's first in-band block
         # (stays in lockstep with the kernel body's _win_first); sink
         # iterations (ki < sink_blocks) fetch blocks 0.. directly
-        first = _win_first(lens_g, nb, qspan, window, block_k)
+        win = maybe_win[0][0] if maybe_win else window
+        first = _win_first(lens_g, nb, qspan, win, block_k)
         blk = jnp.clip(first + ki - sink_blocks, 0, last_valid)
         if sink_blocks:
             blk = jnp.where(ki < sink_blocks, jnp.minimum(ki, last_valid), blk)
         return (layer_ref[0], gi, 0, blk, 0)
 
+    prefetch = [lengths, layer_arr]
+    if dyn_window:
+        prefetch.append(window.astype(jnp.int32).reshape(1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b // nb, sink_blocks + blocks),
         in_specs=[
             pl.BlockSpec(
@@ -615,7 +655,7 @@ def _flash_decode_fused(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, layer_arr, q4, k_cache, v_cache)
+    )(*prefetch, q4, k_cache, v_cache)
 
     if quantized:
         # V dequant scale is linear in the output — applied on the tiny
@@ -641,8 +681,9 @@ def flash_verify(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
-    window: int | None = None,
+    window=None,
     sinks: int = 0,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Multi-query decode attention for speculative-decoding VERIFY steps.
 
@@ -663,7 +704,7 @@ def flash_verify(
         layer=layer, sm_scale=sm_scale, block_k=block_k,
         batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
         interpret=interpret, qspan=q.shape[2], max_len_hint=max_len_hint,
-        window=window, sinks=sinks,
+        window=window, sinks=sinks, softcap=softcap,
     )
 
 
@@ -682,8 +723,9 @@ def flash_decode(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
-    window: int | None = None,
+    window=None,  # int (static) or traced scalar (Gemma-2 per-layer windows)
     sinks: int = 0,
+    softcap: float | None = None,  # Gemma-2 attention logit softcapping
 ) -> jax.Array:
     """Decode attention: (B, Hq, D) query vs (B, Hkv, S, D) cache — or a
     whole (L, B, Hkv, S, D) table plus ``layer`` — → (B, Hq, D).
@@ -708,6 +750,11 @@ def flash_decode(
             "sliding-window attention requires num_splits=1 (the fused "
             "kernel); splitting a windowed band across the cache buys nothing"
         )
+    if softcap is not None and eff_splits != 1:
+        raise ValueError(
+            "attention softcapping requires num_splits=1 (the fused kernel); "
+            "use num_splits=1 for Gemma-2-class models"
+        )
     if sinks and window is None:
         raise ValueError("attention sinks require a sliding window")
     if eff_splits == 1:
@@ -716,7 +763,7 @@ def flash_decode(
             layer=layer, sm_scale=sm_scale, block_k=block_k,
             batch_block=batch_block, k_scales=k_scales, v_scales=v_scales,
             interpret=interpret, max_len_hint=max_len_hint, window=window,
-            sinks=sinks,
+            sinks=sinks, softcap=softcap,
         )
     # the split path partitions the WHOLE cache across splits; the grid hint
     # only applies to the fused single-split serving path

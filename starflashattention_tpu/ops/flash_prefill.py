@@ -68,7 +68,9 @@ def _prefill_kernel(
     lengths_ref,  # (B,) int32 SMEM — full array, indexed by program_id
     q_off_ref,  # (B,) int32 SMEM — absolute position of q row 0 per sequence
     kv_off_ref,  # (1,) int32 SMEM — global position of kv column 0 (ring CP)
+    win_ref,  # (1,) int32 SMEM — dynamic window (read iff dyn_window)
     q_ref,  # (1, G, Bq, D) — pre-scaled by sm_scale * log2(e)
+    #       (by sm_scale ONLY when softcap is set — see qk())
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
     o_ref,  # (1, G, Bq, D)
@@ -80,10 +82,17 @@ def _prefill_kernel(
     num_kv_blocks: int,
     causal: bool,
     chains: int,
-    window: int | None,
+    window,  # static int | None; ignored when dyn_window (win_ref wins)
+    dyn_window: bool = False,
     sinks: int = 0,
     with_lse: bool = False,
+    softcap: float | None = None,
 ):
+    if dyn_window:
+        # Gemma-2 alternating layers: the per-layer window is a TRACED
+        # scalar operand; every use below is vector arithmetic, so it
+        # drops in where the static int went.
+        window = win_ref[0]
     lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (None, rest)
     m_ss = scratch[0::3]
     l_ss = scratch[1::3]
@@ -150,6 +159,11 @@ def _prefill_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (sub, Bk) — already in log2 units (q pre-scaled)
+            if softcap is not None:
+                # q was pre-scaled by sm_scale ONLY in this mode: cap the
+                # natural-units scores, then convert to the kernel's base-2
+                # softmax units (Gemma-2 attn_logit_softcapping)
+                s = (softcap * LOG2E) * jnp.tanh(s * (1.0 / softcap))
             if masked:
                 col = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 mask = col < length
@@ -250,12 +264,13 @@ def flash_prefill(
     sm_scale: float | None = None,
     block_q: int = 1024,
     block_k: int = 1024,
-    window: int | None = None,  # sliding window (Mistral-style), in rows
+    window=None,  # sliding window in rows: int, or traced scalar (Gemma-2)
     sinks: int = 0,  # StreamingLLM attention sinks (first-k positions)
     kv_offset: jax.Array | int = 0,  # global position of k[:, :, 0] (ring CP)
     chains: int | None = None,  # softmax-chain count override (None = auto)
     interpret: bool | None = None,
     return_lse: bool = False,  # also return per-row base-2 LSE (B, Hq, Sq)
+    softcap: float | None = None,  # Gemma-2 attention logit softcapping
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Blockwise causal prefill attention → (B, Hq, Sq, D).
 
@@ -295,8 +310,11 @@ def flash_prefill(
     kv_off = jnp.asarray(kv_offset, jnp.int32).reshape(1)
 
     # Fold sm_scale and the base-2 conversion into q once (f32 mul, then back
-    # to the compute dtype) — the kernel's softmax runs in exp2 units.
-    q = (q.astype(jnp.float32) * (float(sm_scale) * LOG2E)).astype(q.dtype)
+    # to the compute dtype) — the kernel's softmax runs in exp2 units. With
+    # softcap, fold sm_scale ONLY: the cap must see natural-units scores
+    # (the kernel converts to base-2 after capping).
+    q_fold = float(sm_scale) if softcap is not None else float(sm_scale) * LOG2E
+    q = (q.astype(jnp.float32) * q_fold).astype(q.dtype)
 
     # Pad sequence dims up to tile multiples; padded KV is masked by
     # `lengths`, padded Q rows are sliced off the output.
@@ -325,6 +343,13 @@ def flash_prefill(
 
     if sinks and window is None:
         raise ValueError("attention sinks require a sliding window")
+    dyn_window = isinstance(window, jax.Array)
+    if dyn_window and sinks:
+        raise ValueError("attention sinks need a STATIC window")
+    win_arr = (
+        window.astype(jnp.int32).reshape(1) if dyn_window
+        else jnp.zeros((1,), jnp.int32)
+    )
     kernel = functools.partial(
         _prefill_kernel,
         group=g,
@@ -333,9 +358,11 @@ def flash_prefill(
         num_kv_blocks=num_kv_blocks,
         causal=causal,
         chains=chains,
-        window=window,
+        window=None if dyn_window else window,
+        dyn_window=dyn_window,
         sinks=sinks,
         with_lse=return_lse,
+        softcap=softcap,
     )
 
     scratch = []
@@ -378,6 +405,7 @@ def flash_prefill(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, g, block_q, d),
                 lambda bi, hi, qi, ki: (bi, hi, qi, 0),
@@ -402,7 +430,7 @@ def flash_prefill(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, q_offsets, kv_off, q, k, v)
+    )(lengths, q_offsets, kv_off, win_arr, q, k, v)
 
     if return_lse:
         o, lse = out

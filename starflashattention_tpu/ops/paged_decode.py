@@ -97,9 +97,10 @@ def _paged_decode_kernel(
     ppcb: int,
     page_size: int,
     hkv: int,
-    window: int | None = None,
+    window=None,  # static int | None, or traced via _paged_decode_kernel_dyn
     sink_blocks: int = 0,
     sinks: int = 0,
+    softcap: float | None = None,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     bk = ppcb * page_size
@@ -196,6 +197,9 @@ def _paged_decode_kernel(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (Hkv, G, bk)
+        if softcap is not None:
+            # Gemma-2 softcapping on the scaled scores (q pre-folds sm_scale)
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         kv_pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         valid = kv_pos < length
         if window is not None:
@@ -239,6 +243,18 @@ def _paged_decode_kernel(
         o_ref[0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
 
 
+def _paged_decode_kernel_dyn(
+    lengths_ref, page_tbl_ref, layer_ref, window_ref, *rest, **kw,
+):
+    """Dynamic-window twin: window rides as a 4th scalar-prefetch operand
+    (Gemma-2 alternating sliding/full layers under one scan — see
+    flash_decode._decode_kernel_fused_dyn)."""
+    _paged_decode_kernel(
+        lengths_ref, page_tbl_ref, layer_ref, *rest,
+        window=window_ref[0], **kw,
+    )
+
+
 def paged_flash_decode(
     q: jax.Array,  # (B, Hq, D)
     k_pages: jax.Array,  # (Hkv, P, page_size, D) or (L, Hkv, P, ps, D) + layer
@@ -253,8 +269,9 @@ def paged_flash_decode(
     v_scales: jax.Array | None = None,
     interpret: bool | None = None,
     max_len_hint: int | None = None,
-    window: int | None = None,
+    window=None,  # int (static) or traced scalar (Gemma-2 per-layer windows)
     sinks: int = 0,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Paged decode attention → (B, Hq, D).
 
@@ -307,10 +324,14 @@ def paged_flash_decode(
         max_blocks = max(min(max_blocks, -(-hint_pages // ppcb)), 1)
     if sinks and window is None:
         raise ValueError("attention sinks require a sliding window")
+    dyn_window = isinstance(window, jax.Array)
+    if dyn_window and sinks:
+        raise ValueError("attention sinks need a STATIC window")
     sink_blocks = 0
-    if window is not None:
+    if window is not None and not dyn_window:
         # shifted walk visits at most ceil(window/bk) + 1 blocks per
-        # sequence, plus the prepended sink blocks
+        # sequence, plus the prepended sink blocks (a DYNAMIC window cannot
+        # shrink the static grid — blocks past the band dedupe/skip)
         bk = ppcb * page_size
         sink_blocks = -(-sinks // bk) if sinks else 0
         max_blocks = max(
@@ -325,19 +346,20 @@ def paged_flash_decode(
     q4 = (q4.astype(jnp.float32) * scale).astype(q.dtype)
 
     kernel = functools.partial(
-        _paged_decode_kernel,
+        _paged_decode_kernel_dyn if dyn_window else _paged_decode_kernel,
         batch_size=b,
         pages_per_seq=pages_per_seq,
         ppcb=ppcb,
         page_size=page_size,
         hkv=hkv,
-        window=window,
         sink_blocks=sink_blocks,
         sinks=sinks,
+        softcap=softcap,
+        **({} if dyn_window else {"window": window}),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4 if dyn_window else 3,
         grid=(b, max_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -374,6 +396,7 @@ def paged_flash_decode(
         lengths.astype(jnp.int32),
         page_table.astype(jnp.int32).reshape(-1),
         jnp.asarray(layer, jnp.int32).reshape(1),
+        *([window.astype(jnp.int32).reshape(1)] if dyn_window else []),
         q4,
         k_pages,
         v_pages,

@@ -127,6 +127,19 @@ class ModelConfig:
     # axis the way dense TP treats the intermediate dim).
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # MLP gate activation: "silu" (Llama/Mistral/Qwen SwiGLU) or
+    # "gelu_tanh" (Gemma GeGLU — HF's gelu_pytorch_tanh). Applied at every
+    # MLP site (dense, quantized, fused Pallas, training twin).
+    mlp_activation: str = "silu"
+    # Gemma-style sqrt(hidden) scaling of the embedding output (HF applies
+    # it inside the model, not the table — ours does too so tied lm_head
+    # logits stay unscaled).
+    embed_scale: bool = False
+    # Gemma RMSNorm convention: HF computes x * (1 + w). The checkpoint
+    # loader folds the +1 into the STORED weights when this is set, so the
+    # runtime rms_norm (x * w) needs no branch; random init (w = 1.0)
+    # already matches. Loader-only flag — no runtime consumer.
+    norm_plus_one: bool = False
     # W8A8 prefill: INT8-weight projections quantize activations per token
     # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
     # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
@@ -210,6 +223,32 @@ class ModelConfig:
             rope_base=1e6,
             max_seq_len=8192,
             qk_norm=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def gemma_7b(cls, **overrides) -> "ModelConfig":
+        """Gemma-7B geometry: 28 layers, 16 MHA heads at head_dim 256, GeGLU
+        MLP (gelu_tanh), sqrt(hidden)-scaled embeddings, tied lm_head.
+        NOTE on norms: HF Gemma RMSNorm computes x * (1 + w); the checkpoint
+        loader stores (1 + w) so the runtime rms_norm (x * w) is exact —
+        random init (weights at 1.0) already matches."""
+        base = dict(
+            vocab_size=256000,
+            hidden_size=3072,
+            intermediate_size=24576,
+            num_layers=28,
+            num_q_heads=16,
+            num_kv_heads=16,
+            head_dim=256,
+            rope_base=10000.0,
+            max_seq_len=8192,
+            rms_norm_eps=1e-6,
+            tie_embeddings=True,
+            mlp_activation="gelu_tanh",
+            embed_scale=True,
+            norm_plus_one=True,
         )
         base.update(overrides)
         return cls(**base)

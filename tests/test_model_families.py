@@ -236,6 +236,69 @@ def test_mistral_checkpoint_matches_hf_forward():
     assert cfg.sliding_window == 6 and not cfg.attention_bias
 
 
+def test_gemma_checkpoint_matches_hf_forward():
+    """Gemma family: GeGLU MLP, sqrt(hidden)-scaled embeddings, (1+w)
+    RMSNorm convention (folded into stored weights at load), tied lm_head,
+    head_dim independent of hidden/heads — prefill AND the cache round-trip
+    decode step must reproduce transformers' logits."""
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=24, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = _assert_matches_hf(hf_cfg, model)
+    assert cfg.mlp_activation == "gelu_tanh"
+    assert cfg.embed_scale and cfg.norm_plus_one and cfg.tie_embeddings
+    assert cfg.head_dim == 24 and cfg.num_kv_heads == 1  # MQA
+
+
+def test_gemma_serves_and_trains(rng):
+    """The Gemma flags flow through serving (Engine greedy == llama.generate)
+    and the training twin (forward_train last-token logits == prefill's)."""
+    import dataclasses
+
+    from starflashattention_tpu.models.train import forward_train
+    from starflashattention_tpu.serving import Engine
+
+    cfg = ModelConfig.gemma_7b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_q_heads=2, num_kv_heads=1, head_dim=16, max_seq_len=64,
+        dtype="float32", num_splits=1, block_k=16,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 5)), jnp.int32)
+    lens = jnp.asarray([5], jnp.int32)
+    want = llama.generate(params, cfg, toks, lens, max_new_tokens=4)
+
+    eng = Engine(params, cfg, num_slots=1, steps_per_round=2)
+    got = eng.generate([[int(t) for t in np.asarray(toks)[0]]], max_new_tokens=4)
+    assert got[0] == [int(t) for t in np.asarray(want)[0]]
+
+    cos, sin = llama.rope_tables(cfg)
+    lg_train = forward_train(params, toks, cfg, cos, sin, use_flash=False)
+    from starflashattention_tpu.cache import contiguous as _contig
+
+    cache = _contig.init_cache(
+        cfg.num_layers, 1, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32)
+    lg_serve, _ = llama.prefill(params, cache, toks, lens, cos, sin, cfg)
+    np.testing.assert_allclose(
+        np.asarray(lg_train[:, -1]), np.asarray(lg_serve), atol=2e-4, rtol=2e-3)
+
+    # the flags provably matter: silu/unscaled twin diverges
+    cfg_plain = dataclasses.replace(
+        cfg, mlp_activation="silu", embed_scale=False)
+    lg_plain, _ = llama.prefill(
+        params,
+        _contig.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                           cfg.max_seq_len, cfg.head_dim, dtype=jnp.float32),
+        toks, lens, cos, sin, cfg_plain)
+    assert float(jnp.max(jnp.abs(lg_plain - lg_serve))) > 1e-3
+
+
 def test_llama3_style_config_from_hf():
     hf_cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
