@@ -80,7 +80,8 @@ def config_from_hf(hf_config) -> ModelConfig:
     # Gemma: GeGLU MLP (hidden_act gelu_pytorch_tanh) + sqrt(hidden)-scaled
     # embeddings; its (1 + w) RMSNorm convention is folded into the stored
     # weights by load_hf_state_dict, not a runtime flag.
-    is_gemma = model_type == "gemma"
+    is_gemma = model_type in ("gemma", "gemma2")
+    is_gemma2 = model_type == "gemma2"
     hidden_act = getattr(hf_config, "hidden_act", None) or getattr(
         hf_config, "hidden_activation", None
     )
@@ -89,6 +90,22 @@ def config_from_hf(hf_config) -> ModelConfig:
         if is_gemma or hidden_act in ("gelu_pytorch_tanh", "gelu")
         else "silu"
     )
+    # Gemma-2: alternating sliding/full layers, score+logit softcapping,
+    # query_pre_attn_scalar-scaled attention, post-norms
+    gemma2_kw = {}
+    if is_gemma2:
+        gemma2_kw = dict(
+            attn_softcap=getattr(hf_config, "attn_logit_softcapping", None),
+            final_softcap=getattr(hf_config, "final_logit_softcapping", None),
+            query_scale=float(
+                getattr(hf_config, "query_pre_attn_scalar", None)
+                or (getattr(hf_config, "head_dim", None)
+                    or hf_config.hidden_size // hf_config.num_attention_heads)
+            ),
+            sliding_window_pattern=2,
+            post_norms=True,
+            num_splits=1,  # softcap runs in the fused kernels only
+        )
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -113,6 +130,7 @@ def config_from_hf(hf_config) -> ModelConfig:
         mlp_activation=mlp_activation,
         embed_scale=is_gemma,
         norm_plus_one=is_gemma,
+        **gemma2_kw,
     )
 
 
@@ -137,6 +155,7 @@ def load_hf_state_dict(
 
     wqkv, wo, w_gate_up, w_down = [], [], [], []
     attn_norm, mlp_norm, bqkv = [], [], []
+    post_attn_norm, post_mlp_norm = [], []
     q_norm, k_norm = [], []
     moe_router, moe_gate_up, moe_down = [], [], []
     for i in range(L):
@@ -179,7 +198,16 @@ def load_hf_state_dict(
             q_norm.append(get(p + "self_attn.q_norm.weight"))
             k_norm.append(get(p + "self_attn.k_norm.weight"))
         attn_norm.append(get_norm(p + "input_layernorm.weight"))
-        mlp_norm.append(get_norm(p + "post_attention_layernorm.weight"))
+        if cfg.post_norms:
+            # Gemma-2's four norms: post_attention_layernorm is the attn
+            # POST-norm here (in Llama-family models it is the MLP pre-norm)
+            post_attn_norm.append(
+                get_norm(p + "post_attention_layernorm.weight"))
+            mlp_norm.append(get_norm(p + "pre_feedforward_layernorm.weight"))
+            post_mlp_norm.append(
+                get_norm(p + "post_feedforward_layernorm.weight"))
+        else:
+            mlp_norm.append(get_norm(p + "post_attention_layernorm.weight"))
 
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
@@ -203,6 +231,11 @@ def load_hf_state_dict(
     if cfg.qk_norm:
         params["layers"]["q_norm"] = jnp.asarray(np.stack(q_norm), dtype)
         params["layers"]["k_norm"] = jnp.asarray(np.stack(k_norm), dtype)
+    if cfg.post_norms:
+        params["layers"]["post_attn_norm"] = jnp.asarray(
+            np.stack(post_attn_norm), dtype)
+        params["layers"]["post_mlp_norm"] = jnp.asarray(
+            np.stack(post_mlp_norm), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     _check_shapes(params, cfg)

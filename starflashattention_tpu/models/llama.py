@@ -285,6 +285,12 @@ def init_params(
         # across heads, applied before RoPE (_apply_qk_norm)
         params["layers"]["q_norm"] = jnp.ones((L, d), dtype)
         params["layers"]["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.post_norms:
+        # Gemma-2 post-norms: sublayer outputs RMS-normed before their
+        # residual adds (_residual_add); mlp_norm doubles as the
+        # pre_feedforward norm
+        params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
+        params["layers"]["post_mlp_norm"] = jnp.ones((L, h), dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = norm01(keys[5], (h, cfg.vocab_size), h)
     return params
@@ -303,6 +309,31 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _layer_window(cfg: ModelConfig, lidx):
+    """Per-layer sliding window. Pattern 1 (default): the static config
+    window applies to every layer (compile path unchanged). Pattern P > 1
+    (Gemma-2 alternating layers): layer L slides iff (L+1) % P != 0 — the
+    value becomes a TRACED scalar (ops/flash_* dynamic-window operand), with
+    full-attention layers passing a window beyond any length."""
+    w = cfg.sliding_window
+    if w is None or cfg.sliding_window_pattern == 1:
+        return w
+    full = jnp.int32(cfg.max_seq_len + 2)
+    sliding = jax.lax.rem(
+        jnp.asarray(lidx, jnp.int32) + 1, cfg.sliding_window_pattern
+    ) != 0
+    return jnp.where(sliding, jnp.int32(w), full)
+
+
+def _residual_add(x, out, lp, post_key: str, eps: float):
+    """x + out, with Gemma-2's post-norm (rms_norm of the sublayer OUTPUT
+    before the residual add) when the layer params carry ``post_key``."""
+    out = out.astype(x.dtype)
+    if post_key in lp:
+        out = rms_norm(out, lp[post_key], eps)
+    return x + out
 
 
 def _gate_act(cfg: ModelConfig):
@@ -505,6 +536,11 @@ def _logits(
         # slices back to full vocab — exact concatenation, bit-identical to
         # the replicated matmul, at 1/T the per-chip lm_head HBM read.
         local = jax.lax.all_gather(local, axis_name, axis=x.ndim - 1, tiled=True)
+    if cfg.final_softcap is not None:
+        # Gemma-2 final logit softcapping (elementwise — order vs the
+        # gather is immaterial; after keeps the capped-full-vocab invariant
+        # obvious)
+        local = cfg.final_softcap * jnp.tanh(local / cfg.final_softcap)
     return local
 
 
@@ -643,11 +679,13 @@ def _decode_layer(
 
     o = flash_decode(
         q, k_all, v_all, att_lengths, layer=cache_lidx,
+        sm_scale=cfg.sm_scale(),
         num_splits=cfg.num_splits, block_k=cfg.block_k,
         batch_block=cfg.batch_block,
         k_scales=ks, v_scales=vs,
-        max_len_hint=max_len_hint, window=cfg.sliding_window,
-        sinks=cfg.attention_sinks,
+        max_len_hint=max_len_hint,
+        window=_layer_window(cfg, param_lidx),
+        sinks=cfg.attention_sinks, softcap=cfg.attn_softcap,
     )  # (B, Hq, D)
     o = o.reshape(o.shape[0], -1)
     attn_out = proj(o, "wo")
@@ -655,7 +693,7 @@ def _decode_layer(
         attn_out = attn_out + delta_multi(o, lora_l, "wo", lora_sel)
     if axis_name is not None:
         attn_out = jax.lax.psum(attn_out, axis_name)
-    x = x + attn_out.astype(x.dtype)
+    x = _residual_add(x, attn_out, lp, "post_attn_norm", cfg.rms_norm_eps)
 
     # MLP
     h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
@@ -663,7 +701,7 @@ def _decode_layer(
                          lidx=param_lidx, lora_l=lora_l, lora_sel=lora_sel)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
-    x = x + mlp_out.astype(x.dtype)
+    x = _residual_add(x, mlp_out, lp, "post_mlp_norm", cfg.rms_norm_eps)
     return (x, k_all, v_all)
 
 
@@ -770,7 +808,9 @@ def _prefill_core(
             k_att, v_att = k_l, v_l
         o = flash_prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
-            window=cfg.sliding_window, sinks=cfg.attention_sinks,
+            sm_scale=cfg.sm_scale(),
+            window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
+            softcap=cfg.attn_softcap,
         )  # (B, Hq, Sq, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
@@ -778,14 +818,14 @@ def _prefill_core(
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
-        x = x + attn_out.astype(x.dtype)
+        x = _residual_add(x, attn_out, lp, "post_attn_norm", cfg.rms_norm_eps)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
                              lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
-        x = x + mlp_out.astype(x.dtype)
+        x = _residual_add(x, mlp_out, lp, "post_mlp_norm", cfg.rms_norm_eps)
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
@@ -1049,21 +1089,23 @@ def _verify_core(
 
         o = flash_verify(
             q, k_all, v_all, start + 1, layer=lidx,
+            sm_scale=cfg.sm_scale(),
             block_k=cfg.block_k, batch_block=cfg.batch_block,
-            k_scales=ks, v_scales=vs, window=cfg.sliding_window,
+            k_scales=ks, v_scales=vs, window=_layer_window(cfg, lidx),
             sinks=cfg.attention_sinks, max_len_hint=max_len_hint,
+            softcap=cfg.attn_softcap,
         )  # (B, Hq, T, D)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, -1)
         attn_out = proj(o, "wo")
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
-        x = x + attn_out.astype(x.dtype)
+        x = _residual_add(x, attn_out, lp, "post_attn_norm", cfg.rms_norm_eps)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers, lidx=lidx)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
-        x = x + mlp_out.astype(x.dtype)
+        x = _residual_add(x, mlp_out, lp, "post_mlp_norm", cfg.rms_norm_eps)
         return (x, k_all, v_all), None
 
     layer_idx = jnp.arange(cfg.num_layers)
@@ -1451,9 +1493,11 @@ def _decode_core_paged(
 
         o = paged_flash_decode(
             q, k_pages, v_pages, page_tbl, att_lengths, layer=lidx,
+            sm_scale=cfg.sm_scale(),
             pages_per_compute_block=cfg.pages_per_compute_block,
             k_scales=ks, v_scales=vs, max_len_hint=max_len_hint,
-            window=cfg.sliding_window, sinks=cfg.attention_sinks,
+            window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
+            softcap=cfg.attn_softcap,
         )  # (B, Hq, D)
         o = o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
@@ -1461,14 +1505,14 @@ def _decode_core_paged(
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
-        x = x + attn_out.astype(x.dtype)
+        x = _residual_add(x, attn_out, lp, "post_attn_norm", cfg.rms_norm_eps)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
                              lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
-        x = x + mlp_out.astype(x.dtype)
+        x = _residual_add(x, mlp_out, lp, "post_mlp_norm", cfg.rms_norm_eps)
         return (x, k_pages, v_pages), None
 
     layer_idx = jnp.arange(cfg.num_layers)
@@ -1583,7 +1627,9 @@ def _prefill_core_paged(
 
         o = flash_prefill(
             q, k_att, v_att, lengths=kv_lengths, causal=True, q_offsets=start,
-            window=cfg.sliding_window, sinks=cfg.attention_sinks,
+            sm_scale=cfg.sm_scale(),
+            window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
+            softcap=cfg.attn_softcap,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
         attn_out = proj(o, "wo")
@@ -1591,14 +1637,14 @@ def _prefill_core_paged(
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
-        x = x + attn_out.astype(x.dtype)
+        x = _residual_add(x, attn_out, lp, "post_attn_norm", cfg.rms_norm_eps)
 
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         mlp_out = _mlp_block(h, lp, proj, cfg, axis_name, layers=layers,
                              lidx=lidx, lora_l=ll, lora_sel=lora_sel)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
-        x = x + mlp_out.astype(x.dtype)
+        x = _residual_add(x, mlp_out, lp, "post_mlp_norm", cfg.rms_norm_eps)
         return (x, k_pages, v_pages), None
 
     layer_idx = jnp.arange(cfg.num_layers)

@@ -152,6 +152,13 @@ def forward_train(
             "context-parallel training requires the flash path "
             "(use_flash=True): the jnp attention twin is single-device"
         )
+    if cfg.attn_softcap or cfg.post_norms or cfg.sliding_window_pattern != 1:
+        raise NotImplementedError(
+            "Gemma-2-class training (attn softcap / post-norms / alternating "
+            "windows) is not wired into the training twin yet — the SERVING "
+            "paths support them fully (models/llama + ops kernels); the "
+            "flash backward has no softcap rule"
+        )
 
     b, s = tokens.shape
     x = llama._embed_tokens(params, tokens, cfg)

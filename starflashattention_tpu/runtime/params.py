@@ -140,6 +140,25 @@ class ModelConfig:
     # runtime rms_norm (x * w) needs no branch; random init (w = 1.0)
     # already matches. Loader-only flag — no runtime consumer.
     norm_plus_one: bool = False
+    # --- Gemma-2-class knobs ------------------------------------------------
+    # tanh softcapping of attention scores (attn_logit_softcapping, e.g.
+    # 50.0) — applied IN-KERNEL on the scaled scores (ops/flash_*). Requires
+    # num_splits == 1 (the fused kernels).
+    attn_softcap: float | None = None
+    # tanh softcapping of the final lm logits (final_logit_softcapping, 30.0)
+    final_softcap: float | None = None
+    # attention score scale = query_scale ** -0.5 when set (Gemma-2's
+    # query_pre_attn_scalar — decoupled from head_dim); None = 1/sqrt(D)
+    query_scale: float | None = None
+    # Alternating sliding/full attention layers (Gemma-2: pattern 2 — layer
+    # L is SLIDING iff (L+1) % pattern != 0, matching HF's gemma layer_types
+    # derivation). 1 = the window (if any) applies to every layer. Under
+    # scan-over-layers a pattern > 1 makes the per-layer window a TRACED
+    # scalar operand of the kernels (ops: *_dyn kernel twins).
+    sliding_window_pattern: int = 1
+    # Gemma-2 post-norms: params carry post_attn_norm/post_mlp_norm stacks
+    # and each sublayer output is RMS-normed BEFORE its residual add.
+    post_norms: bool = False
     # W8A8 prefill: INT8-weight projections quantize activations per token
     # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
     # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
@@ -157,6 +176,11 @@ class ModelConfig:
                 )
             if self.attention_sinks < 0:
                 raise ValueError("attention_sinks must be >= 0")
+
+    def sm_scale(self) -> float | None:
+        """Attention score scale for the kernels: ``query_scale ** -0.5``
+        when set (Gemma-2), else None (kernels default to 1/sqrt(head_dim))."""
+        return None if self.query_scale is None else self.query_scale**-0.5
 
     def attention(self) -> AttentionConfig:
         return AttentionConfig(
@@ -249,6 +273,39 @@ class ModelConfig:
             mlp_activation="gelu_tanh",
             embed_scale=True,
             norm_plus_one=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def gemma2_9b(cls, **overrides) -> "ModelConfig":
+        """Gemma-2-9B geometry: 42 layers, 16/8 GQA at head_dim 256,
+        query_pre_attn_scalar 256, attention/final softcapping (50/30),
+        alternating 4096-token sliding / full attention layers, GeGLU,
+        scaled embeddings, tied lm_head, post-norms. num_splits=1: softcap
+        runs in the fused kernels only."""
+        base = dict(
+            vocab_size=256000,
+            hidden_size=3584,
+            intermediate_size=14336,
+            num_layers=42,
+            num_q_heads=16,
+            num_kv_heads=8,
+            head_dim=256,
+            rope_base=10000.0,
+            max_seq_len=8192,
+            rms_norm_eps=1e-6,
+            tie_embeddings=True,
+            mlp_activation="gelu_tanh",
+            embed_scale=True,
+            norm_plus_one=True,
+            attn_softcap=50.0,
+            final_softcap=30.0,
+            query_scale=256.0,
+            sliding_window=4096,
+            sliding_window_pattern=2,
+            post_norms=True,
+            num_splits=1,
         )
         base.update(overrides)
         return cls(**base)

@@ -299,6 +299,59 @@ def test_gemma_serves_and_trains(rng):
     assert float(jnp.max(jnp.abs(lg_plain - lg_serve))) > 1e-3
 
 
+def test_gemma2_checkpoint_matches_hf_forward():
+    """Gemma-2: everything Gemma v1 has PLUS attention-score softcapping
+    (in-kernel tanh cap), final logit softcapping, query_pre_attn_scalar
+    score scaling, post-norms (4 norms/layer), and ALTERNATING sliding/full
+    attention layers (per-layer TRACED window under one scan). 4 layers so
+    both layer kinds run twice; window 6 < seq 9 so the band is live."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, sliding_window=6,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=12, attn_implementation="eager",
+    )
+    torch.manual_seed(4)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = _assert_matches_hf(hf_cfg, model)
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.query_scale == 12.0 and cfg.post_norms
+    assert cfg.sliding_window == 6 and cfg.sliding_window_pattern == 2
+
+
+def test_gemma2_serves_paged_and_verify(rng):
+    """The Gemma-2 flags flow through BOTH engines (contiguous == paged
+    greedy streams) and the spec-verify kernel path (spec engine stream ==
+    plain engine stream) — i.e. softcap + alternating windows + post-norms
+    work in flash_decode, paged_flash_decode, flash_prefill, and
+    flash_verify."""
+    from starflashattention_tpu.serving import Engine, PagedEngine
+
+    cfg = ModelConfig.gemma2_9b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=2, num_kv_heads=1, head_dim=16, max_seq_len=64,
+        dtype="float32", block_k=16, sliding_window=8,
+        pages_per_compute_block=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, 12)]
+               for _ in range(2)]
+
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=2)
+    want = eng.generate([list(p) for p in prompts], max_new_tokens=6)
+
+    peng = PagedEngine(params, cfg, num_slots=2, steps_per_round=2,
+                       page_size=16)
+    got_p = peng.generate([list(p) for p in prompts], max_new_tokens=6)
+    assert got_p == want
+
+    seng = Engine(params, cfg, num_slots=2, steps_per_round=2, spec_decode=2)
+    got_s = seng.generate([list(p) for p in prompts], max_new_tokens=6)
+    assert got_s == want
+
+
 def test_llama3_style_config_from_hf():
     hf_cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
