@@ -1095,6 +1095,74 @@ def prefill_ttft_bench(quick: bool = False):
         del params, run_once
 
 
+def model_gemma2_decode_bench(quick: bool = False):
+    """Gemma-2-9B full-model decode at long context: INT4 weights, bf16 KV,
+    b=2, ctx 8192 — exercises the per-layer TRACED-window kernels at scale
+    (21 sliding layers fetch only their 4096-row band; 21 full layers walk
+    the whole prefix) plus in-kernel softcapping, post-norms, GeGLU, and the
+    capped 256k-vocab tied lm_head (dense bf16 — the 1.8 GB embed table).
+    INT4, not int8: 9B int8 projections + the bf16 embed + 8k KV exceed the
+    16 GB HBM (measured RESOURCE_EXHAUSTED). Byte accounting is
+    window-aware: sliding layers count min(window, len) KV rows."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    batch, max_seq = 2, 2048 if quick else 8192
+    cfg = ModelConfig.gemma2_9b(max_seq_len=max_seq, block_k=256)
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int4")
+    params = llama.quantize_model_weights(params, "int4", consume=True)
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, cfg.num_kv_heads, cfg.max_seq_len,
+        cfg.head_dim, dtype=jnp.bfloat16)
+    iters = 32 if quick else 64
+    start = max_seq - iters - 1  # deep-context working point
+    lens = np.full((batch,), start, np.int64)
+    cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    def step(carry, params, cos, sin, cfg=cfg):
+        cache, tok = carry
+        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+    per, out = time_scanned(
+        step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
+        donate_carry=True,
+    )
+    del out, cache
+    embed_b = params["embed"].size * 2
+    weights = sum(
+        p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
+    mean_len = float(np.mean(lens)) + iters / 2
+    n_sliding = sum(
+        1 for li in range(cfg.num_layers)
+        if (li + 1) % cfg.sliding_window_pattern != 0)
+    n_full = cfg.num_layers - n_sliding
+    kv_rows = (n_full * mean_len
+               + n_sliding * min(cfg.sliding_window, mean_len))
+    kv = 2 * batch * cfg.num_kv_heads * kv_rows * cfg.head_dim * 2
+    append = 4 * cfg.num_layers * batch * cfg.num_kv_heads * 32 * cfg.head_dim * 2
+    bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
+    _emit(
+        f"model_gemma2_9b_int4w_b{batch}_ctx{max_seq}",
+        per,
+        {
+            "tokens_per_s": round(batch / per, 1),
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+            "sliding_layers": n_sliding,
+            "note": "alternating traced-window layers + in-kernel softcap; "
+                    "KV bytes window-aware",
+        },
+    )
+    del params
+
+
 def hf_e2e_bench(quick: bool = False):
     """Real-HF end-to-end proof as a round artifact: write a GENUINE
     on-disk HF checkpoint (save_pretrained, safetensors layout), load it via
@@ -1184,6 +1252,7 @@ _BENCHES = {
     "prefix_cache": prefix_cache_serving_bench,
     "prefill_ttft": prefill_ttft_bench,
     "hf_e2e": hf_e2e_bench,
+    "model_gemma2": model_gemma2_decode_bench,
 }
 
 

@@ -82,6 +82,23 @@ def run_all(quick: bool = False) -> tuple[list[dict], float]:
         q, k, v, lens, num_splits=1, block_k=128, window=w, sinks=32,
         interpret=False), ref_ws, TOL)
 
+    # Gemma-2 features: attention softcapping + DYNAMIC (traced) window —
+    # the per-layer-alternating-window kernel path, at bf16 on the chip
+    ref_cap = reference.decode_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        lens, softcap=50.0)
+    check("decode_softcap", flash_decode(
+        q, k, v, lens, num_splits=1, block_k=128, softcap=50.0,
+        interpret=False), ref_cap, TOL)
+    wdyn = jnp.asarray(w, jnp.int32)
+    got_dyn = jax.jit(lambda ww: flash_decode(
+        q, k, v, lens, num_splits=1, block_k=128, window=ww, softcap=50.0,
+        interpret=False))(wdyn)
+    ref_dyn = reference.decode_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        lens, sliding_window=w, softcap=50.0)
+    check("decode_dynwin_softcap", got_dyn, ref_dyn, TOL)
+
     # verify mode (spec decode): T=3 staircase — row j attends < len+j
     T = 3
     qv = jnp.asarray(rng.standard_normal((b, hq, T, d)), jnp.bfloat16)

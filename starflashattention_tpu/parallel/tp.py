@@ -224,6 +224,11 @@ def param_specs(
         # heads with the shared weights (shared across heads by design)
         specs["layers"]["q_norm"] = P()
         specs["layers"]["k_norm"] = P()
+    if cfg.post_norms:
+        # Gemma-2 post-norms run on the PSUMMED (full-hidden) sublayer
+        # outputs — replicated like the pre-norms
+        specs["layers"]["post_attn_norm"] = P()
+        specs["layers"]["post_mlp_norm"] = P()
     if cfg.tie_embeddings:
         specs.pop("lm_head")
     elif lm_head_quant:

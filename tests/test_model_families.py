@@ -352,6 +352,49 @@ def test_gemma2_serves_paged_and_verify(rng):
     assert got_s == want
 
 
+def test_gemma2_tp_and_quantized_match_single_chip(rng, mesh8):
+    """Gemma-2 under TENSOR PARALLELISM (post-norms replicated after the
+    psum, softcap + traced per-layer windows inside the shard_map program)
+    and with INT8 weights (GeGLU through the quantized projection path):
+    both must reproduce the dense single-chip greedy stream."""
+    from starflashattention_tpu.serving import Engine
+
+    cfg = ModelConfig.gemma2_9b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=4, num_kv_heads=4, head_dim=16, max_seq_len=64,
+        dtype="float32", block_k=16, sliding_window=8,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, 10)]
+               for _ in range(2)]
+
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=2)
+    want = eng.generate([list(p) for p in prompts], max_new_tokens=6)
+
+    teng = Engine(params, cfg, num_slots=2, steps_per_round=2, mesh=mesh8)
+    got_tp = teng.generate([list(p) for p in prompts], max_new_tokens=6)
+    assert got_tp == want
+
+    # int8 weights: stream must match the DEQUANTIZED twin exactly (the
+    # kernel's fused dequant vs an explicit dequant + dense run)
+    pq = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(1)), "int8")
+    from starflashattention_tpu.core import quant as _quant
+
+    dq_layers = {
+        k: (_quant.dequantize_weight(v, jnp.float32)
+            if isinstance(v, dict) else v)
+        for k, v in pq["layers"].items()
+    }
+    pdq = dict(pq)
+    pdq["layers"] = dq_layers
+    eq = Engine(pq, cfg, num_slots=2, steps_per_round=2)
+    edq = Engine(pdq, cfg, num_slots=2, steps_per_round=2)
+    got_q = eq.generate([list(p) for p in prompts], max_new_tokens=6)
+    got_dq = edq.generate([list(p) for p in prompts], max_new_tokens=6)
+    assert got_q == got_dq
+
+
 def test_llama3_style_config_from_hf():
     hf_cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
