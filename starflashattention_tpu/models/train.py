@@ -97,17 +97,27 @@ def _gather_vocab(local, axis_name: str):
     return gather(local)
 
 
-def _attn_jnp(q, k, v, cfg: ModelConfig):
-    """Plain-jnp causal attention twin (the executable spec)."""
+def _attn_jnp(q, k, v, cfg: ModelConfig, lidx=None):
+    """Plain-jnp causal attention twin (the executable spec). Handles the
+    full Gemma-2 surface — query_scale, softcapping, and the per-layer
+    alternating window (``lidx``, a traced scan index) — differentiably, so
+    Gemma-2 TRAINS through this twin while the flash path lacks a softcap
+    backward."""
     b, _, s, _ = q.shape
     g = cfg.num_q_heads // cfg.num_kv_heads
     kq = jnp.repeat(k, g, axis=1)
     vq = jnp.repeat(v, g, axis=1)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, kq) / (cfg.head_dim**0.5)
+    scale = cfg.sm_scale() or cfg.head_dim**-0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, kq) * scale
+    if cfg.attn_softcap is not None:
+        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
     pos = jnp.arange(s)
     mask = pos[None, :] <= pos[:, None]
     if cfg.sliding_window is not None:
-        in_band = pos[None, :] > pos[:, None] - cfg.sliding_window
+        window = cfg.sliding_window
+        if cfg.sliding_window_pattern != 1 and lidx is not None:
+            window = llama._layer_window(cfg, lidx)
+        in_band = pos[None, :] > pos[:, None] - window
         if cfg.attention_sinks:
             in_band = in_band | (pos[None, :] < cfg.attention_sinks)
         mask = mask & in_band
@@ -152,12 +162,15 @@ def forward_train(
             "context-parallel training requires the flash path "
             "(use_flash=True): the jnp attention twin is single-device"
         )
-    if cfg.attn_softcap or cfg.post_norms or cfg.sliding_window_pattern != 1:
+    gemma2_features = (
+        cfg.attn_softcap is not None or cfg.sliding_window_pattern != 1
+    )
+    if gemma2_features and (use_flash or seq_axis_name is not None):
         raise NotImplementedError(
-            "Gemma-2-class training (attn softcap / post-norms / alternating "
-            "windows) is not wired into the training twin yet — the SERVING "
-            "paths support them fully (models/llama + ops kernels); the "
-            "flash backward has no softcap rule"
+            "Gemma-2-class training (attn softcap / alternating windows) "
+            "requires use_flash=False: the flash/ring backwards have no "
+            "softcap rule and take a static window. The jnp twin trains "
+            "the full Gemma-2 surface; serving uses the kernels."
         )
 
     b, s = tokens.shape
@@ -169,7 +182,7 @@ def forward_train(
     lscale = None if lora is None else lora["scale"]
 
     def layer_body(x, xs):
-        lp, ll = xs
+        lp, ll, lidx = xs
         h = _f(llama.rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps), axis_name)
         qkv = jnp.dot(h, lp["wqkv"]) + _lora_delta(h, ll, "wqkv", lscale)
         if cfg.attention_bias:
@@ -190,10 +203,12 @@ def forward_train(
                 q, k, v, window=cfg.sliding_window, sinks=cfg.attention_sinks
             )
         else:
-            o = _attn_jnp(q, k, v, cfg)
+            o = _attn_jnp(q, k, v, cfg, lidx=lidx)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + _g(jnp.dot(o, lp["wo"]) + _lora_delta(o, ll, "wo", lscale),
-                   axis_name)
+        attn_out = _g(jnp.dot(o, lp["wo"]) + _lora_delta(o, ll, "wo", lscale),
+                      axis_name)
+        x = llama._residual_add(x, attn_out, lp, "post_attn_norm",
+                                cfg.rms_norm_eps)
 
         h = _f(llama.rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps), axis_name)
         if cfg.num_experts:
@@ -207,13 +222,16 @@ def forward_train(
             mlp = jnp.dot(act, lp["w_down"]) + _lora_delta(
                 act, ll, "w_down", lscale
             )
-        return x + _g(mlp, axis_name), None
+        return llama._residual_add(
+            x, _g(mlp, axis_name), lp, "post_mlp_norm", cfg.rms_norm_eps
+        ), None
 
     if remat:
         layer_body = jax.checkpoint(layer_body)
     xs = (
         llama._scan_xs_layers(params["layers"]),
         None if lora is None else lora["layers"],
+        jnp.arange(cfg.num_layers),
     )
     x, _ = jax.lax.scan(layer_body, x, xs)
     # output head: same math as the serving llama._logits, but with the
@@ -223,8 +241,12 @@ def forward_train(
     if axis_name is not None and cfg.lm_head_sharded:
         xn = _f(xn, axis_name)  # vocab shards are column-parallel in V
         local = jnp.dot(xn, head, preferred_element_type=jnp.float32)
-        return _gather_vocab(local, axis_name)
-    return jnp.dot(xn, head, preferred_element_type=jnp.float32)
+        local = _gather_vocab(local, axis_name)
+    else:
+        local = jnp.dot(xn, head, preferred_element_type=jnp.float32)
+    if cfg.final_softcap is not None:
+        local = cfg.final_softcap * jnp.tanh(local / cfg.final_softcap)
+    return local
 
 
 def _moe_mlp_train(h, lp, cfg: ModelConfig, axis_name: str | None = None):

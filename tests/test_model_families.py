@@ -352,6 +352,45 @@ def test_gemma2_serves_paged_and_verify(rng):
     assert got_s == want
 
 
+def test_gemma2_trains_via_jnp_twin(rng):
+    """Gemma-2 TRAINING: the jnp twin handles softcap + alternating windows
+    + post-norms differentiably — last-token logits equal the serving
+    prefill's, gradients are finite, and the flash path refuses loudly."""
+    from starflashattention_tpu.cache import contiguous as _contig
+    from starflashattention_tpu.models.train import forward_train, loss_fn
+
+    cfg = ModelConfig.gemma2_9b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=2, num_kv_heads=1, head_dim=16, max_seq_len=64,
+        dtype="float32", block_k=16, sliding_window=8,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 17)), jnp.int32)
+    cos, sin = llama.rope_tables(cfg)
+
+    lg_train = forward_train(params, toks, cfg, cos, sin, use_flash=False)
+    cache = _contig.init_cache(
+        cfg.num_layers, 2, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+        dtype=jnp.float32)
+    lg_serve, _ = llama.prefill(
+        params, cache, toks, jnp.full((2,), 17, jnp.int32), cos, sin, cfg)
+    np.testing.assert_allclose(
+        np.asarray(lg_train[:, -1]), np.asarray(lg_serve),
+        atol=3e-4, rtol=2e-3)
+
+    batch = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 17)), jnp.int32)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, batch, cfg, cos, sin, use_flash=False)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree.leaves(grads))
+    # post-norm weights receive gradient (they are live in the graph)
+    assert float(jnp.max(jnp.abs(grads["layers"]["post_attn_norm"]))) > 0
+
+    with pytest.raises(NotImplementedError, match="use_flash=False"):
+        loss_fn(params, batch, cfg, cos, sin, use_flash=True)
+
+
 def test_gemma2_tp_and_quantized_match_single_chip(rng, mesh8):
     """Gemma-2 under TENSOR PARALLELISM (post-norms replicated after the
     psum, softcap + traced per-layer windows inside the shard_map program)
