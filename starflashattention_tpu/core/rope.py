@@ -64,8 +64,14 @@ def rope_table(
 
     ``scaling``: optional RoPE frequency warp, as a hashable tuple so it
     rides a frozen config: ``("llama3", factor, low_freq_factor,
-    high_freq_factor, original_max_position)`` (Llama-3.1-style) or
-    ``("linear", factor)`` (classic position interpolation).
+    high_freq_factor, original_max_position)`` (Llama-3.1-style),
+    ``("linear", factor)`` (classic position interpolation), or
+    ``("longrope", original_max_position, short_factors, long_factors)``
+    (Phi-3-style per-dim rescale: factors are length-rotary_dim/2 tuples;
+    the LONG set + the sqrt(1 + ln(s)/ln(orig)) attention mscale apply when
+    the table covers max_seq_len > original_max_position, else the short
+    set unscaled — the static-table form of HF's runtime switch, i.e. a
+    long-context deployment uses the long regime for every prompt).
     """
     if rotary_dim % 2:
         raise ValueError(f"rotary_dim must be even, got {rotary_dim}")
@@ -76,9 +82,34 @@ def rope_table(
             inv_freq = llama3_scaled_inv_freq(inv_freq, *scaling[1:])
         elif kind == "linear":
             inv_freq = inv_freq / float(scaling[1])
+        elif kind == "longrope":
+            _, orig_max, short_f, long_f = scaling
+            factors = long_f if max_seq_len > orig_max else short_f
+            if len(factors) != rotary_dim // 2:
+                raise ValueError(
+                    f"longrope factors length {len(factors)} != "
+                    f"rotary_dim/2 ({rotary_dim // 2})"
+                )
+            inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
+            if max_seq_len > orig_max:
+                import math as _math
+
+                mscale = _math.sqrt(
+                    1.0 + _math.log(max_seq_len / orig_max) / _math.log(orig_max)
+                )
+                pos = jnp.arange(max_seq_len, dtype=jnp.float32)
+                angles = pos[:, None] * inv_freq[None, :]
+                # attention mscale folds into BOTH tables (cos and sin scale
+                # the rotated q/k identically, so scores scale by mscale^2 —
+                # exactly HF's attention_factor semantics)
+                return (
+                    (jnp.cos(angles) * mscale).astype(dtype),
+                    (jnp.sin(angles) * mscale).astype(dtype),
+                )
         else:
             raise ValueError(
-                f"unknown rope scaling {kind!r} (supported: llama3, linear)"
+                f"unknown rope scaling {kind!r} "
+                "(supported: llama3, linear, longrope)"
             )
     pos = jnp.arange(max_seq_len, dtype=jnp.float32)
     angles = pos[:, None] * inv_freq[None, :]  # (S, rot/2)

@@ -30,6 +30,15 @@ def _hf_rope_scaling(hf_config) -> tuple | None:
         return None
     if isinstance(rs, dict):
         kind = rs.get("rope_type", rs.get("type"))
+        if kind == "longrope":
+            # Phi-3 su-scaling: per-dim factor lists -> hashable tuples
+            return (
+                "longrope",
+                int(getattr(hf_config, "original_max_position_embeddings",
+                            hf_config.max_position_embeddings)),
+                tuple(float(f) for f in rs["short_factor"]),
+                tuple(float(f) for f in rs["long_factor"]),
+            )
         if kind == "llama3":
             return (
                 "llama3",
@@ -161,10 +170,15 @@ def load_hf_state_dict(
     for i in range(L):
         p = f"model.layers.{i}."
         # HF stores projections as (out, in); our matmuls are x @ W = (in, out).
-        q = get(p + "self_attn.q_proj.weight").T  # (h, hq*d)
-        k = get(p + "self_attn.k_proj.weight").T  # (h, hkv*d)
-        v = get(p + "self_attn.v_proj.weight").T
-        wqkv.append(np.concatenate([q, k, v], axis=1))
+        if p + "self_attn.qkv_proj.weight" in state:
+            # Phi-3 ships the projections ALREADY fused, row order [q|k|v] —
+            # exactly this framework's wqkv column layout after transpose
+            wqkv.append(get(p + "self_attn.qkv_proj.weight").T)
+        else:
+            q = get(p + "self_attn.q_proj.weight").T  # (h, hq*d)
+            k = get(p + "self_attn.k_proj.weight").T  # (h, hkv*d)
+            v = get(p + "self_attn.v_proj.weight").T
+            wqkv.append(np.concatenate([q, k, v], axis=1))
         if cfg.attention_bias:
             # Qwen2-style: per-projection biases fuse into one row matching
             # the [q|k|v] column layout of wqkv
@@ -188,6 +202,10 @@ def load_hf_state_dict(
                 downs.append(get(ep + "w2.weight").T)
             moe_gate_up.append(np.stack(gus))
             moe_down.append(np.stack(downs))
+        elif p + "mlp.gate_up_proj.weight" in state:
+            # Phi-3 fused [gate|up] — matches w_gate_up's column layout
+            w_gate_up.append(get(p + "mlp.gate_up_proj.weight").T)
+            w_down.append(get(p + "mlp.down_proj.weight").T)
         else:
             gate = get(p + "mlp.gate_proj.weight").T  # (h, I)
             up = get(p + "mlp.up_proj.weight").T

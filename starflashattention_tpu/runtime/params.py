@@ -311,6 +311,27 @@ class ModelConfig:
         return cls(**base)
 
     @classmethod
+    def phi3_medium(cls, **overrides) -> "ModelConfig":
+        """Phi-3-medium geometry: 40 layers, 40/10 GQA at head_dim 128,
+        fused qkv/gate_up checkpoints (loader reads them directly), longrope
+        (su) scaling in long-context variants via
+        rope_scaling=("longrope", orig, short_factors, long_factors)."""
+        base = dict(
+            vocab_size=32064,
+            hidden_size=5120,
+            intermediate_size=17920,
+            num_layers=40,
+            num_q_heads=40,
+            num_kv_heads=10,
+            head_dim=128,
+            rope_base=10000.0,
+            max_seq_len=4096,
+            rms_norm_eps=1e-5,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
     def qwen2_7b(cls, **overrides) -> "ModelConfig":
         """Qwen2-7B geometry: 28/4 GQA heads, 3584 hidden, QKV bias,
         rope theta 1e6."""

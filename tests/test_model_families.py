@@ -434,6 +434,50 @@ def test_gemma2_tp_and_quantized_match_single_chip(rng, mesh8):
     assert got_q == got_dq
 
 
+def test_phi3_checkpoint_matches_hf_forward():
+    """Phi-3: FUSED qkv_proj / gate_up_proj checkpoints (read directly into
+    this framework's fused layouts) — prefill + decode match transformers."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=64,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    assert "model.layers.0.self_attn.qkv_proj.weight" in model.state_dict()
+    cfg = _assert_matches_hf(hf_cfg, model)
+    assert cfg.rope_scaling is None
+
+
+def test_phi3_longrope_matches_hf_forward():
+    """Phi-3 longrope (su-scaling) in the LONG regime: original_max 16 <
+    prompt length, so HF's runtime switch engages the long per-dim factors
+    + the sqrt(1 + ln(s)/ln(orig)) attention mscale — the same regime our
+    static table builds for max_seq_len > original_max."""
+    half = 8  # head_dim 16 -> 8 factor entries
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=16,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0 + 0.05 * i for i in range(half)],
+            "long_factor": [2.0 + 0.25 * i for i in range(half)],
+        },
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = _assert_matches_hf(hf_cfg, model, seq=20)  # 20 > orig_max 16
+    assert cfg.rope_scaling is not None and cfg.rope_scaling[0] == "longrope"
+    assert cfg.rope_scaling[1] == 16 and len(cfg.rope_scaling[3]) == half
+
+
 def test_llama3_style_config_from_hf():
     hf_cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
