@@ -165,12 +165,12 @@ def forward_train(
     gemma2_features = (
         cfg.attn_softcap is not None or cfg.sliding_window_pattern != 1
     )
-    if gemma2_features and (use_flash or seq_axis_name is not None):
+    if gemma2_features and seq_axis_name is not None:
         raise NotImplementedError(
-            "Gemma-2-class training (attn softcap / alternating windows) "
-            "requires use_flash=False: the flash/ring backwards have no "
-            "softcap rule and take a static window. The jnp twin trains "
-            "the full Gemma-2 surface; serving uses the kernels."
+            "Gemma-2-class context-parallel training (attn softcap / "
+            "alternating windows) is not wired into ring attention; use "
+            "TP/DP or a single chip (both flash and jnp paths support the "
+            "full Gemma-2 surface)"
         )
 
     b, s = tokens.shape
@@ -199,9 +199,28 @@ def forward_train(
                 sinks=cfg.attention_sinks,
             )
         elif use_flash:
-            o = flash_attention(
-                q, k, v, window=cfg.sliding_window, sinks=cfg.attention_sinks
+            fa = functools.partial(
+                flash_attention, sm_scale=cfg.sm_scale(),
+                softcap=cfg.attn_softcap,
             )
+            if (cfg.sliding_window is not None
+                    and cfg.sliding_window_pattern != 1):
+                # Gemma-2 alternating layers: `window` is a STATIC kernel
+                # parameter of the custom_vjp, so the per-layer choice is a
+                # lax.cond over the two compiled variants (one executes)
+                sliding = jax.lax.rem(
+                    lidx + 1, cfg.sliding_window_pattern) != 0
+                o = jax.lax.cond(
+                    sliding,
+                    lambda q, k, v: fa(
+                        q, k, v, window=cfg.sliding_window,
+                        sinks=cfg.attention_sinks),
+                    lambda q, k, v: fa(q, k, v),
+                    q, k, v,
+                )
+            else:
+                o = fa(q, k, v, window=cfg.sliding_window,
+                       sinks=cfg.attention_sinks)
         else:
             o = _attn_jnp(q, k, v, cfg, lidx=lidx)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)

@@ -106,20 +106,30 @@ def _pick_bwd_chains(g: int) -> int:
     return 1
 
 
-def _tile_dots(qm_c, k, v, do_c):
-    """The two recompute matmuls for one chain slice: scores + dP."""
-    s2 = jax.lax.dot_general(
+def _tile_dots(qm_c, k, v, do_c, softcap=None):
+    """The two recompute matmuls for one chain slice: scores + dP.
+
+    Without softcap, q is pre-scaled by sm_scale*LOG2E so the dot yields
+    base-2 scores directly. With softcap (Gemma-2), q carries sm_scale ONLY:
+    the dot yields natural scaled scores, the tanh cap applies, the result
+    converts to base-2, and the tanh derivative (1 - (s_cap/cap)^2) rides
+    along to chain-rule dS back to the raw scores."""
+    s = jax.lax.dot_general(
         qm_c, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (crows, Bk), base-2 units
+    )  # (crows, Bk): base-2 units, or natural units under softcap
     dp = jax.lax.dot_general(
         do_c, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return s2, dp
+    if softcap is None:
+        return s, dp, None
+    t = jnp.tanh(s * (1.0 / softcap))
+    return (softcap * LOG2E) * t, dp, 1.0 - t * t
 
 
-def _tile_elem(s2, dp, lse_ref, delta_ref, mask, heads, block_q, head0):
+def _tile_elem(s2, dp, lse_ref, delta_ref, mask, heads, block_q, head0,
+               deriv=None):
     """VPU part for one chain: softmax recompute + dS. Returns (p, ds) f32.
 
     The per-row LSE/delta subtraction runs per HEAD on full-lane-width
@@ -136,7 +146,11 @@ def _tile_elem(s2, dp, lse_ref, delta_ref, mask, heads, block_q, head0):
         lse_h = side[:, head0 + h : head0 + h + 1]  # (Bq, 1) sublane column
         delta_h = dside[:, head0 + h : head0 + h + 1]
         p_h = jnp.exp2(_per_head(s2, h, block_q) - lse_h)
-        ds_parts.append(p_h * (_per_head(dp, h, block_q) - delta_h))
+        ds_h = p_h * (_per_head(dp, h, block_q) - delta_h)
+        if deriv is not None:
+            # softcap chain rule back to the raw scores
+            ds_h = ds_h * _per_head(deriv, h, block_q)
+        ds_parts.append(ds_h)
         p_parts.append(p_h)
     if heads == 1:
         return p_parts[0], ds_parts[0]
@@ -174,8 +188,9 @@ def _dq_kernel(
     num_kv_blocks: int,
     causal: bool,
     window: int | None,
-    sinks: int = 0,
     sm_scale: float,
+    sinks: int = 0,
+    softcap: float | None = None,
 ):
     rows, g, d = _rows_meta(q_ref, block_q)
     batch = pl.program_id(0)
@@ -207,7 +222,7 @@ def _dq_kernel(
         def dots(c):
             return _tile_dots(
                 qm[c * crows : (c + 1) * crows], k, v_ref[0, 0],
-                do_rows[c * crows : (c + 1) * crows],
+                do_rows[c * crows : (c + 1) * crows], softcap=softcap,
             )
 
         mask = _tile_mask(
@@ -216,11 +231,12 @@ def _dq_kernel(
         )
         nxt = dots(0)
         for c in range(chains):
-            s2, dp = nxt
+            s2, dp, deriv = nxt
             if c + 1 < chains:
                 nxt = dots(c + 1)
             _, ds = _tile_elem(
-                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc
+                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc,
+                deriv=deriv,
             )
             dq_acc[c * crows : (c + 1) * crows] += jax.lax.dot_general(
                 ds.astype(k.dtype), k,
@@ -256,6 +272,7 @@ def _dkdv_kernel(
     causal: bool,
     window: int | None,
     sinks: int = 0,
+    softcap: float | None = None,
 ):
     rows, g, d = _rows_meta(q_ref, block_q)
     batch = pl.program_id(0)
@@ -284,7 +301,7 @@ def _dkdv_kernel(
         def dots(c):
             return _tile_dots(
                 qm[c * crows : (c + 1) * crows], k_ref[0, 0], v_ref[0, 0],
-                do_rows[c * crows : (c + 1) * crows],
+                do_rows[c * crows : (c + 1) * crows], softcap=softcap,
             )
 
         mask = _tile_mask(
@@ -293,11 +310,12 @@ def _dkdv_kernel(
         )
         nxt = dots(0)
         for c in range(chains):
-            s2, dp = nxt
+            s2, dp, deriv = nxt
             if c + 1 < chains:
                 nxt = dots(c + 1)
             p, ds = _tile_elem(
-                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc
+                s2, dp, lse_ref, delta_ref, mask, hpc, block_q, c * hpc,
+                deriv=deriv,
             )
             do_c = do_rows[c * crows : (c + 1) * crows]
             qm_c = qm[c * crows : (c + 1) * crows]
@@ -316,7 +334,10 @@ def _dkdv_kernel(
 
     @pl.when(qi == num_q_blocks - 1)
     def _emit():
-        dk_ref[0, 0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
+        # qm carries sm_scale*LOG2E (undo the LOG2E with LN2) — except under
+        # softcap, where qm carries sm_scale only
+        dk_fac = 1.0 if softcap is not None else LN2
+        dk_ref[0, 0] = (dk_acc[...] * dk_fac).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -338,8 +359,13 @@ def flash_prefill_bwd(
     block_q: int = 1024,  # r4 on-chip sweep winner (1024x1024, 2-6% over 512)
     block_k: int = 1024,
     interpret: bool | None = None,
+    softcap: float | None = None,  # Gemma-2 attention logit softcapping
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """dq, dk, dv for flash_prefill via two Pallas passes (see module doc)."""
+    """dq, dk, dv for flash_prefill via two Pallas passes (see module doc).
+
+    ``softcap``: the forward's lse must come from a softcapped
+    flash_prefill run; the recompute applies the same cap and chain-rules
+    dS through the tanh derivative."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     g = hq // hkv
@@ -355,7 +381,9 @@ def flash_prefill_bwd(
     # the reads it already does. Padded rows are zero by construction.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    q = (q.astype(jnp.float32) * (float(sm_scale) * LOG2E)).astype(q.dtype)
+    # match the forward's pre-scale convention: sm_scale only under softcap
+    q_fold = float(sm_scale) if softcap is not None else float(sm_scale) * LOG2E
+    q = (q.astype(jnp.float32) * q_fold).astype(q.dtype)
 
     block_q = min(block_q, max(sq, 8))
     block_k = min(block_k, max(skv, 128))
@@ -406,6 +434,7 @@ def flash_prefill_bwd(
             window=window,
             sinks=sinks,
             sm_scale=float(sm_scale),
+            softcap=softcap,
         ),
         grid=(b, hkv, num_q_blocks, num_kv_blocks),
         in_specs=[
@@ -438,6 +467,7 @@ def flash_prefill_bwd(
             causal=causal,
             window=window,
             sinks=sinks,
+            softcap=softcap,
         ),
         grid=(b, hkv, num_kv_blocks, num_q_blocks),
         in_specs=[
@@ -483,6 +513,7 @@ class _FAConfig(NamedTuple):
     bwd_block_q: int
     bwd_block_k: int
     interpret: bool | None
+    softcap: float | None = None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -491,7 +522,7 @@ def _flash_core(cfg: _FAConfig, q, k, v, lengths, q_offsets):
         q, k, v, lengths,
         causal=cfg.causal, q_offsets=q_offsets, sm_scale=cfg.sm_scale,
         block_q=cfg.block_q, block_k=cfg.block_k, window=cfg.window,
-        sinks=cfg.sinks, interpret=cfg.interpret,
+        sinks=cfg.sinks, interpret=cfg.interpret, softcap=cfg.softcap,
     )
 
 
@@ -501,6 +532,7 @@ def _flash_core_fwd(cfg: _FAConfig, q, k, v, lengths, q_offsets):
         causal=cfg.causal, q_offsets=q_offsets, sm_scale=cfg.sm_scale,
         block_q=cfg.block_q, block_k=cfg.block_k, window=cfg.window,
         sinks=cfg.sinks, interpret=cfg.interpret, return_lse=True,
+        softcap=cfg.softcap,
     )
     return o, (q, k, v, lengths, q_offsets, o, lse)
 
@@ -511,7 +543,7 @@ def _flash_core_bwd(cfg: _FAConfig, res, do):
         q, k, v, o, lse, do, lengths, q_offsets,
         causal=cfg.causal, sm_scale=cfg.sm_scale, window=cfg.window,
         sinks=cfg.sinks, block_q=cfg.bwd_block_q, block_k=cfg.bwd_block_k,
-        interpret=cfg.interpret,
+        interpret=cfg.interpret, softcap=cfg.softcap,
     )
     # integer args carry float0 cotangents
     zl = np.zeros(lengths.shape, jax.dtypes.float0)
@@ -538,6 +570,7 @@ def flash_attention(
     bwd_block_q: int = 1024,
     bwd_block_k: int = 1024,
     interpret: bool | None = None,
+    softcap: float | None = None,  # Gemma-2 attention logit softcapping
 ) -> jax.Array:
     """Differentiable flash attention (training entry point).
 
@@ -562,5 +595,6 @@ def flash_attention(
         bwd_block_q=bwd_block_q,
         bwd_block_k=bwd_block_k,
         interpret=interpret,
+        softcap=None if softcap is None else float(softcap),
     )
     return _flash_core(cfg, q, k, v, lengths.astype(jnp.int32), q_offsets)
