@@ -157,8 +157,17 @@ def test_model_family_presets():
     assert q.attention_bias and q.num_q_heads == 28 and q.num_kv_heads == 4
     l3 = ModelConfig.llama3_8b()
     assert l3.rope_base == 5e5 and l3.vocab_size == 128256
+    g = ModelConfig.gemma_7b()
+    assert g.mlp_activation == "gelu_tanh" and g.embed_scale
+    assert g.tie_embeddings and g.head_dim == 256
+    g2 = ModelConfig.gemma2_9b()
+    assert g2.attn_softcap == 50.0 and g2.final_softcap == 30.0
+    assert g2.sliding_window_pattern == 2 and g2.post_norms
+    assert g2.sm_scale() == 256.0**-0.5
+    p3 = ModelConfig.phi3_medium()
+    assert p3.num_q_heads == 40 and p3.num_kv_heads == 10
     # geometry sanity: all presets produce a valid attention config
-    for cfg in (m, q, l3):
+    for cfg in (m, q, l3, g, g2, p3):
         cfg.attention()
 
 
