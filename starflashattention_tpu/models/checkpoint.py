@@ -84,8 +84,8 @@ def config_from_hf(hf_config) -> ModelConfig:
     window = getattr(hf_config, "sliding_window", None)
     if not getattr(hf_config, "use_sliding_window", True):
         window = None
-    # Qwen3: QK-norm is architectural (no config flag) — key off model_type
-    qk_norm = model_type == "qwen3"
+    # Qwen3 family: QK-norm is architectural (no config flag)
+    qk_norm = model_type in ("qwen3", "qwen3_moe")
     # Gemma: GeGLU MLP (hidden_act gelu_pytorch_tanh) + sqrt(hidden)-scaled
     # embeddings; its (1 + w) RMSNorm convention is folded into the stored
     # weights by load_hf_state_dict, not a runtime flag.
@@ -115,10 +115,31 @@ def config_from_hf(hf_config) -> ModelConfig:
             post_norms=True,
             num_splits=1,  # softcap runs in the fused kernels only
         )
+    # Qwen3-MoE: experts use moe_intermediate_size; its softmax-all-then-
+    # top-k-RENORMALIZED routing equals this framework's softmax-over-top-k
+    # (the full-set partition function cancels under renormalization) — but
+    # ONLY with norm_topk_prob, so unnormalized configs are rejected.
+    num_experts = (
+        getattr(hf_config, "num_local_experts", 0)
+        or (getattr(hf_config, "num_experts", 0)
+            if model_type == "qwen3_moe" else 0)
+        or 0
+    )
+    inter = hf_config.intermediate_size
+    if model_type == "qwen3_moe":
+        if not getattr(hf_config, "norm_topk_prob", True):
+            raise ValueError(
+                "qwen3_moe with norm_topk_prob=False is unsupported: the "
+                "router computes softmax over the selected experts "
+                "(equivalent to HF's normalized form only)"
+            )
+        if getattr(hf_config, "decoder_sparse_step", 1) != 1:
+            raise ValueError("qwen3_moe decoder_sparse_step != 1 unsupported")
+        inter = hf_config.moe_intermediate_size
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
-        intermediate_size=hf_config.intermediate_size,
+        intermediate_size=inter,
         num_layers=hf_config.num_hidden_layers,
         num_q_heads=hf_config.num_attention_heads,
         num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
@@ -133,8 +154,8 @@ def config_from_hf(hf_config) -> ModelConfig:
         attention_bias=attention_bias,
         sliding_window=window,
         qk_norm=qk_norm,
-        # Mixtral: num_local_experts routed top-num_experts_per_tok
-        num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        # Mixtral / Qwen3-MoE: E experts routed top-num_experts_per_tok
+        num_experts=num_experts,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
         mlp_activation=mlp_activation,
         embed_scale=is_gemma,
@@ -189,17 +210,27 @@ def load_hf_state_dict(
             ]))
         wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
         if cfg.num_experts:
-            # Mixtral MoE: gate.weight (E, h) → router (h, E); per expert
-            # w1=gate (I, h), w3=up (I, h) → [gate|up] (h, 2I); w2=down (h, I)
-            # → (I, h). Experts stack on a leading E axis.
-            moe_router.append(get(p + "block_sparse_moe.gate.weight").T)
+            # Mixtral MoE: block_sparse_moe.gate (E, h) → router (h, E); per
+            # expert w1=gate, w3=up → [gate|up]; w2=down. Qwen3-MoE names the
+            # same pieces mlp.gate / mlp.experts.E.{gate,up,down}_proj.
+            # Experts stack on a leading E axis either way.
+            qwen_moe = p + "mlp.gate.weight" in state
+            router_key = "mlp.gate.weight" if qwen_moe else "block_sparse_moe.gate.weight"
+            moe_router.append(get(p + router_key).T)
             gus, downs = [], []
             for e in range(cfg.num_experts):
-                ep = p + f"block_sparse_moe.experts.{e}."
-                gus.append(np.concatenate(
-                    [get(ep + "w1.weight").T, get(ep + "w3.weight").T], axis=1
-                ))
-                downs.append(get(ep + "w2.weight").T)
+                if qwen_moe:
+                    ep = p + f"mlp.experts.{e}."
+                    gus.append(np.concatenate(
+                        [get(ep + "gate_proj.weight").T,
+                         get(ep + "up_proj.weight").T], axis=1))
+                    downs.append(get(ep + "down_proj.weight").T)
+                else:
+                    ep = p + f"block_sparse_moe.experts.{e}."
+                    gus.append(np.concatenate(
+                        [get(ep + "w1.weight").T, get(ep + "w3.weight").T],
+                        axis=1))
+                    downs.append(get(ep + "w2.weight").T)
             moe_gate_up.append(np.stack(gus))
             moe_down.append(np.stack(downs))
         elif p + "mlp.gate_up_proj.weight" in state:

@@ -496,6 +496,28 @@ def test_phi3_longrope_matches_hf_forward():
     assert cfg.rope_scaling[1] == 16 and len(cfg.rope_scaling[3]) == half
 
 
+def test_qwen3_moe_checkpoint_matches_hf_forward():
+    """Qwen3-MoE: QK-norm + routed experts under mlp.experts.* keys; its
+    softmax-all-then-top-k-renormalized routing is algebraically this
+    framework's softmax-over-top-k (the partition function cancels), so
+    logits must match transformers exactly through prefill AND decode."""
+    hf_cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = _assert_matches_hf(hf_cfg, model)
+    assert cfg.qk_norm and cfg.num_experts == 4
+    assert cfg.intermediate_size == 96  # experts use moe_intermediate_size
+
+
 def test_llama3_style_config_from_hf():
     hf_cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=64, intermediate_size=128,
