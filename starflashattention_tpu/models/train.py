@@ -162,16 +162,6 @@ def forward_train(
             "context-parallel training requires the flash path "
             "(use_flash=True): the jnp attention twin is single-device"
         )
-    gemma2_features = (
-        cfg.attn_softcap is not None or cfg.sliding_window_pattern != 1
-    )
-    if gemma2_features and seq_axis_name is not None:
-        raise NotImplementedError(
-            "Gemma-2-class context-parallel training (attn softcap / "
-            "alternating windows) is not wired into ring attention; use "
-            "TP/DP or a single chip (both flash and jnp paths support the "
-            "full Gemma-2 surface)"
-        )
 
     b, s = tokens.shape
     x = llama._embed_tokens(params, tokens, cfg)
@@ -194,10 +184,27 @@ def forward_train(
         if seq_axis_name is not None:
             from starflashattention_tpu.parallel.ring import ring_attention
 
-            o = ring_attention(
-                q, k, v, axis_name=seq_axis_name, window=cfg.sliding_window,
-                sinks=cfg.attention_sinks,
+            ra = functools.partial(
+                ring_attention, axis_name=seq_axis_name,
+                sm_scale=cfg.sm_scale(), softcap=cfg.attn_softcap,
             )
+            if (cfg.sliding_window is not None
+                    and cfg.sliding_window_pattern != 1):
+                # Gemma-2 alternating layers under CP: same lax.cond-over-
+                # static-window-variants trick as the flash path below
+                sliding = jax.lax.rem(
+                    lidx + 1, cfg.sliding_window_pattern) != 0
+                o = jax.lax.cond(
+                    sliding,
+                    lambda q, k, v: ra(
+                        q, k, v, window=cfg.sliding_window,
+                        sinks=cfg.attention_sinks),
+                    lambda q, k, v: ra(q, k, v),
+                    q, k, v,
+                )
+            else:
+                o = ra(q, k, v, window=cfg.sliding_window,
+                       sinks=cfg.attention_sinks)
         elif use_flash:
             fa = functools.partial(
                 flash_attention, sm_scale=cfg.sm_scale(),

@@ -69,6 +69,7 @@ class _RingConfig(NamedTuple):
     bwd_block_q: int
     bwd_block_k: int
     interpret: bool | None
+    softcap: float | None = None
 
 
 def _merge_chunk(acc, m, l, o_t, lse_t):
@@ -130,6 +131,7 @@ def _ring_forward(cfg: _RingConfig, q, k, v, lengths):
             block_k=cfg.block_k,
             interpret=cfg.interpret,
             return_lse=True,
+            softcap=cfg.softcap,
         )
         acc, m, l = _merge_chunk(acc, m, l, o_t, lse_t)
         if t + 1 < n:
@@ -191,6 +193,7 @@ def _ring_core_bwd(cfg, res, do):
             block_q=cfg.bwd_block_q,
             block_k=cfg.bwd_block_k,
             interpret=cfg.interpret,
+            softcap=cfg.softcap,
         )
         dq_acc = dq_acc + dq_t.astype(jnp.float32)
         dk_cur = dk_cur + dk_t.astype(jnp.float32)
@@ -225,6 +228,7 @@ def ring_attention(
     bwd_block_q: int = 1024,
     bwd_block_k: int = 1024,
     interpret: bool | None = None,
+    softcap: float | None = None,  # Gemma-2 attention logit softcapping
 ) -> jax.Array:
     """Differentiable ring attention over ``axis_name`` — call inside
     ``shard_map`` with Q/K/V sequence-sharded. Chip i owns positions
@@ -253,6 +257,7 @@ def ring_attention(
         bwd_block_q=bwd_block_q,
         bwd_block_k=bwd_block_k,
         interpret=interpret,
+        softcap=None if softcap is None else float(softcap),
     )
     if lengths is None:
         # full sequences: S_global = n * C (n is static inside shard_map)
@@ -303,6 +308,7 @@ def _zigzag_ring(q, k, v, lengths, *, axis_name, n, **kw):
     sm_scale = kw.get("sm_scale", None)
     window = kw.get("window", None)
     sinks = kw.get("sinks", 0)
+    softcap = kw.get("softcap", None)
     interpret = kw.get("interpret", None)
     block_q = kw.get("block_q", 1024)
     block_k = kw.get("block_k", 1024)
@@ -341,6 +347,7 @@ def _zigzag_ring(q, k, v, lengths, *, axis_name, n, **kw):
                     sm_scale=sm_scale,
                     window=window,
                     sinks=sinks,
+                    softcap=softcap,
                     kv_offset=kv_start,
                     block_q=block_q,
                     block_k=block_k,

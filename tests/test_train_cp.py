@@ -167,6 +167,34 @@ def test_grad_accum_matches_full_batch(rng):
     assert _tree_err(s1, s2) < 1e-6
 
 
+def test_gemma2_cp_step_matches_single_device(rng):
+    """Gemma-2 under CONTEXT-PARALLEL ring training: softcap rides the ring
+    chunks' flash forward/backward and the alternating window is a lax.cond
+    per layer — loss and updated params match the single-device oracle."""
+    cfg = ModelConfig.gemma2_9b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=2, num_kv_heads=1, head_dim=16, max_seq_len=128,
+        dtype="float32", block_k=16, sliding_window=16,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    cos, sin = llama.rope_tables(cfg)
+    batch = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 65)), jnp.int32)
+    mesh = make_mesh({"seq": 4}, devices=jax.devices()[:4])
+    opt = optax.sgd(1e-2)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, batch, cfg, cos, sin, use_flash=True)
+    state0 = opt.init(params)
+    updates, _ = opt.update(grads_ref, state0, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    step = make_cp_train_step(mesh, cfg, opt, donate=False)
+    params_cp, _, loss_cp = step(
+        params, init_opt_state(opt, params), batch, cos, sin)
+    assert abs(float(loss_cp) - float(loss_ref)) < 1e-5
+    assert _tree_err(params_cp, params_ref) < 1e-5
+
+
 def test_donated_step_consumes_inputs(rng):
     """The donation contract is real: the default (donate=True) step deletes
     its params/opt_state inputs, and threading the returned pair through a
