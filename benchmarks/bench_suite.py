@@ -640,7 +640,7 @@ def model_int4_decode_bench(quick: bool = False):
                 "GBps": round(bytes_touched / per / 1e9, 1),
                 "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
                 "weights_GB": round(weights / 1e9, 2),
-                "note": "int4 grouped (g<=256) weights incl lm_head; "
+                "note": "int4 grouped (g128 default) weights incl lm_head; "
                         f"{'int8' if kv_mode == 'int8' else 'bf16'} KV; "
                         "same protocol as bench.py's int8 headline",
             },
