@@ -66,16 +66,20 @@ def rope_table(
     rides a frozen config: ``("llama3", factor, low_freq_factor,
     high_freq_factor, original_max_position)`` (Llama-3.1-style),
     ``("linear", factor)`` (classic position interpolation), or
-    ``("longrope", original_max_position, short_factors, long_factors)``
-    (Phi-3-style per-dim rescale: factors are length-rotary_dim/2 tuples;
-    the LONG set + the sqrt(1 + ln(s)/ln(orig)) attention mscale apply when
-    the table covers max_seq_len > original_max_position, else the short
-    set unscaled — the static-table form of HF's runtime switch, i.e. a
-    long-context deployment uses the long regime for every prompt).
+    ``("longrope", original_max_position, target_max_position,
+    short_factors, long_factors)`` (Phi-3-style per-dim rescale: factors are
+    length-rotary_dim/2 tuples). The regime AND the
+    sqrt(1 + ln(target/orig)/ln(orig)) attention mscale derive from
+    ``target_max_position`` — the CHECKPOINT's max_position_embeddings, not
+    this table's length — matching HF's attention_factor exactly even when
+    the serving table is shorter than the checkpoint's full range. A
+    long-context deployment (target > orig) uses the long factors + mscale
+    for every prompt (the static-table form of HF's runtime switch).
     """
     if rotary_dim % 2:
         raise ValueError(f"rotary_dim must be even, got {rotary_dim}")
     inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    mscale = 1.0
     if scaling is not None:
         kind = scaling[0]
         if kind == "llama3":
@@ -83,28 +87,25 @@ def rope_table(
         elif kind == "linear":
             inv_freq = inv_freq / float(scaling[1])
         elif kind == "longrope":
-            _, orig_max, short_f, long_f = scaling
-            factors = long_f if max_seq_len > orig_max else short_f
-            if len(factors) != rotary_dim // 2:
-                raise ValueError(
-                    f"longrope factors length {len(factors)} != "
-                    f"rotary_dim/2 ({rotary_dim // 2})"
-                )
-            inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
-            if max_seq_len > orig_max:
-                import math as _math
+            import math as _math
 
-                mscale = _math.sqrt(
-                    1.0 + _math.log(max_seq_len / orig_max) / _math.log(orig_max)
-                )
-                pos = jnp.arange(max_seq_len, dtype=jnp.float32)
-                angles = pos[:, None] * inv_freq[None, :]
+            _, orig_max, target_max, short_f, long_f = scaling
+            for name, f in (("short", short_f), ("long", long_f)):
+                if len(f) != rotary_dim // 2:
+                    raise ValueError(
+                        f"longrope {name}_factors length {len(f)} != "
+                        f"rotary_dim/2 ({rotary_dim // 2})"
+                    )
+            long_regime = target_max > orig_max
+            factors = long_f if long_regime else short_f
+            inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
+            if long_regime:
                 # attention mscale folds into BOTH tables (cos and sin scale
                 # the rotated q/k identically, so scores scale by mscale^2 —
-                # exactly HF's attention_factor semantics)
-                return (
-                    (jnp.cos(angles) * mscale).astype(dtype),
-                    (jnp.sin(angles) * mscale).astype(dtype),
+                # exactly HF's attention_factor semantics). Derived from the
+                # CHECKPOINT's target length, not this table's.
+                mscale = _math.sqrt(
+                    1.0 + _math.log(target_max / orig_max) / _math.log(orig_max)
                 )
         else:
             raise ValueError(
@@ -113,7 +114,10 @@ def rope_table(
             )
     pos = jnp.arange(max_seq_len, dtype=jnp.float32)
     angles = pos[:, None] * inv_freq[None, :]  # (S, rot/2)
-    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+    return (
+        (jnp.cos(angles) * mscale).astype(dtype),
+        (jnp.sin(angles) * mscale).astype(dtype),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("style",))

@@ -31,11 +31,15 @@ def _hf_rope_scaling(hf_config) -> tuple | None:
     if isinstance(rs, dict):
         kind = rs.get("rope_type", rs.get("type"))
         if kind == "longrope":
-            # Phi-3 su-scaling: per-dim factor lists -> hashable tuples
+            # Phi-3 su-scaling: per-dim factor lists -> hashable tuples.
+            # target = the CHECKPOINT's full max_position_embeddings (HF
+            # derives attention_factor from it — NOT from the possibly
+            # shorter serving table).
             return (
                 "longrope",
                 int(getattr(hf_config, "original_max_position_embeddings",
                             hf_config.max_position_embeddings)),
+                int(hf_config.max_position_embeddings),
                 tuple(float(f) for f in rs["short_factor"]),
                 tuple(float(f) for f in rs["long_factor"]),
             )
@@ -94,11 +98,14 @@ def config_from_hf(hf_config) -> ModelConfig:
     hidden_act = getattr(hf_config, "hidden_act", None) or getattr(
         hf_config, "hidden_activation", None
     )
-    mlp_activation = (
-        "gelu_tanh"
-        if is_gemma or hidden_act in ("gelu_pytorch_tanh", "gelu")
-        else "silu"
-    )
+    if is_gemma or hidden_act == "gelu_pytorch_tanh":
+        mlp_activation = "gelu_tanh"
+    elif hidden_act == "gelu":
+        # HF's exact erf GELU — distinct from the tanh approximation (they
+        # differ by up to ~3e-3; mapping one to the other breaks HF parity)
+        mlp_activation = "gelu_exact"
+    else:
+        mlp_activation = "silu"
     # Gemma-2: alternating sliding/full layers, score+logit softcapping,
     # query_pre_attn_scalar-scaled attention, post-norms
     gemma2_kw = {}
@@ -135,6 +142,11 @@ def config_from_hf(hf_config) -> ModelConfig:
             )
         if getattr(hf_config, "decoder_sparse_step", 1) != 1:
             raise ValueError("qwen3_moe decoder_sparse_step != 1 unsupported")
+        if getattr(hf_config, "mlp_only_layers", None):
+            raise ValueError(
+                "qwen3_moe mlp_only_layers is unsupported (every layer must "
+                "be routed — mixed dense/MoE stacks need per-layer params)"
+            )
         inter = hf_config.moe_intermediate_size
     return ModelConfig(
         vocab_size=hf_config.vocab_size,

@@ -341,6 +341,8 @@ def _gate_act(cfg: ModelConfig):
     GeGLU gelu_tanh (HF gelu_pytorch_tanh == jax.nn.gelu approximate)."""
     if cfg.mlp_activation == "gelu_tanh":
         return functools.partial(jax.nn.gelu, approximate=True)
+    if cfg.mlp_activation == "gelu_exact":
+        return functools.partial(jax.nn.gelu, approximate=False)
     assert cfg.mlp_activation == "silu", cfg.mlp_activation
     return jax.nn.silu
 
@@ -633,6 +635,9 @@ def _decode_layer(
     max_len_hint: int | None = None,
     lora_l=None,  # per-layer stacked-adapter slice (multi-LoRA serving)
     lora_sel=None,  # (B, N) one-hot adapter selector
+    global_lidx=None,  # GLOBAL layer index for per-layer window parity
+    # (pipeline stages pass it; param_lidx stays stage-local for the
+    # stacked param/scale tables)
 ):
     """One decoder layer of the decode step: (x, k_table, v_table) → same.
 
@@ -684,7 +689,8 @@ def _decode_layer(
         batch_block=cfg.batch_block,
         k_scales=ks, v_scales=vs,
         max_len_hint=max_len_hint,
-        window=_layer_window(cfg, param_lidx),
+        window=_layer_window(
+            cfg, param_lidx if global_lidx is None else global_lidx),
         sinks=cfg.attention_sinks, softcap=cfg.attn_softcap,
     )  # (B, Hq, D)
     o = o.reshape(o.shape[0], -1)

@@ -125,6 +125,23 @@ def _attn_jnp(q, k, v, cfg: ModelConfig, lidx=None):
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, axis=-1), vq)
 
 
+def _windowed_attn(fn, cfg: ModelConfig, lidx, q, k, v):
+    """Apply ``fn`` (a partial'd flash/ring attention taking (q, k, v,
+    window=, sinks=)) with the config's window — as a lax.cond over the two
+    compiled variants when layers alternate (Gemma-2: window is a STATIC
+    kernel parameter, so the per-layer choice selects between programs)."""
+    if cfg.sliding_window is not None and cfg.sliding_window_pattern != 1:
+        sliding = jax.lax.rem(lidx + 1, cfg.sliding_window_pattern) != 0
+        return jax.lax.cond(
+            sliding,
+            lambda q, k, v: fn(q, k, v, window=cfg.sliding_window,
+                               sinks=cfg.attention_sinks),
+            lambda q, k, v: fn(q, k, v),
+            q, k, v,
+        )
+    return fn(q, k, v, window=cfg.sliding_window, sinks=cfg.attention_sinks)
+
+
 def forward_train(
     params,
     tokens: jax.Array,  # (B, S) int32
@@ -188,46 +205,13 @@ def forward_train(
                 ring_attention, axis_name=seq_axis_name,
                 sm_scale=cfg.sm_scale(), softcap=cfg.attn_softcap,
             )
-            if (cfg.sliding_window is not None
-                    and cfg.sliding_window_pattern != 1):
-                # Gemma-2 alternating layers under CP: same lax.cond-over-
-                # static-window-variants trick as the flash path below
-                sliding = jax.lax.rem(
-                    lidx + 1, cfg.sliding_window_pattern) != 0
-                o = jax.lax.cond(
-                    sliding,
-                    lambda q, k, v: ra(
-                        q, k, v, window=cfg.sliding_window,
-                        sinks=cfg.attention_sinks),
-                    lambda q, k, v: ra(q, k, v),
-                    q, k, v,
-                )
-            else:
-                o = ra(q, k, v, window=cfg.sliding_window,
-                       sinks=cfg.attention_sinks)
+            o = _windowed_attn(ra, cfg, lidx, q, k, v)
         elif use_flash:
             fa = functools.partial(
                 flash_attention, sm_scale=cfg.sm_scale(),
                 softcap=cfg.attn_softcap,
             )
-            if (cfg.sliding_window is not None
-                    and cfg.sliding_window_pattern != 1):
-                # Gemma-2 alternating layers: `window` is a STATIC kernel
-                # parameter of the custom_vjp, so the per-layer choice is a
-                # lax.cond over the two compiled variants (one executes)
-                sliding = jax.lax.rem(
-                    lidx + 1, cfg.sliding_window_pattern) != 0
-                o = jax.lax.cond(
-                    sliding,
-                    lambda q, k, v: fa(
-                        q, k, v, window=cfg.sliding_window,
-                        sinks=cfg.attention_sinks),
-                    lambda q, k, v: fa(q, k, v),
-                    q, k, v,
-                )
-            else:
-                o = fa(q, k, v, window=cfg.sliding_window,
-                       sinks=cfg.attention_sinks)
+            o = _windowed_attn(fa, cfg, lidx, q, k, v)
         else:
             o = _attn_jnp(q, k, v, cfg, lidx=lidx)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)

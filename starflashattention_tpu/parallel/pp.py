@@ -188,7 +188,7 @@ def make_pp_decode_step(
             pos_mb = jnp.where(valid, pos_mb, s_cap - 1)
             att_mb = jnp.where(valid, att_mb, 0)
 
-            x0 = params["embed"][tok_mb]
+            x0 = llama._embed_tokens(params, tok_mb, scfg)
             x = jnp.where(stage == 0, x0, x_prev.astype(x0.dtype))
 
             body = functools.partial(
@@ -200,7 +200,12 @@ def make_pp_decode_step(
 
             def layer_body(c, layer_in):
                 lp, lidx = layer_in
-                return body(c, lp, lidx, lidx * m + mb_c), None
+                # Gemma-2 alternating windows key off the GLOBAL layer
+                # index; param/cache indexing stays stage-local
+                return body(
+                    c, lp, lidx, lidx * m + mb_c,
+                    global_lidx=stage * l_local + lidx,
+                ), None
 
             (x, k_all, v_all), _ = jax.lax.scan(
                 layer_body, (x, k_all, v_all), (xs_layers, lidx_local)

@@ -1251,6 +1251,11 @@ class PagedEngine(Engine):
         w = self.cfg.sliding_window
         if w is None:
             return
+        if self.cfg.sliding_window_pattern != 1:
+            # Gemma-2-class alternating layers: the FULL-attention layers
+            # still walk every page, so rolling-buffer reclamation would
+            # free pages they read — pool usage stays O(len) here
+            return
         wp = self._walk_block_pages
         bk = wp * self.page_size
         # logical pages the kernel's prepended sink walk keeps visiting —

@@ -133,3 +133,24 @@ def test_pp_rejects_indivisible_layers():
     mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
     with pytest.raises(ValueError, match="not divisible"):
         pp.make_pp_decode_step(mesh, cfg, params)
+
+
+def test_pp_gemma2_alternating_windows_match_single_chip():
+    """Gemma-2 under PIPELINE parallelism: the sliding/full alternation must
+    key off the GLOBAL layer index (stage offset + local index) — a
+    stage-local index would invert the parity on odd-offset stages. Prompt
+    longer than the window so the window genuinely masks."""
+    cfg = ModelConfig.gemma2_9b(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=2, num_kv_heads=1, head_dim=16, max_seq_len=64,
+        dtype="float32", block_k=16, sliding_window=8,
+    )
+    params, cache, cos, sin, nxt = _setup(cfg, prompt_len=12)
+    ref, ref_lg, _ = _ref_stream(params, cache, cos, sin, cfg, nxt, 4)
+    # 2 stages x 2 layers: stage 1's local layer 0 is GLOBAL layer 2
+    # (sliding); a local-index bug would make it full attention
+    mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    got, lg, _ = _pp_stream(mesh, params, cache, cos, sin, cfg, nxt, 4, 2)
+    assert got == ref
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(ref_lg), atol=1e-5, rtol=1e-5)

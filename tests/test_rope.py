@@ -167,3 +167,32 @@ def test_llama31_preset_serves():
                            cos0, sin0, cfg0)
     assert np.isfinite(np.asarray(lg)).all()
     assert float(jnp.max(jnp.abs(lg - lg0))) > 1e-6
+
+
+def test_longrope_mscale_uses_checkpoint_target_not_table_length():
+    """The attention mscale must derive from the CHECKPOINT's
+    max_position_embeddings (scaling[2]), not the serving table's length —
+    a capped table (config_from_hf caps max_seq_len at 8192) must still
+    scale like HF's attention_factor for the full-range checkpoint."""
+    import math
+
+    import jax.numpy as jnp
+
+    from starflashattention_tpu.core.rope import rope_table
+
+    half = 8
+    short = tuple(1.0 for _ in range(half))
+    long = tuple(2.0 for _ in range(half))
+    orig, target, table_len = 16, 256, 64  # table SHORTER than target
+    cos, sin = rope_table(
+        table_len, 2 * half, scaling=("longrope", orig, target, short, long)
+    )
+    want = math.sqrt(1.0 + math.log(target / orig) / math.log(orig))
+    # pos 0: angles are 0 -> cos row is exactly the mscale
+    assert abs(float(cos[0, 0]) - want) < 1e-6
+    # long regime selected: frequencies divided by the long factors (2.0) —
+    # pos*inv/2 at pos 2 equals the unscaled table's pos 1
+    cos1, _ = rope_table(
+        table_len, 2 * half, scaling=("longrope", orig, orig, short, short)
+    )
+    assert abs(float(cos1[0, 0]) - 1.0) < 1e-6  # short regime: no mscale
