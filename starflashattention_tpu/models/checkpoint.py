@@ -90,6 +90,29 @@ def config_from_hf(hf_config) -> ModelConfig:
         window = None
     # Qwen3 family: QK-norm is architectural (no config flag)
     qk_norm = model_type in ("qwen3", "qwen3_moe")
+    # DeepSeek V2/V3: multi-head latent attention. Supported DENSE only
+    # (n_routed_experts None/0 — DeepSeek's grouped/shared-expert MoE
+    # flavor differs from the Mixtral/Qwen routing implemented here).
+    is_deepseek = model_type in ("deepseek_v2", "deepseek_v3")
+    mla_kw = {}
+    if is_deepseek:
+        if getattr(hf_config, "n_routed_experts", None):
+            raise ValueError(
+                "DeepSeek MoE (n_routed_experts) is unsupported — dense "
+                "DeepSeek (MLA attention + SwiGLU MLP) only"
+            )
+        if getattr(hf_config, "rope_scaling", None) is not None:
+            raise ValueError("DeepSeek yarn rope_scaling is unsupported")
+        mla_kw = dict(
+            mla=True,
+            kv_lora_rank=hf_config.kv_lora_rank,
+            q_lora_rank=getattr(hf_config, "q_lora_rank", None),
+            qk_nope_head_dim=hf_config.qk_nope_head_dim,
+            qk_rope_head_dim=hf_config.qk_rope_head_dim,
+            v_head_dim=hf_config.v_head_dim,
+            query_scale=float(
+                hf_config.qk_nope_head_dim + hf_config.qk_rope_head_dim),
+        )
     # Gemma: GeGLU MLP (hidden_act gelu_pytorch_tanh) + sqrt(hidden)-scaled
     # embeddings; its (1 + w) RMSNorm convention is folded into the stored
     # weights by load_hf_state_dict, not a runtime flag.
@@ -154,10 +177,17 @@ def config_from_hf(hf_config) -> ModelConfig:
         intermediate_size=inter,
         num_layers=hf_config.num_hidden_layers,
         num_q_heads=hf_config.num_attention_heads,
-        num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
-        or hf_config.num_attention_heads,
-        head_dim=getattr(hf_config, "head_dim", None)
-        or hf_config.hidden_size // hf_config.num_attention_heads,
+        num_kv_heads=(
+            1 if is_deepseek
+            else getattr(hf_config, "num_key_value_heads", None)
+            or hf_config.num_attention_heads
+        ),
+        head_dim=(
+            hf_config.qk_nope_head_dim + hf_config.qk_rope_head_dim
+            if is_deepseek
+            else getattr(hf_config, "head_dim", None)
+            or hf_config.hidden_size // hf_config.num_attention_heads
+        ),
         rms_norm_eps=hf_config.rms_norm_eps,
         rope_base=getattr(hf_config, "rope_theta", 10000.0),
         rope_scaling=_hf_rope_scaling(hf_config),
@@ -173,6 +203,7 @@ def config_from_hf(hf_config) -> ModelConfig:
         embed_scale=is_gemma,
         norm_plus_one=is_gemma,
         **gemma2_kw,
+        **mla_kw,
     )
 
 
@@ -200,10 +231,31 @@ def load_hf_state_dict(
     post_attn_norm, post_mlp_norm = [], []
     q_norm, k_norm = [], []
     moe_router, moe_gate_up, moe_down = [], [], []
+    mla = {k: [] for k in ("wq", "wq_a", "q_a_norm", "wq_b", "wkv_a",
+                           "kv_a_norm", "wuk", "wuv")}
     for i in range(L):
         p = f"model.layers.{i}."
         # HF stores projections as (out, in); our matmuls are x @ W = (in, out).
-        if p + "self_attn.qkv_proj.weight" in state:
+        if cfg.mla:
+            # DeepSeek MLA: q path (direct or low-rank), the shared latent
+            # projection, and kv_b split per head into W_uk (first nope
+            # rows) and W_uv (next v rows) — the absorbed-form operands.
+            sa = p + "self_attn."
+            if cfg.q_lora_rank is not None:
+                mla["wq_a"].append(get(sa + "q_a_proj.weight").T)
+                mla["q_a_norm"].append(get(sa + "q_a_layernorm.weight"))
+                mla["wq_b"].append(get(sa + "q_b_proj.weight").T)
+            else:
+                mla["wq"].append(get(sa + "q_proj.weight").T)
+            mla["wkv_a"].append(get(sa + "kv_a_proj_with_mqa.weight").T)
+            mla["kv_a_norm"].append(get(sa + "kv_a_layernorm.weight"))
+            kvb = get(sa + "kv_b_proj.weight")  # (Hq*(nope+v), c)
+            nope, vdim = cfg.qk_nope_head_dim, cfg.v_head_dim
+            kvb = kvb.reshape(cfg.num_q_heads, nope + vdim, cfg.kv_lora_rank)
+            mla["wuk"].append(kvb[:, :nope, :])          # (Hq, nope, c)
+            mla["wuv"].append(kvb[:, nope:, :].transpose(0, 2, 1))  # (Hq, c, v)
+            wo.append(get(sa + "o_proj.weight").T)
+        elif p + "self_attn.qkv_proj.weight" in state:
             # Phi-3 ships the projections ALREADY fused, row order [q|k|v] —
             # exactly this framework's wqkv column layout after transpose
             wqkv.append(get(p + "self_attn.qkv_proj.weight").T)
@@ -220,7 +272,8 @@ def load_hf_state_dict(
                 get(p + "self_attn.k_proj.bias"),
                 get(p + "self_attn.v_proj.bias"),
             ]))
-        wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
+        if not cfg.mla:
+            wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
         if cfg.num_experts:
             # Mixtral MoE: block_sparse_moe.gate (E, h) → router (h, E); per
             # expert w1=gate, w3=up → [gate|up]; w2=down. Qwen3-MoE names the
@@ -274,12 +327,18 @@ def load_hf_state_dict(
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
         "layers": {
             "attn_norm": jnp.asarray(np.stack(attn_norm), dtype),
-            "wqkv": jnp.asarray(np.stack(wqkv), dtype),
             "wo": jnp.asarray(np.stack(wo), dtype),
             "mlp_norm": jnp.asarray(np.stack(mlp_norm), dtype),
         },
         "final_norm": jnp.asarray(get_norm("model.norm.weight"), dtype),
     }
+    if cfg.mla:
+        for name, stack in mla.items():
+            if stack:
+                params["layers"]["mla_" + name] = jnp.asarray(
+                    np.stack(stack), dtype)
+    else:
+        params["layers"]["wqkv"] = jnp.asarray(np.stack(wqkv), dtype)
     if cfg.num_experts:
         params["layers"]["moe_router"] = jnp.asarray(np.stack(moe_router), dtype)
         params["layers"]["moe_gate_up"] = jnp.asarray(np.stack(moe_gate_up), dtype)
@@ -306,11 +365,23 @@ def load_hf_state_dict(
 def _check_shapes(params: dict, cfg: ModelConfig) -> None:
     d, hq, hkv, h = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads, cfg.hidden_size
     I, E, L = cfg.intermediate_size, cfg.num_experts, cfg.num_layers
-    expect = {
-        ("layers", "wqkv"): (L, h, (hq + 2 * hkv) * d),
-        ("layers", "wo"): (L, hq * d, h),
-        ("embed",): (cfg.vocab_size, h),
-    }
+    if cfg.mla:
+        expect = {
+            ("layers", "mla_wkv_a"): (
+                L, h, cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+            ("layers", "mla_wuk"): (
+                L, hq, cfg.qk_nope_head_dim, cfg.kv_lora_rank),
+            ("layers", "mla_wuv"): (
+                L, hq, cfg.kv_lora_rank, cfg.v_head_dim),
+            ("layers", "wo"): (L, hq * cfg.v_head_dim, h),
+            ("embed",): (cfg.vocab_size, h),
+        }
+    else:
+        expect = {
+            ("layers", "wqkv"): (L, h, (hq + 2 * hkv) * d),
+            ("layers", "wo"): (L, hq * d, h),
+            ("embed",): (cfg.vocab_size, h),
+        }
     if E:
         expect[("layers", "moe_router")] = (L, h, E)
         expect[("layers", "moe_gate_up")] = (L, E, h, 2 * I)

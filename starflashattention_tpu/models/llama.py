@@ -230,7 +230,7 @@ def init_params(
     hq, hkv, inter, L = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size, cfg.num_layers
     g = hq // hkv
 
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 14)
 
     def norm01(k, shape, fan_in):
         # Generate directly in the target dtype: an fp32 intermediate for a
@@ -291,6 +291,26 @@ def init_params(
         # pre_feedforward norm
         params["layers"]["post_attn_norm"] = jnp.ones((L, h), dtype)
         params["layers"]["post_mlp_norm"] = jnp.ones((L, h), dtype)
+    if cfg.mla:
+        # DeepSeek MLA replaces wqkv with the latent projections; wo takes
+        # Hq*v_head_dim rows. W_uk/W_uv are the kv_b halves stored per head.
+        del params["layers"]["wqkv"]
+        c, nope, rope_d = cfg.kv_lora_rank, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        v_dim = cfg.v_head_dim
+        qk = nope + rope_d
+        lay = params["layers"]
+        if cfg.q_lora_rank is not None:
+            lay["mla_wq_a"] = norm01(keys[8], (L, h, cfg.q_lora_rank), h)
+            lay["mla_q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), dtype)
+            lay["mla_wq_b"] = norm01(
+                keys[9], (L, cfg.q_lora_rank, hq * qk), cfg.q_lora_rank)
+        else:
+            lay["mla_wq"] = norm01(keys[8], (L, h, hq * qk), h)
+        lay["mla_wkv_a"] = norm01(keys[10], (L, h, c + rope_d), h)
+        lay["mla_kv_a_norm"] = jnp.ones((L, c), dtype)
+        lay["mla_wuk"] = norm01(keys[11], (L, hq, nope, c), c)
+        lay["mla_wuv"] = norm01(keys[12], (L, hq, c, v_dim), c)
+        lay["wo"] = norm01(keys[13], (L, hq * v_dim, h), hq * v_dim)
     if not cfg.tie_embeddings:
         params["lm_head"] = norm01(keys[5], (h, cfg.vocab_size), h)
     return params
@@ -547,8 +567,10 @@ def _logits(
 
 
 def rope_tables(cfg: ModelConfig, dtype=jnp.float32):
+    # MLA rotates only the decoupled qk_rope_head_dim features
+    rot = cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim
     return rope_table(
-        cfg.max_seq_len, cfg.head_dim, base=cfg.rope_base, dtype=dtype,
+        cfg.max_seq_len, rot, base=cfg.rope_base, dtype=dtype,
         scaling=cfg.rope_scaling,
     )
 
@@ -620,6 +642,85 @@ def _decode_core(
     return _logits(x, params, cfg, axis_name=axis_name), cache
 
 
+# ---------------------------------------------------------------------------
+# DeepSeek MLA (multi-head latent attention) — absorbed latent form
+# ---------------------------------------------------------------------------
+
+
+def _mla_project_q(h, lp, cfg: ModelConfig):
+    """(..., H) → per-head queries (..., Hq, nope+rope): direct projection
+    (V2-Lite) or the low-rank q_a → norm → q_b path."""
+    if "mla_wq_a" in lp:
+        qa = rms_norm(
+            jnp.dot(h, lp["mla_wq_a"]).astype(h.dtype),
+            lp["mla_q_a_norm"], cfg.rms_norm_eps,
+        )
+        q = jnp.dot(qa, lp["mla_wq_b"])
+    else:
+        q = jnp.dot(h, lp["mla_wq"])
+    qk_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+    return q.reshape(*h.shape[:-1], cfg.num_q_heads, qk_dim).astype(h.dtype)
+
+
+def _mla_qkv(h, lp, cfg: ModelConfig, cos, sin, pos):
+    """MLA projections in ABSORBED latent form → (q_cat, k_row, v_row).
+
+    The cache stores ONE shared row per token: ``k_row = [c | k_pe | 0]``
+    and ``v_row = [c | 0]`` (c = normed kv latent, k_pe = the decoupled
+    roped key; zero-padded to the 128-lane cache width). The query
+    concatenates ``q_abs = q_nope @ W_uk`` (latent-space absorption — by
+    associativity, q_abs·c == q_nope·k_nope of HF's unabsorbed form) with
+    the roped ``q_pe``; padding zeros contribute nothing to scores, and the
+    attention output's first kv_lora_rank features are exactly p·c (mapped
+    through W_uv by :func:`_mla_out`). Runs on the EXISTING MQA kernels —
+    no MLA-specific kernel. DeepSeek ropes with the complex/interleaved
+    convention (HF apply_rotary_emb) regardless of cfg.rope_style.
+
+    ``h``: (..., H) with positions shaped like the leading dims; head axis
+    is inserted at -2 (callers transpose for the kernels' heads-first
+    layouts)."""
+    c_rank, rope_d = cfg.kv_lora_rank, cfg.qk_rope_head_dim
+    nope = cfg.qk_nope_head_dim
+    _, d_pad = cfg.kv_cache_dims()
+
+    q = _mla_project_q(h, lp, cfg)  # (..., Hq, nope+rope)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+    q_pe = apply_rope(q_pe, pos[..., None], cos, sin, style="interleaved")
+    # absorption: (..., Hq, nope) @ (Hq, nope, c) -> (..., Hq, c)
+    q_abs = jnp.einsum(
+        "...hn,hnc->...hc", q_nope.astype(jnp.float32),
+        lp["mla_wuk"].astype(jnp.float32),
+    ).astype(h.dtype)
+
+    kv = jnp.dot(h, lp["mla_wkv_a"]).astype(h.dtype)  # (..., c + rope)
+    c = rms_norm(kv[..., :c_rank], lp["mla_kv_a_norm"], cfg.rms_norm_eps)
+    k_pe = apply_rope(
+        kv[..., None, c_rank:], pos[..., None], cos, sin, style="interleaved"
+    )  # (..., 1, rope)
+    c = c[..., None, :]  # shared single "head"
+
+    pad = d_pad - c_rank - rope_d
+    zq = jnp.zeros(q_abs.shape[:-1] + (pad,), h.dtype)
+    zk = jnp.zeros(c.shape[:-1] + (pad,), h.dtype)
+    zv = jnp.zeros(c.shape[:-1] + (rope_d + pad,), h.dtype)
+    q_cat = jnp.concatenate([q_abs, q_pe.astype(h.dtype), zq], axis=-1)
+    k_row = jnp.concatenate([c, k_pe.astype(h.dtype), zk], axis=-1)
+    v_row = jnp.concatenate([c, zv], axis=-1)
+    return q_cat, k_row, v_row
+
+
+def _mla_out(o, lp, cfg: ModelConfig):
+    """Latent attention output (..., Hq, d_pad) → (..., Hq·v_head_dim):
+    slice the latent part and map through per-head W_uv."""
+    o_lat = o[..., : cfg.kv_lora_rank]
+    out = jnp.einsum(
+        "...hc,hcv->...hv", o_lat.astype(jnp.float32),
+        lp["mla_wuv"].astype(jnp.float32),
+    )
+    return out.reshape(*out.shape[:-2], -1).astype(o.dtype)
+
+
+
 def _decode_layer(
     carry,
     lp: Params,
@@ -652,15 +753,19 @@ def _decode_layer(
 
     # Attention
     h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
-    if lora_l is not None:
-        qkv = qkv + delta_multi(h, lora_l, "wqkv", lora_sel)
-    if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
-        qkv = qkv + lp["bqkv"]
-    q, k_new, v_new = _split_heads_decode(qkv, cfg)
-    q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
-    q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
-    k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
+    if cfg.mla:
+        # DeepSeek MLA: one shared latent row per token, absorbed queries
+        q, k_new, v_new = _mla_qkv(h, lp, cfg, cos, sin, pos)
+    else:
+        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+        if lora_l is not None:
+            qkv = qkv + delta_multi(h, lora_l, "wqkv", lora_sel)
+        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+            qkv = qkv + lp["bqkv"]
+        q, k_new, v_new = _split_heads_decode(qkv, cfg)
+        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
+        q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
+        k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
 
     if k_scales_tab is not None:
         ks, vs = k_scales_tab[param_lidx], v_scales_tab[param_lidx]
@@ -693,7 +798,7 @@ def _decode_layer(
             cfg, param_lidx if global_lidx is None else global_lidx),
         sinks=cfg.attention_sinks, softcap=cfg.attn_softcap,
     )  # (B, Hq, D)
-    o = o.reshape(o.shape[0], -1)
+    o = _mla_out(o, lp, cfg) if cfg.mla else o.reshape(o.shape[0], -1)
     attn_out = proj(o, "wo")
     if lora_l is not None:
         attn_out = attn_out + delta_multi(o, lora_l, "wo", lora_sel)
@@ -772,15 +877,23 @@ def _prefill_core(
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
-        if ll is not None:
-            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
-        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
-            qkv = qkv + lp["bqkv"]
-        q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
-        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
-        q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
-        k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
+        if cfg.mla:
+            q, k_new, v_new = _mla_qkv(h, lp, cfg, cos, sin, pos)
+            # helper emits (B, Sq, H*, D); kernels take heads-first
+            q = q.transpose(0, 2, 1, 3)
+            k_new = k_new.transpose(0, 2, 1, 3)
+            v_new = v_new.transpose(0, 2, 1, 3)
+        else:
+            qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+            if ll is not None:
+                qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
+            if "bqkv" in lp:  # fused QKV bias (Qwen2-style)
+                qkv = qkv + lp["bqkv"]
+            q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+            q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
+            q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
+            k_new = apply_rope(
+                k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
 
         if cache.k_scales is not None:
             ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
@@ -818,7 +931,8 @@ def _prefill_core(
             window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
             softcap=cfg.attn_softcap,
         )  # (B, Hq, Sq, D)
-        o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
+        o = o.transpose(0, 2, 1, 3)
+        o = _mla_out(o, lp, cfg) if cfg.mla else o.reshape(b, sq, -1)
         attn_out = proj(o, "wo")
         if ll is not None:
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
@@ -1587,15 +1701,23 @@ def _prefill_core_paged(
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
-        if ll is not None:
-            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
-        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
-            qkv = qkv + lp["bqkv"]
-        q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
-        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
-        q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
-        k_new = apply_rope(k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
+        if cfg.mla:
+            q, k_new, v_new = _mla_qkv(h, lp, cfg, cos, sin, pos)
+            # helper emits (B, Sq, H*, D); kernels take heads-first
+            q = q.transpose(0, 2, 1, 3)
+            k_new = k_new.transpose(0, 2, 1, 3)
+            v_new = v_new.transpose(0, 2, 1, 3)
+        else:
+            qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+            if ll is not None:
+                qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
+            if "bqkv" in lp:  # fused QKV bias (Qwen2-style)
+                qkv = qkv + lp["bqkv"]
+            q, k_new, v_new = _split_heads_prefill(qkv, cfg)  # (B, H*, Sq, D)
+            q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
+            q = apply_rope(q, pos[:, None, :], cos, sin, style=cfg.rope_style)
+            k_new = apply_rope(
+                k_new, pos[:, None, :], cos, sin, style=cfg.rope_style)
 
         if cache.k_scales is not None:
             ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
@@ -1637,7 +1759,8 @@ def _prefill_core_paged(
             window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
             softcap=cfg.attn_softcap,
         )
-        o = o.transpose(0, 2, 1, 3).reshape(b, sq, -1)
+        o = o.transpose(0, 2, 1, 3)
+        o = _mla_out(o, lp, cfg) if cfg.mla else o.reshape(b, sq, -1)
         attn_out = proj(o, "wo")
         if ll is not None:
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)
@@ -1824,8 +1947,9 @@ def generate(
     """Prefill + autoregressive decode loop → (B, max_new_tokens) token ids."""
     b = prompts.shape[0]
     if cache is None:
+        hkv, d = cfg.kv_cache_dims()  # MLA: one padded latent row per token
         cache = contiguous.init_cache(
-            cfg.num_layers, b, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim,
+            cfg.num_layers, b, hkv, cfg.max_seq_len, d,
             dtype=jnp.dtype(cfg.dtype), quant_mode=cfg.quant_mode,
             calibration_scale=cfg.kv_calibration_scale,
         )

@@ -159,6 +159,21 @@ class ModelConfig:
     # Gemma-2 post-norms: params carry post_attn_norm/post_mlp_norm stacks
     # and each sublayer output is RMS-normed BEFORE its residual add.
     post_norms: bool = False
+    # --- DeepSeek MLA (multi-head latent attention) -------------------------
+    # The KV cache stores ONE shared latent row per token — [c_kv
+    # (kv_lora_rank) | rope key (qk_rope_head_dim) | zero pad to a lane
+    # multiple] — and attention runs ABSORBED in latent space on the
+    # existing MQA kernels: q_abs = q_nope @ W_uk concatenated with the
+    # roped q_pe attends the latent rows (scores exactly q.k of the
+    # unabsorbed form by associativity), and the latent-space output maps
+    # through W_uv. head_dim must be qk_nope_head_dim + qk_rope_head_dim
+    # (the q/k head dim — the kernels' sm_scale comes from query_scale).
+    mla: bool = False
+    kv_lora_rank: int = 512
+    q_lora_rank: int | None = None  # None = direct q projection (V2-Lite)
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
     # W8A8 prefill: INT8-weight projections quantize activations per token
     # (dynamic) and run the int8 x int8 MXU path at PREFILL row counts —
     # measured 1.43x the bf16 MXU peak vs 0.95x for upcast weight-only
@@ -168,6 +183,23 @@ class ModelConfig:
     w8a8_prefill: bool = False
 
     def __post_init__(self):
+        if self.mla:
+            if self.head_dim != self.qk_nope_head_dim + self.qk_rope_head_dim:
+                raise ValueError(
+                    f"MLA head_dim must be qk_nope+qk_rope "
+                    f"({self.qk_nope_head_dim}+{self.qk_rope_head_dim}), "
+                    f"got {self.head_dim}"
+                )
+            for flag, name in (
+                (self.quant_mode != "none", "quantized KV"),
+                (self.attention_bias, "attention_bias"),
+                (self.qk_norm, "qk_norm"),
+                (self.sliding_window is not None, "sliding_window"),
+                (self.num_experts, "MoE experts"),
+                (self.attn_softcap is not None, "attn_softcap"),
+            ):
+                if flag:
+                    raise ValueError(f"MLA does not compose with {name} yet")
         if self.attention_sinks:
             if self.sliding_window is None:
                 raise ValueError(
@@ -176,6 +208,14 @@ class ModelConfig:
                 )
             if self.attention_sinks < 0:
                 raise ValueError("attention_sinks must be >= 0")
+
+    def kv_cache_dims(self) -> tuple[int, int]:
+        """(heads, row width) of the KV cache tables. MLA caches ONE shared
+        latent row per token, padded to a 128-lane multiple."""
+        if not self.mla:
+            return self.num_kv_heads, self.head_dim
+        raw = self.kv_lora_rank + self.qk_rope_head_dim
+        return 1, -(-raw // 128) * 128
 
     def sm_scale(self) -> float | None:
         """Attention score scale for the kernels: ``query_scale ** -0.5``

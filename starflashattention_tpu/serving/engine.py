@@ -122,6 +122,14 @@ class Engine:
         topk_logprobs: int = 0,
     ):
         self.cfg = cfg
+        if cfg.mla and (
+            mesh is not None or spec_decode is not None
+            or lora_adapters is not None or type(self) is not Engine
+        ):
+            raise NotImplementedError(
+                "MLA serves on the single-chip contiguous Engine for now "
+                "(no TP/paged/spec/LoRA composition yet)"
+            )
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
         self.prefill_pad = prefill_pad
@@ -332,12 +340,14 @@ class Engine:
     # -- cache-backend hooks (overridden by PagedEngine) ----------------------
 
     def _init_cache(self):
+        # MLA caches one padded latent row per token (kv_cache_dims)
+        hkv, d = self.cfg.kv_cache_dims()
         cache = contiguous.init_cache(
             self.cfg.num_layers,
             self.num_slots,
-            self.cfg.num_kv_heads,
+            hkv,
             self.cfg.max_seq_len,
-            self.cfg.head_dim,
+            d,
             dtype=jnp.dtype(self.cfg.dtype),
             quant_mode=self.cfg.quant_mode,
             calibration_scale=self.cfg.kv_calibration_scale,

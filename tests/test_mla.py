@@ -1,0 +1,140 @@
+"""DeepSeek multi-head latent attention (MLA): absorbed latent-cache serving
+on the EXISTING MQA kernels.
+
+The cache stores one shared row per token — [c_kv | roped k_pe | pad] — and
+the absorbed query (q_nope @ W_uk ++ q_pe) attends it; by associativity the
+scores and outputs equal HF's unabsorbed per-head form exactly, at a cache
+footprint of kv_lora_rank + qk_rope_head_dim per token instead of
+2 * Hq * (nope + rope + v)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starflashattention_tpu.cache import contiguous
+from starflashattention_tpu.models import checkpoint, llama
+from starflashattention_tpu.runtime.params import ModelConfig
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _hf_deepseek(q_lora_rank=None, seed=8):
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=q_lora_rank, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=None, first_k_dense_replace=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(seed)
+    return hf_cfg, transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+
+
+def _assert_matches(hf_cfg, model, seq=9):
+    cfg = checkpoint.config_from_hf(hf_cfg)
+    params = checkpoint.load_hf_state_dict(
+        model.state_dict(), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.vocab_size, (2, seq))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks)).logits.numpy()
+    cos, sin = llama.rope_tables(cfg)
+    hkv, dpad = cfg.kv_cache_dims()
+    cache = contiguous.init_cache(
+        cfg.num_layers, 2, hkv, cfg.max_seq_len, dpad, dtype=jnp.float32)
+    ours, cache = llama.prefill(
+        params, cache, jnp.asarray(toks, jnp.int32),
+        jnp.full((2,), seq, jnp.int32), cos, sin, cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref[:, -1], atol=3e-4, rtol=2e-3)
+    nxt = ref[:, -1].argmax(-1)
+    with torch.no_grad():
+        ref2 = model(torch.from_numpy(
+            np.concatenate([toks, nxt[:, None]], 1))).logits.numpy()[:, -1]
+    ours2, _ = llama.decode_step(
+        params, cache, jnp.asarray(nxt, jnp.int32), cos, sin, cfg)
+    np.testing.assert_allclose(np.asarray(ours2), ref2, atol=3e-4, rtol=2e-3)
+    return cfg
+
+
+def test_mla_matches_hf_forward_direct_q():
+    hf_cfg, model = _hf_deepseek(q_lora_rank=None)
+    cfg = _assert_matches(hf_cfg, model)
+    assert cfg.mla and cfg.q_lora_rank is None
+    assert cfg.head_dim == 24 and cfg.query_scale == 24.0
+    # cache row: one shared 128-lane-padded latent row per token
+    assert cfg.kv_cache_dims() == (1, 128)
+
+
+def test_mla_matches_hf_forward_q_lora():
+    hf_cfg, model = _hf_deepseek(q_lora_rank=48, seed=9)
+    cfg = _assert_matches(hf_cfg, model)
+    assert cfg.q_lora_rank == 48
+
+
+def _tiny_mla_cfg(**kw):
+    base = dict(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_q_heads=4, num_kv_heads=1, head_dim=24, max_seq_len=64,
+        dtype="float32", num_splits=1, block_k=16, mla=True,
+        kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+        v_head_dim=16, query_scale=24.0,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_mla_engine_matches_generate(rng):
+    cfg = _tiny_mla_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    from starflashattention_tpu.serving import Engine
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    lens = jnp.asarray([6, 4], jnp.int32)
+    want = llama.generate(params, cfg, toks, lens, max_new_tokens=5)
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=2)
+    got = eng.generate(
+        [[int(t) for t in np.asarray(toks)[0]],
+         [int(t) for t in np.asarray(toks)[1][:4]]], max_new_tokens=5)
+    assert got == [list(r) for r in np.asarray(want).tolist()]
+
+
+def test_mla_guards():
+    cfg = _tiny_mla_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    from starflashattention_tpu.serving import PagedEngine
+
+    with pytest.raises(NotImplementedError, match="MLA"):
+        PagedEngine(params, cfg, num_slots=2, page_size=16)
+    with pytest.raises(ValueError, match="MLA"):
+        _tiny_mla_cfg(quant_mode="int8")
+    with pytest.raises(ValueError, match="head_dim"):
+        _tiny_mla_cfg(head_dim=32)
+    # dense-only DeepSeek: MoE configs are rejected at conversion
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=4,
+        v_head_dim=8, n_routed_experts=4,
+    )
+    with pytest.raises(ValueError, match="MoE"):
+        checkpoint.config_from_hf(hf_cfg)
+
+
+def test_mla_cache_footprint():
+    """The point of MLA: the cache row is kv_lora_rank + rope (+ lane pad)
+    per token — at DeepSeek-V2 scale, 640 vs the 2*128*Hkv an equivalent
+    GQA model stores (3.2x capacity at Hkv=8, 12.8x vs the unabsorbed MHA
+    K+V of 2*Hq*(192+128) at Hq=16)."""
+    cfg = ModelConfig(
+        hidden_size=2048, num_q_heads=16, num_kv_heads=1, head_dim=192,
+        mla=True, kv_lora_rank=512, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128, num_splits=1,
+    )
+    assert cfg.kv_cache_dims() == (1, 640)
