@@ -90,20 +90,45 @@ def config_from_hf(hf_config) -> ModelConfig:
         window = None
     # Qwen3 family: QK-norm is architectural (no config flag)
     qk_norm = model_type in ("qwen3", "qwen3_moe")
-    # DeepSeek V2/V3: multi-head latent attention. Supported DENSE only
-    # (n_routed_experts None/0 — DeepSeek's grouped/shared-expert MoE
-    # flavor differs from the Mixtral/Qwen routing implemented here).
+    # DeepSeek V2/V3: multi-head latent attention. The V2 MoE flavor
+    # (greedy gate: softmax-all → top-k, unnormalized, × scaling factor;
+    # shared experts; first_k_dense_replace dense layers) is supported;
+    # V3's sigmoid+bias noaux routing and V2-big's group_limited_greedy
+    # selection are not.
     is_deepseek = model_type in ("deepseek_v2", "deepseek_v3")
     mla_kw = {}
-    if is_deepseek:
-        if getattr(hf_config, "n_routed_experts", None):
+    deepseek_moe = is_deepseek and bool(
+        getattr(hf_config, "n_routed_experts", None))
+    if deepseek_moe:
+        if model_type == "deepseek_v3":
             raise ValueError(
-                "DeepSeek MoE (n_routed_experts) is unsupported — dense "
-                "DeepSeek (MLA attention + SwiGLU MLP) only"
+                "DeepSeek-V3 MoE (sigmoid scores + e_score_correction_bias) "
+                "is unsupported — V2's greedy softmax gate only"
             )
+        if getattr(hf_config, "topk_method", "greedy") != "greedy":
+            raise ValueError(
+                "DeepSeek MoE topk_method "
+                f"{hf_config.topk_method!r} is unsupported (greedy only — "
+                "group_limited_greedy's device-group masking is not "
+                "implemented)"
+            )
+        if getattr(hf_config, "moe_layer_freq", 1) != 1:
+            raise ValueError("DeepSeek moe_layer_freq != 1 is unsupported")
+        first_k = int(getattr(hf_config, "first_k_dense_replace", 0) or 0)
+        mla_kw.update(
+            n_shared_experts=int(
+                getattr(hf_config, "n_shared_experts", 0) or 0),
+            first_k_dense=first_k,
+            dense_inter_size=(
+                hf_config.intermediate_size if first_k else None),
+            router_pre_softmax=True,
+            routed_scaling_factor=float(
+                getattr(hf_config, "routed_scaling_factor", 1.0)),
+        )
+    if is_deepseek:
         if getattr(hf_config, "rope_scaling", None) is not None:
             raise ValueError("DeepSeek yarn rope_scaling is unsupported")
-        mla_kw = dict(
+        mla_kw.update(
             mla=True,
             kv_lora_rank=hf_config.kv_lora_rank,
             q_lora_rank=getattr(hf_config, "q_lora_rank", None),
@@ -153,9 +178,15 @@ def config_from_hf(hf_config) -> ModelConfig:
         getattr(hf_config, "num_local_experts", 0)
         or (getattr(hf_config, "num_experts", 0)
             if model_type == "qwen3_moe" else 0)
+        or (hf_config.n_routed_experts if deepseek_moe else 0)
         or 0
     )
     inter = hf_config.intermediate_size
+    if deepseek_moe:
+        # cfg.intermediate_size is the ROUTED expert width for MoE models
+        # (same convention as qwen3_moe below); the dense-first layers' width
+        # travels as dense_inter_size
+        inter = hf_config.moe_intermediate_size
     if model_type == "qwen3_moe":
         if not getattr(hf_config, "norm_topk_prob", True):
             raise ValueError(
@@ -231,6 +262,7 @@ def load_hf_state_dict(
     post_attn_norm, post_mlp_norm = [], []
     q_norm, k_norm = [], []
     moe_router, moe_gate_up, moe_down = [], [], []
+    shared_gu, shared_down, dense_gu, dense_down = [], [], [], []
     mla = {k: [] for k in ("wq", "wq_a", "q_a_norm", "wq_b", "wkv_a",
                            "kv_a_norm", "wuk", "wuv")}
     for i in range(L):
@@ -274,11 +306,29 @@ def load_hf_state_dict(
             ]))
         if not cfg.mla:
             wo.append(get(p + "self_attn.o_proj.weight").T)  # (hq*d, h)
-        if cfg.num_experts:
+        if cfg.num_experts and cfg.first_k_dense and i < cfg.first_k_dense:
+            # DeepSeek first_k_dense_replace layer: the real weights go to
+            # the k-leading dense_mlp side stack; the layer's slices of the
+            # L-homogeneous expert stacks are ZEROS (streamed but never
+            # selected — the _mlp_block cond takes the dense branch here).
+            E, I = cfg.num_experts, cfg.intermediate_size
+            dense_gu.append(np.concatenate(
+                [get(p + "mlp.gate_proj.weight").T,
+                 get(p + "mlp.up_proj.weight").T], axis=1))
+            dense_down.append(get(p + "mlp.down_proj.weight").T)
+            moe_router.append(np.zeros((h, E), np.float32))
+            moe_gate_up.append(np.zeros((E, h, 2 * I), np.float32))
+            moe_down.append(np.zeros((E, I, h), np.float32))
+            if cfg.n_shared_experts:
+                si = cfg.n_shared_experts * I
+                shared_gu.append(np.zeros((h, 2 * si), np.float32))
+                shared_down.append(np.zeros((si, h), np.float32))
+        elif cfg.num_experts:
             # Mixtral MoE: block_sparse_moe.gate (E, h) → router (h, E); per
-            # expert w1=gate, w3=up → [gate|up]; w2=down. Qwen3-MoE names the
-            # same pieces mlp.gate / mlp.experts.E.{gate,up,down}_proj.
-            # Experts stack on a leading E axis either way.
+            # expert w1=gate, w3=up → [gate|up]; w2=down. Qwen3-MoE and
+            # DeepSeek-V2 name the same pieces mlp.gate /
+            # mlp.experts.E.{gate,up,down}_proj (DeepSeek adds
+            # mlp.shared_experts.*). Experts stack on a leading E axis.
             qwen_moe = p + "mlp.gate.weight" in state
             router_key = "mlp.gate.weight" if qwen_moe else "block_sparse_moe.gate.weight"
             moe_router.append(get(p + router_key).T)
@@ -298,6 +348,12 @@ def load_hf_state_dict(
                     downs.append(get(ep + "w2.weight").T)
             moe_gate_up.append(np.stack(gus))
             moe_down.append(np.stack(downs))
+            if cfg.n_shared_experts:
+                sp = p + "mlp.shared_experts."
+                shared_gu.append(np.concatenate(
+                    [get(sp + "gate_proj.weight").T,
+                     get(sp + "up_proj.weight").T], axis=1))
+                shared_down.append(get(sp + "down_proj.weight").T)
         elif p + "mlp.gate_up_proj.weight" in state:
             # Phi-3 fused [gate|up] — matches w_gate_up's column layout
             w_gate_up.append(get(p + "mlp.gate_up_proj.weight").T)
@@ -343,6 +399,16 @@ def load_hf_state_dict(
         params["layers"]["moe_router"] = jnp.asarray(np.stack(moe_router), dtype)
         params["layers"]["moe_gate_up"] = jnp.asarray(np.stack(moe_gate_up), dtype)
         params["layers"]["moe_down"] = jnp.asarray(np.stack(moe_down), dtype)
+        if cfg.n_shared_experts:
+            params["layers"]["moe_shared_gate_up"] = jnp.asarray(
+                np.stack(shared_gu), dtype)
+            params["layers"]["moe_shared_down"] = jnp.asarray(
+                np.stack(shared_down), dtype)
+        if cfg.first_k_dense:
+            params["layers"]["dense_mlp"] = {
+                "w_gate_up": jnp.asarray(np.stack(dense_gu), dtype),
+                "w_down": jnp.asarray(np.stack(dense_down), dtype),
+            }
     else:
         params["layers"]["w_gate_up"] = jnp.asarray(np.stack(w_gate_up), dtype)
         params["layers"]["w_down"] = jnp.asarray(np.stack(w_down), dtype)
@@ -386,6 +452,16 @@ def _check_shapes(params: dict, cfg: ModelConfig) -> None:
         expect[("layers", "moe_router")] = (L, h, E)
         expect[("layers", "moe_gate_up")] = (L, E, h, 2 * I)
         expect[("layers", "moe_down")] = (L, E, I, h)
+        if cfg.n_shared_experts:
+            si = cfg.n_shared_experts * I
+            expect[("layers", "moe_shared_gate_up")] = (L, h, 2 * si)
+            expect[("layers", "moe_shared_down")] = (L, si, h)
+        if cfg.first_k_dense:
+            di = cfg.dense_inter_size
+            expect[("layers", "dense_mlp", "w_gate_up")] = (
+                cfg.first_k_dense, h, 2 * di)
+            expect[("layers", "dense_mlp", "w_down")] = (
+                cfg.first_k_dense, di, h)
     else:
         expect[("layers", "w_gate_up")] = (L, h, 2 * I)
         expect[("layers", "w_down")] = (L, I, h)

@@ -230,7 +230,7 @@ def init_params(
     hq, hkv, inter, L = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size, cfg.num_layers
     g = hq // hkv
 
-    keys = jax.random.split(key, 14)
+    keys = jax.random.split(key, 18)
 
     def norm01(k, shape, fan_in):
         # Generate directly in the target dtype: an fp32 intermediate for a
@@ -273,6 +273,25 @@ def init_params(
         params["layers"]["moe_router"] = norm01(keys[7], (L, h, E), h)
         params["layers"]["moe_gate_up"] = big(keys[3], (L, E, h, 2 * inter), h)
         params["layers"]["moe_down"] = big(keys[4], (L, E, inter, h), inter)
+        if cfg.n_shared_experts:
+            # DeepSeek shared experts: one dense SwiGLU of width
+            # n_shared * expert_inter on every token, added to the routed sum
+            si = cfg.n_shared_experts * inter
+            params["layers"]["moe_shared_gate_up"] = norm01(
+                keys[14], (L, h, 2 * si), h)
+            params["layers"]["moe_shared_down"] = norm01(
+                keys[15], (L, si, h), si)
+        if cfg.first_k_dense:
+            # DeepSeek first_k_dense_replace: a k-leading SIDE stack (dict →
+            # excluded from the scan xs like the quant dicts; _mlp_block
+            # gathers row lidx inside a lax.cond). The L-leading expert
+            # stacks stay scan-homogeneous — the first k slices are zeros at
+            # load time and the cond never reads their gather.
+            di = cfg.dense_inter_size
+            params["layers"]["dense_mlp"] = {
+                "w_gate_up": norm01(keys[16], (cfg.first_k_dense, h, 2 * di), h),
+                "w_down": norm01(keys[17], (cfg.first_k_dense, di, h), di),
+            }
     else:
         # w_gate_up columns: [gate (I) | up (I)].
         params["layers"]["w_gate_up"] = big(keys[3], (L, h, 2 * inter), h)
@@ -405,6 +424,49 @@ def _swiglu(x: jax.Array, proj, lora_l=None, lora_sel=None,
     return out
 
 
+def _shared_expert(
+    flat: jax.Array, lp: Params, cfg: ModelConfig, axis_name: str | None
+) -> jax.Array:
+    """DeepSeek shared experts: a dense SwiGLU on every token → fp32 (N, H).
+
+    Under a mesh the shared stacks ride the scan xs REPLICATED (the routed
+    experts shard; these don't), so only shard 0 contributes — the caller's
+    psum then adds exactly one copy. 0 when cfg.n_shared_experts == 0.
+    """
+    if not cfg.n_shared_experts:
+        return jnp.zeros((), jnp.float32)
+    gu = jnp.dot(
+        flat, lp["moe_shared_gate_up"], preferred_element_type=jnp.float32
+    )  # (N, 2*Is)
+    inter = gu.shape[-1] // 2
+    act = (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(flat.dtype)
+    out = jnp.dot(act, lp["moe_shared_down"], preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        out = jnp.where(jax.lax.axis_index(axis_name) == 0, out, 0.0)
+    return out
+
+
+def _dense_first_mlp(
+    flat: jax.Array, dm: Params, cfg: ModelConfig, lidx, axis_name: str | None
+) -> jax.Array:
+    """DeepSeek first_k_dense_replace layer: plain SwiGLU from the k-leading
+    side stack ``layers["dense_mlp"]`` (a dict → closed over, never in the
+    scan xs), row ``lidx`` gathered under the _mlp_block lax.cond so MoE
+    layers never read it. fp32 (N, H); shard-0-gated like _shared_expert
+    (the side stack is replicated under a mesh)."""
+    li = jnp.minimum(jnp.asarray(lidx), cfg.first_k_dense - 1)
+    wgu = jax.lax.dynamic_index_in_dim(dm["w_gate_up"], li, keepdims=False)
+    wd = jax.lax.dynamic_index_in_dim(dm["w_down"], li, keepdims=False)
+    gu = jnp.dot(flat, wgu, preferred_element_type=jnp.float32)
+    inter = gu.shape[-1] // 2
+    act_fn = _gate_act(cfg)
+    act = (act_fn(gu[..., :inter]) * gu[..., inter:]).astype(flat.dtype)
+    out = jnp.dot(act, wd, preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        out = jnp.where(jax.lax.axis_index(axis_name) == 0, out, 0.0)
+    return out
+
+
 def _moe_mlp(
     x: jax.Array,
     lp: Params,
@@ -440,14 +502,22 @@ def _moe_mlp(
     e_total = cfg.num_experts
     k = cfg.num_experts_per_tok
 
-    # Routing: top-k over the FULL expert set, softmax over the k logits
-    # (Mixtral convention), scattered back to a dense (N, E_total) matrix.
+    # Routing, scattered back to a dense (N, E_total) matrix. Two score
+    # conventions: Mixtral's softmax over the k selected logits (default;
+    # algebraically Qwen3's softmax-all-then-renormalize), or DeepSeek's
+    # greedy gate (modeling_deepseek_v2.DeepseekV2MoEGate) — softmax over
+    # ALL experts FIRST, top-k of the probabilities, NO renormalization,
+    # times routed_scaling_factor.
     r = jnp.dot(
         flat.astype(jnp.float32), lp["moe_router"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )  # (N, E_total)
-    top_logit, top_idx = jax.lax.top_k(r, k)  # (N, k)
-    top_w = jax.nn.softmax(top_logit, axis=-1)  # (N, k)
+    if cfg.router_pre_softmax:
+        top_w, top_idx = jax.lax.top_k(jax.nn.softmax(r, axis=-1), k)
+        top_w = top_w * cfg.routed_scaling_factor  # (N, k)
+    else:
+        top_logit, top_idx = jax.lax.top_k(r, k)  # (N, k)
+        top_w = jax.nn.softmax(top_logit, axis=-1)  # (N, k)
     dense_w = jnp.sum(
         jax.nn.one_hot(top_idx, e_total, dtype=jnp.float32) * top_w[..., None],
         axis=1,
@@ -483,6 +553,7 @@ def _moe_mlp(
             act = (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(x.dtype)
             y = _wq_matmul(act, wd_f, eidx)  # (N, H) fp32
             out = out + y * dense_w[:, e][:, None]
+        out = out + _shared_expert(flat, lp, cfg, axis_name)
         return out.reshape(*x.shape[:-1], out.shape[-1])
 
     wg = lp["moe_gate_up"]  # (E_local, H, 2I)
@@ -501,6 +572,7 @@ def _moe_mlp(
         "eni,eih->enh", act, wd, preferred_element_type=jnp.float32
     )  # (E_local, N, H)
     out = jnp.einsum("enh,ne->nh", y, dense_w)  # fp32
+    out = out + _shared_expert(flat, lp, cfg, axis_name)
     return out.reshape(*x.shape[:-1], out.shape[-1])
 
 
@@ -519,6 +591,26 @@ def _mlp_block(
     ``layers``/``lidx`` give MoE access to stacked quantized expert dicts
     (excluded from the scan xs exactly like the attention quant dicts)."""
     if cfg.num_experts:
+        if cfg.first_k_dense:
+            # DeepSeek first_k_dense_replace: layer < k runs the dense side
+            # stack, others the routed MoE — ONE traced cond keeps the scan
+            # body homogeneous (only the taken branch's weights are read;
+            # the first k slices of the streamed expert stacks are zeros).
+            if layers is None or "dense_mlp" not in layers:
+                raise ValueError(
+                    "cfg.first_k_dense set but layers['dense_mlp'] missing "
+                    "(this forward path did not thread the side stack)"
+                )
+            flat = x.reshape(-1, x.shape[-1])
+            out = jax.lax.cond(
+                jnp.asarray(lidx) < cfg.first_k_dense,
+                lambda: _dense_first_mlp(
+                    flat, layers["dense_mlp"], cfg, lidx, axis_name),
+                lambda: _moe_mlp(
+                    x, lp, cfg, axis_name, layers=layers, lidx=lidx
+                ).reshape(flat.shape[0], -1),
+            )
+            return out.reshape(*x.shape[:-1], out.shape[-1])
         return _moe_mlp(x, lp, cfg, axis_name, layers=layers, lidx=lidx)
     return _swiglu(x, proj, lora_l=lora_l, lora_sel=lora_sel,
                    act_fn=_gate_act(cfg))

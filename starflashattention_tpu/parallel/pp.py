@@ -142,6 +142,12 @@ def make_pp_decode_step(
         raise ValueError(
             f"num_layers {cfg.num_layers} not divisible by pipe axis {stages}"
         )
+    if cfg.first_k_dense:
+        raise NotImplementedError(
+            "DeepSeek first_k_dense does not compose with PP yet (the "
+            "k-leading dense_mlp side stack does not shard over the pipe "
+            "axis like the L-leading stacks)"
+        )
     m = num_microbatches or stages
     l_local = cfg.num_layers // stages
     tp = _tp_size(mesh)

@@ -199,6 +199,16 @@ def param_specs(
         specs["layers"]["moe_router"] = P()
         specs["layers"]["moe_gate_up"] = P(None, MODEL, None, None)
         specs["layers"]["moe_down"] = P(None, MODEL, None, None)
+        if cfg.n_shared_experts:
+            # DeepSeek shared experts: replicated — llama._shared_expert
+            # gates the contribution to shard 0 so the caller's psum adds
+            # exactly one copy (the routed experts carry the EP sharding)
+            specs["layers"]["moe_shared_gate_up"] = P()
+            specs["layers"]["moe_shared_down"] = P()
+        if cfg.first_k_dense:
+            # dense-first side stack: replicated + shard-0-gated, same deal
+            specs["layers"]["dense_mlp"] = {
+                "w_gate_up": P(), "w_down": P()}
     if weight_quant:
         int4 = weight_quant == "int4"
         for name in ("wqkv",) + (() if cfg.num_experts else ("w_gate_up",)):

@@ -127,6 +127,24 @@ class ModelConfig:
     # axis the way dense TP treats the intermediate dim).
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # --- DeepSeek-V2 MoE knobs ---------------------------------------------
+    # Shared experts (DeepseekV2MoE, modeling_deepseek_v2): a dense SwiGLU of
+    # intermediate n_shared_experts * intermediate_size runs on EVERY token
+    # and its output adds to the routed sum. 0 = none (Mixtral/Qwen3).
+    n_shared_experts: int = 0
+    # DeepSeek first_k_dense_replace: the first k layers use a plain dense
+    # SwiGLU (width dense_inter_size) instead of the routed MoE. The dense
+    # weights live in a k-leading side stack (layers["dense_mlp"], closed
+    # over like the quant dicts — the scan xs stay L-homogeneous) and a
+    # lax.cond in _mlp_block picks the branch per traced layer index.
+    first_k_dense: int = 0
+    dense_inter_size: int | None = None
+    # Router score convention: False = softmax over the TOP-K logits
+    # (Mixtral; algebraically Qwen3's normalized top-k). True = DeepSeek's
+    # greedy gate — softmax over ALL experts FIRST, then top-k, weights NOT
+    # renormalized, times routed_scaling_factor.
+    router_pre_softmax: bool = False
+    routed_scaling_factor: float = 1.0
     # MLP gate activation: "silu" (Llama/Mistral/Qwen SwiGLU) or
     # "gelu_tanh" (Gemma GeGLU — HF's gelu_pytorch_tanh). Applied at every
     # MLP site (dense, quantized, fused Pallas, training twin).
@@ -195,11 +213,22 @@ class ModelConfig:
                 (self.attention_bias, "attention_bias"),
                 (self.qk_norm, "qk_norm"),
                 (self.sliding_window is not None, "sliding_window"),
-                (self.num_experts, "MoE experts"),
                 (self.attn_softcap is not None, "attn_softcap"),
             ):
                 if flag:
                     raise ValueError(f"MLA does not compose with {name} yet")
+        if (self.n_shared_experts or self.first_k_dense
+                or self.router_pre_softmax) and not self.num_experts:
+            raise ValueError(
+                "n_shared_experts / first_k_dense / router_pre_softmax are "
+                "MoE knobs — they require num_experts > 0"
+            )
+        if self.first_k_dense and self.dense_inter_size is None:
+            raise ValueError(
+                "first_k_dense needs dense_inter_size (the dense-first "
+                "layers' MLP width — DeepSeek's intermediate_size, distinct "
+                "from the experts' moe_intermediate_size)"
+            )
         if self.attention_sinks:
             if self.sliding_window is None:
                 raise ValueError(

@@ -105,6 +105,67 @@ def test_mla_engine_matches_generate(rng):
     assert got == [list(r) for r in np.asarray(want).tolist()]
 
 
+def _hf_deepseek_moe(seed=11, **over):
+    kw = dict(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, moe_layer_freq=1, topk_method="greedy",
+        norm_topk_prob=False, routed_scaling_factor=1.5,
+        aux_loss_alpha=0.0, seq_aux=False,
+        max_position_embeddings=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    kw.update(over)
+    hf_cfg = transformers.DeepseekV2Config(**kw)
+    torch.manual_seed(seed)
+    return hf_cfg, transformers.DeepseekV2ForCausalLM(hf_cfg).eval()
+
+
+def test_mla_moe_matches_hf_forward():
+    """DeepSeek-V2 MoE flavor: greedy gate (softmax-all → top-k,
+    unnormalized, × routed_scaling_factor), shared experts, and a
+    first_k_dense_replace dense layer — prefill + decode match HF exactly.
+    modeling_deepseek_v2.DeepseekV2MoEGate / DeepseekV2MoE."""
+    hf_cfg, model = _hf_deepseek_moe()
+    cfg = _assert_matches(hf_cfg, model)
+    assert cfg.num_experts == 8 and cfg.num_experts_per_tok == 2
+    assert cfg.n_shared_experts == 1 and cfg.first_k_dense == 1
+    assert cfg.dense_inter_size == 128 and cfg.intermediate_size == 32
+    assert cfg.router_pre_softmax and cfg.routed_scaling_factor == 1.5
+
+
+def test_mla_moe_no_dense_first():
+    """Every-layer-routed variant (first_k_dense_replace=0; HF's
+    DeepseekV2MoE.forward requires shared_experts so those stay)."""
+    hf_cfg, model = _hf_deepseek_moe(
+        seed=12, first_k_dense_replace=0, n_shared_experts=2,
+        routed_scaling_factor=1.0, num_hidden_layers=2)
+    cfg = _assert_matches(hf_cfg, model)
+    assert cfg.n_shared_experts == 2 and cfg.first_k_dense == 0
+
+
+def test_mla_moe_engine_matches_generate(rng):
+    cfg = _tiny_mla_cfg(
+        num_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense=1, dense_inter_size=48, router_pre_softmax=True,
+        routed_scaling_factor=1.5)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    from starflashattention_tpu.serving import Engine
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    lens = jnp.asarray([6, 5], jnp.int32)
+    want = llama.generate(params, cfg, toks, lens, max_new_tokens=5)
+    eng = Engine(params, cfg, num_slots=2, steps_per_round=2)
+    got = eng.generate(
+        [[int(t) for t in np.asarray(toks)[0]],
+         [int(t) for t in np.asarray(toks)[1][:5]]], max_new_tokens=5)
+    assert got == [list(r) for r in np.asarray(want).tolist()]
+
+
 def test_mla_guards():
     cfg = _tiny_mla_cfg()
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
@@ -116,15 +177,21 @@ def test_mla_guards():
         _tiny_mla_cfg(quant_mode="int8")
     with pytest.raises(ValueError, match="head_dim"):
         _tiny_mla_cfg(head_dim=32)
-    # dense-only DeepSeek: MoE configs are rejected at conversion
+    # V2-big's group-limited expert selection is rejected at conversion
     hf_cfg = transformers.DeepseekV2Config(
         vocab_size=64, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=2,
         kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=4,
         v_head_dim=8, n_routed_experts=4,
+        topk_method="group_limited_greedy", n_group=2, topk_group=1,
     )
-    with pytest.raises(ValueError, match="MoE"):
+    with pytest.raises(ValueError, match="group_limited"):
         checkpoint.config_from_hf(hf_cfg)
+    # MoE knobs without experts are rejected at config construction
+    with pytest.raises(ValueError, match="MoE knobs"):
+        _tiny_mla_cfg(n_shared_experts=1)
+    with pytest.raises(ValueError, match="dense_inter_size"):
+        _tiny_mla_cfg(num_experts=4, first_k_dense=1)
 
 
 def test_mla_cache_footprint():
