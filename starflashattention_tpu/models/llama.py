@@ -1680,15 +1680,22 @@ def _decode_core_paged(
         proj = _make_proj(layers, lp, lidx, cfg, axis_name)
 
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
-        if ll is not None:
-            qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
-        if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
-            qkv = qkv + lp["bqkv"]
-        q, k_new, v_new = _split_heads_decode(qkv, cfg)
-        q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
-        q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
-        k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
+        if cfg.mla:
+            # DeepSeek MLA: one shared latent row per token, absorbed
+            # queries — identical to the contiguous _decode_layer branch;
+            # the paged pool just stores the padded latent rows as its
+            # (1-head) K/V pages.
+            q, k_new, v_new = _mla_qkv(h, lp, cfg, cos, sin, pos)
+        else:
+            qkv = proj(h, "wqkv", out_dtype=x.dtype).astype(x.dtype)
+            if ll is not None:
+                qkv = qkv + delta_multi(h, ll, "wqkv", lora_sel)
+            if "bqkv" in lp:  # fused QKV bias (Qwen2-style; cfg.attention_bias)
+                qkv = qkv + lp["bqkv"]
+            q, k_new, v_new = _split_heads_decode(qkv, cfg)
+            q, k_new = _apply_qk_norm(q, k_new, lp, cfg)
+            q = apply_rope(q, pos, cos, sin, style=cfg.rope_style)
+            k_new = apply_rope(k_new, pos, cos, sin, style=cfg.rope_style)
 
         if cache.k_scales is not None:
             ks, vs = cache.k_scales[lidx], cache.v_scales[lidx]
@@ -1711,7 +1718,7 @@ def _decode_core_paged(
             window=_layer_window(cfg, lidx), sinks=cfg.attention_sinks,
             softcap=cfg.attn_softcap,
         )  # (B, Hq, D)
-        o = o.reshape(o.shape[0], -1)
+        o = _mla_out(o, lp, cfg) if cfg.mla else o.reshape(o.shape[0], -1)
         attn_out = proj(o, "wo")
         if ll is not None:
             attn_out = attn_out + delta_multi(o, ll, "wo", lora_sel)

@@ -124,11 +124,11 @@ class Engine:
         self.cfg = cfg
         if cfg.mla and (
             mesh is not None or spec_decode is not None
-            or lora_adapters is not None or type(self) is not Engine
+            or lora_adapters is not None
         ):
             raise NotImplementedError(
-                "MLA serves on the single-chip contiguous Engine for now "
-                "(no TP/paged/spec/LoRA composition yet)"
+                "MLA serves on the single-chip contiguous and paged engines "
+                "for now (no TP/spec/LoRA composition yet)"
             )
         self.num_slots = num_slots
         self.steps_per_round = steps_per_round
@@ -1054,11 +1054,13 @@ class PagedEngine(Engine):
         self._shard_cache_fn = tp.shard_paged_cache
 
     def _init_cache(self):
+        # MLA pages hold one padded latent row per token (kv_cache_dims)
+        hkv, d = self.cfg.kv_cache_dims()
         cache = paged.init_paged_cache(
             self.cfg.num_layers,
             self.num_slots,
-            self.cfg.num_kv_heads,
-            self.cfg.head_dim,
+            hkv,
+            d,
             # the global pool concatenates the data shards' partitions
             num_pages=self.num_pages * self._data_shards,
             page_size=self.page_size,

@@ -166,13 +166,38 @@ def test_mla_moe_engine_matches_generate(rng):
     assert got == [list(r) for r in np.asarray(want).tolist()]
 
 
+def test_mla_paged_engine_matches_contiguous(rng):
+    """MLA on the paged pool: the pages hold the shared padded latent rows
+    (1 'head' of kv_cache_dims width) and the MQA paged kernels serve them —
+    token stream identical to the contiguous engine."""
+    from starflashattention_tpu.serving import Engine, PagedEngine
+
+    for cfg in (
+        _tiny_mla_cfg(),
+        _tiny_mla_cfg(  # the MoE flavor through the paged path too
+            num_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+            first_k_dense=1, dense_inter_size=48, router_pre_softmax=True),
+    ):
+        params = llama.init_params(cfg, jax.random.PRNGKey(1))
+        prompts = [
+            [int(t) for t in rng.integers(0, cfg.vocab_size, 7)],
+            [int(t) for t in rng.integers(0, cfg.vocab_size, 4)],
+        ]
+        want = Engine(params, cfg, num_slots=2, steps_per_round=2).generate(
+            prompts, max_new_tokens=6)
+        got = PagedEngine(
+            params, cfg, num_slots=2, steps_per_round=2, page_size=16
+        ).generate(prompts, max_new_tokens=6)
+        assert got == want
+
+
 def test_mla_guards():
     cfg = _tiny_mla_cfg()
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    from starflashattention_tpu.serving import PagedEngine
+    from starflashattention_tpu.serving import Engine
 
     with pytest.raises(NotImplementedError, match="MLA"):
-        PagedEngine(params, cfg, num_slots=2, page_size=16)
+        Engine(params, cfg, num_slots=2, spec_decode=2)
     with pytest.raises(ValueError, match="MLA"):
         _tiny_mla_cfg(quant_mode="int8")
     with pytest.raises(ValueError, match="head_dim"):
