@@ -1163,6 +1163,72 @@ def model_gemma2_decode_bench(quick: bool = False):
     del params
 
 
+def model_deepseek_decode_bench(quick: bool = False):
+    """DeepSeek-V2-Lite full-model decode (15.7B total / 2.4B active):
+    ABSORBED MLA on the MQA kernels (640-lane latent rows — the KV stream
+    is 9.6x smaller than the unabsorbed form) + the 64-expert top-6 MoE
+    with 2 shared experts and the dense first layer. INT4 routed experts
+    (the experts are ~14.4B of the 15.7B params; int8 experts alone exceed
+    16 GB HBM), everything else bf16. Decode at batch 4 streams every
+    expert's weights each step (the batched-einsum/quant-matmul MoE reads
+    all E locals — B*top_k=24 of 64 assignments almost surely touch most),
+    so bytes/step ~= the full weight footprint + latent KV + lm_head."""
+    from starflashattention_tpu.cache import contiguous
+    from starflashattention_tpu.models import llama
+    from starflashattention_tpu.runtime.params import ModelConfig
+
+    if jax.default_backend() != "tpu":
+        return
+    batch, max_seq = 4, 1024 if quick else 4096
+    cfg = ModelConfig.deepseek_v2_lite(max_seq_len=max_seq, block_k=256)
+    params = llama.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, quantize="int4")
+    params = llama.quantize_model_weights(params, "int4", consume=True)
+    hkv, dpad = cfg.kv_cache_dims()
+    cache = contiguous.init_cache(
+        cfg.num_layers, batch, hkv, cfg.max_seq_len, dpad,
+        dtype=jnp.bfloat16)
+    iters = 16 if quick else 32
+    start = max_seq - iters - 1
+    lens = np.full((batch,), start, np.int64)
+    cache = contiguous.advance(cache, jnp.asarray(lens, jnp.int32))
+    cos, sin = llama.rope_tables(cfg)
+    tok = jnp.zeros((batch,), jnp.int32)
+
+    def step(carry, params, cos, sin, cfg=cfg):
+        cache, tok = carry
+        logits, cache = llama._decode_core(params, cache, tok, cos, sin, cfg)
+        return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+    per, out = time_scanned(
+        step, (cache, tok), params, cos, sin, iters=iters, repeats=3,
+        donate_carry=True,
+    )
+    del out, cache
+    embed_b = params["embed"].size * 2
+    weights = sum(
+        p.size * p.dtype.itemsize for p in jax.tree.leaves(params)) - embed_b
+    mean_len = float(np.mean(lens)) + iters / 2
+    # latent cache: ONE shared padded row per token (k and v tables both
+    # hold the latent — 2x the stream, matching what the MQA kernels read)
+    kv = 2 * batch * hkv * mean_len * dpad * 2
+    append = 4 * cfg.num_layers * batch * hkv * 32 * dpad * 2
+    bytes_touched = weights + kv + append + batch * cfg.vocab_size * 4
+    _emit(
+        f"model_deepseek_v2_lite_int4exp_b{batch}_ctx{max_seq}",
+        per,
+        {
+            "tokens_per_s": round(batch / per, 1),
+            "GBps": round(bytes_touched / per / 1e9, 1),
+            "roofline_frac": round(roofline_fraction(bytes_touched, per), 3),
+            "latent_lanes": dpad,
+            "note": "absorbed MLA latent cache + 64-expert int4 MoE, "
+                    "dense first layer via traced cond",
+        },
+    )
+    del params
+
+
 def hf_e2e_bench(quick: bool = False):
     """Real-HF end-to-end proof as a round artifact: write a GENUINE
     on-disk HF checkpoint (save_pretrained, safetensors layout), load it via
@@ -1253,6 +1319,7 @@ _BENCHES = {
     "prefill_ttft": prefill_ttft_bench,
     "hf_e2e": hf_e2e_bench,
     "model_gemma2": model_gemma2_decode_bench,
+    "model_deepseek": model_deepseek_decode_bench,
 }
 
 

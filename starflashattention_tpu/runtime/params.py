@@ -468,6 +468,43 @@ class ModelConfig:
         return cls(**base)
 
     @classmethod
+    def deepseek_v2_lite(cls, **overrides) -> "ModelConfig":
+        """DeepSeek-V2-Lite geometry (15.7B total / 2.4B active): MLA with
+        the direct q projection (no q_lora_rank), 64-expert top-6 MoE with
+        2 shared experts, first layer dense (intermediate 10944), greedy
+        softmax-all router. The absorbed latent cache stores 640 lanes/token
+        (512 + 64, lane-padded) vs 2*16*192 = 6144 unabsorbed — 9.6x."""
+        base = dict(
+            vocab_size=102400,
+            hidden_size=2048,
+            intermediate_size=1408,  # routed expert width (moe_intermediate_size)
+            num_layers=27,
+            num_q_heads=16,
+            num_kv_heads=1,
+            head_dim=192,
+            rope_base=10000.0,
+            max_seq_len=8192,
+            rms_norm_eps=1e-6,
+            num_splits=1,
+            mla=True,
+            kv_lora_rank=512,
+            q_lora_rank=None,
+            qk_nope_head_dim=128,
+            qk_rope_head_dim=64,
+            v_head_dim=128,
+            query_scale=192.0,
+            num_experts=64,
+            num_experts_per_tok=6,
+            n_shared_experts=2,
+            first_k_dense=1,
+            dense_inter_size=10944,
+            router_pre_softmax=True,
+            routed_scaling_factor=1.0,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **overrides) -> "ModelConfig":
         """Small config for tests / CPU interpret mode."""
         base = dict(

@@ -191,6 +191,39 @@ def test_mla_paged_engine_matches_contiguous(rng):
         assert got == want
 
 
+def test_mla_moe_quantized_weights_match_dequantized_twin(rng):
+    """Weight-only INT8 on an MLA+MoE model: wo and the routed expert
+    stacks quantize (the MLA latent projections and the dense-first /
+    shared-expert stacks stay dense — they are a small fraction of
+    DeepSeek's bytes, the experts dominate); the greedy stream must match
+    an explicitly dequantized dense twin."""
+    from starflashattention_tpu.core import quant as _quant
+    from starflashattention_tpu.serving import Engine
+
+    cfg = _tiny_mla_cfg(
+        num_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense=1, dense_inter_size=48, router_pre_softmax=True)
+    pq = llama.quantize_model_weights(
+        llama.init_params(cfg, jax.random.PRNGKey(5)), "int8")
+    assert isinstance(pq["layers"]["wo"], dict)  # quantized
+    assert isinstance(pq["layers"]["moe_gate_up"], dict)
+    assert "w" not in pq["layers"]["dense_mlp"]  # side stack stays dense
+    dq_layers = {
+        k: (_quant.dequantize_weight(v, jnp.float32)
+            if isinstance(v, dict) and "scale" in v else v)
+        for k, v in pq["layers"].items()
+    }
+    pdq = dict(pq)
+    pdq["layers"] = dq_layers
+    prompts = [[int(t) for t in rng.integers(0, cfg.vocab_size, 7)]
+               for _ in range(2)]
+    got_q = Engine(pq, cfg, num_slots=2, steps_per_round=2).generate(
+        [list(p) for p in prompts], max_new_tokens=6)
+    got_dq = Engine(pdq, cfg, num_slots=2, steps_per_round=2).generate(
+        [list(p) for p in prompts], max_new_tokens=6)
+    assert got_q == got_dq
+
+
 def test_mla_guards():
     cfg = _tiny_mla_cfg()
     params = llama.init_params(cfg, jax.random.PRNGKey(0))

@@ -166,8 +166,13 @@ def test_model_family_presets():
     assert g2.sm_scale() == 256.0**-0.5
     p3 = ModelConfig.phi3_medium()
     assert p3.num_q_heads == 40 and p3.num_kv_heads == 10
+    ds = ModelConfig.deepseek_v2_lite()
+    assert ds.mla and ds.num_experts == 64 and ds.n_shared_experts == 2
+    assert ds.first_k_dense == 1 and ds.router_pre_softmax
+    # the absorbed latent row: 512 + 64 lanes, padded to the 128-lane grid
+    assert ds.kv_cache_dims() == (1, 640)
     # geometry sanity: all presets produce a valid attention config
-    for cfg in (m, q, l3, g, g2, p3):
+    for cfg in (m, q, l3, g, g2, p3, ds):
         cfg.attention()
 
 
